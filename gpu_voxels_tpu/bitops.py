@@ -1,0 +1,278 @@
+"""256-bit voxel bit-vector operations on packed uint32 planes.
+
+A BitVector<256> (reference: helpers/BitVector.h) is represented as 8 uint32
+"planes" along a leading axis: ``planes[p]`` holds bits ``[32*p, 32*p+32)``.
+Plane-major layout keeps the (large) voxel axis in TPU vector lanes so every
+operation below vectorizes on the VPU; nothing here ever leaves the device.
+
+All functions are shape-polymorphic over trailing axes: inputs are
+``uint32[8, ...]`` and operate elementwise per voxel.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import NUM_BIT_PLANES, SV_END, SV_START
+
+UINT32 = jnp.uint32
+
+
+def zeros(shape_suffix, dtype=UINT32):
+    """An all-clear bit vector array of shape [8, *shape_suffix]."""
+    return jnp.zeros((NUM_BIT_PLANES,) + tuple(shape_suffix), dtype=dtype)
+
+
+def bit_plane(meaning: int) -> int:
+    return int(meaning) >> 5
+
+
+def bit_word(meaning: int) -> int:
+    """uint32 word with only the bit for `meaning` set (within its plane)."""
+    return 1 << (int(meaning) & 31)
+
+
+def set_bit(planes: jnp.ndarray, meaning: int) -> jnp.ndarray:
+    """BitVector::setBit for every voxel (BitVector.h:222-228)."""
+    p = bit_plane(meaning)
+    return planes.at[p].set(planes[p] | UINT32(bit_word(meaning)))
+
+
+def clear_bit(planes: jnp.ndarray, meaning: int) -> jnp.ndarray:
+    p = bit_plane(meaning)
+    return planes.at[p].set(planes[p] & UINT32(~bit_word(meaning) & 0xFFFFFFFF))
+
+
+def get_bit(planes: jnp.ndarray, meaning: int) -> jnp.ndarray:
+    p = bit_plane(meaning)
+    return (planes[p] & UINT32(bit_word(meaning))) != 0
+
+
+def is_zero(planes: jnp.ndarray) -> jnp.ndarray:
+    """BitVector::isZero (BitVector.h:162-172)."""
+    return jnp.all(planes == 0, axis=0)
+
+
+def none_but_empty(planes: jnp.ndarray) -> jnp.ndarray:
+    """True if no bit except eBVM_FREE (bit 0) is set (BitVector.h:184-198).
+
+    The reference masks byte 0 with 254, i.e. only bit 0 is excluded.
+    """
+    first = (planes[0] & UINT32(0xFFFFFFFE)) == 0
+    rest = jnp.all(planes[1:] == 0, axis=0)
+    return first & rest
+
+
+def occupied(planes: jnp.ndarray) -> jnp.ndarray:
+    """Dense-collide occupancy: !noneButEmpty (DefaultCollider.hpp:76-81)."""
+    return ~none_but_empty(planes)
+
+
+def bv_or(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return a | b
+
+
+def bv_and(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return a & b
+
+
+def bv_not(a: jnp.ndarray) -> jnp.ndarray:
+    return ~a
+
+
+def bv_equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == b, axis=0)
+
+
+def or_reduce(planes: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """OR-reduce bit vectors over a voxel axis (thrust BitvectorOr reduce).
+
+    `axis` indexes into the trailing (voxel) axes, i.e. axis=0 reduces the
+    first axis after the plane axis.
+    """
+    return jnp.bitwise_or.reduce(planes, axis=axis + 1)
+
+
+def perform_left_shift(planes: jnp.ndarray, shift_size: int) -> jnp.ndarray:
+    """Shift every bit vector's bits toward lower indices by `shift_size`.
+
+    Exact semantics of performLeftShift (BitVector.h:361-402): bit b of the
+    result is bit (b + shift_size) of the input (zeros shifted in at the top,
+    shift limited to 56 by the reference's 64-bit buffer), then bits 0..3 of
+    byte 0 are cleared so only swept-volume meanings survive in the low byte.
+    """
+    if not (0 <= shift_size <= 56):
+        raise ValueError("shift size must be in [0, 56] (BitVector.h:361)")
+    q, r = divmod(int(shift_size), 32)
+    out = []
+    nplanes = planes.shape[0]
+    zero = jnp.zeros_like(planes[0])
+    for p in range(nplanes):
+        lo = planes[p + q] if (p + q) < nplanes else zero
+        if r == 0:
+            word = lo
+        else:
+            hi = planes[p + q + 1] if (p + q + 1) < nplanes else zero
+            word = (lo >> UINT32(r)) | (hi << UINT32(32 - r))
+        out.append(word)
+    out[0] = out[0] & UINT32(0xFFFFFFF0)  # mask byte 0 with 0b11110000
+    return jnp.stack(out, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Unpacked (bool) representation: used by the margin collision check, whose
+# byte-level quirks are easiest to reproduce exactly on an unpacked axis.
+# ---------------------------------------------------------------------------
+
+def unpack(planes: jnp.ndarray) -> jnp.ndarray:
+    """uint32[8, ...] -> bool[..., 256] (bit index along the last axis)."""
+    nplanes = planes.shape[0]
+    # [8, ...] -> [..., 8]
+    moved = jnp.moveaxis(planes, 0, -1)
+    shifts = jnp.arange(32, dtype=UINT32)
+    bits = (moved[..., :, None] >> shifts) & UINT32(1)  # [..., 8, 32]
+    return bits.reshape(moved.shape[:-1] + (nplanes * 32,)).astype(bool)
+
+
+def pack(bits: jnp.ndarray) -> jnp.ndarray:
+    """bool[..., 256] -> uint32[8, ...]."""
+    n = bits.shape[-1]
+    nplanes = n // 32
+    words = bits.reshape(bits.shape[:-1] + (nplanes, 32)).astype(UINT32)
+    shifts = jnp.arange(32, dtype=UINT32)
+    packed = jnp.sum(words << shifts, axis=-1, dtype=UINT32)  # [..., 8]
+    return jnp.moveaxis(packed, -1, 0)
+
+
+def bit_margin_collision_check(
+    v1: jnp.ndarray,
+    v2: jnp.ndarray,
+    collisions: jnp.ndarray,
+    margin: int,
+    sv_offset: int,
+):
+    """Swept-volume windowed collision check (BitVector.h:415-471), vectorized.
+
+    Replicates the reference algorithm exactly, including its byte-level
+    quirks:
+      * v2's bits 0..3 are masked out before the check;
+      * v1 bytes are scanned starting at bit (4 + sv_offset%8) stepping by 8,
+        i.e. starting at byte (4 + sv_offset%8)//8 and covering each byte once
+        up to bit eBVM_SWEPT_VOLUME_END;
+      * a v1 bit at position b collides with v2 bits in a window
+        [b + D, b + D + 2*margin]; the shift D differs between the 4 initially
+        buffered v2 bytes and later refilled ones. When the scan starts at
+        byte 1 (sv_offset%8 >= 4), the reference's refill index skips v2
+        byte 4 entirely and refilled bytes land one byte lower in the buffer:
+        D = sv_offset//8 - margin - 8 for v2 bits 0..31 and
+        D = sv_offset//8 - margin for v2 bits >= 40 (byte 4 never matched).
+        For scans starting at byte 0 both regions share
+        D = sv_offset//8 - margin. (The reference uses sv_offset//8 as a
+        *bit* shift; we reproduce that quirk.)
+      * the colliding-bit record is written at position b + sv_offset//8 but
+        only if it stays inside b's byte (uint8 truncation in the reference);
+      * bytes in the scanned range of `collisions` are overwritten, others keep
+        their previous value.
+
+    Args:
+      v1, v2: uint32[8, ...] bit vectors.
+      collisions: uint32[8, ...] aggregate (bytes in range get overwritten).
+      margin: window half-width in bits (< 32).
+      sv_offset: bit offset added to v1 before colliding.
+    Returns:
+      (any_collision: bool[...], collisions_out: uint32[8, ...])
+    """
+    if margin >= 32:
+        raise ValueError("margin must be < 32 (BitVector.h:428-432)")
+    sv_offset = int(sv_offset)
+    byte_off = sv_offset % 8  # loop start offset (in bits, reference quirk)
+    bit_off = sv_offset // 8  # in-byte output shift (reference quirk)
+    if bit_off + margin > 24:
+        # Beyond this the reference's 64-bit buffer cannot hold the window and
+        # results depend on refill timing; not reproduced.
+        raise ValueError("sv_offset//8 + margin must be <= 24")
+
+    b1 = unpack(v1)  # [..., 256]
+    b2 = unpack(v2)
+    nbits = b1.shape[-1]
+    # Mask non-SV bits of v2's first byte (bits 0..4).
+    mask2 = np.ones(nbits, dtype=bool)
+    mask2[0:4] = False
+    b2 = b2 & jnp.asarray(mask2)
+
+    first_bit = SV_START + byte_off
+    first_byte = first_bit >> 3
+    # Region A: the 4 initially buffered v2 bytes. Region B: refilled bytes
+    # (v2 byte 4+first_byte onward; byte 4 is skipped when first_byte == 1).
+    region_a = np.zeros(nbits, dtype=bool)
+    region_a[0:32] = True
+    region_b = np.zeros(nbits, dtype=bool)
+    region_b[8 * (4 + first_byte):] = True
+    DA = bit_off - margin - 8 * first_byte
+    DB = bit_off - margin
+
+    def shifted(arr, k):
+        # arr shifted so result[b] = arr[b + k] (zeros outside)
+        if k == 0:
+            return arr
+        pad = [(0, 0)] * (arr.ndim - 1)
+        if k > 0:
+            return jnp.pad(arr[..., k:], pad + [(0, k)])
+        return jnp.pad(arr[..., :k], pad + [(-k, 0)])
+
+    b2a = b2 & jnp.asarray(region_a)
+    b2b = b2 & jnp.asarray(region_b)
+    window = jnp.zeros_like(b2)
+    for s in range(2 * margin + 1):
+        window = window | shifted(b2a, DA + s) | shifted(b2b, DB + s)
+    matched = b1 & window  # [..., 256] at v1 bit positions
+
+    # Record at position b + bit_off, only if it stays within b's byte.
+    bitpos = np.arange(nbits)
+    stays = (bitpos % 8) + bit_off < 8
+    recorded = shifted(matched & jnp.asarray(stays), -bit_off)
+
+    # Bytes written by the loop: byte(i>>3) for i in range(first_bit, SV_END, 8)
+    written = np.zeros(nbits, dtype=bool)
+    for i in range(first_bit, SV_END, 8):
+        byte = i >> 3
+        written[byte * 8 : byte * 8 + 8] = True
+    cbits = unpack(collisions)
+    cbits = jnp.where(jnp.asarray(written), recorded, cbits)
+    out = pack(cbits)
+    return ~is_zero(out), out
+
+
+def bit_margin_collision_check_np(v1_bytes, v2_bytes, coll_bytes, margin, sv_offset):
+    """Byte-level numpy oracle replicating BitVector.h:415-471 verbatim.
+
+    Operates on uint8[32] arrays (single voxel). Used only by tests to verify
+    the vectorized implementation against the reference algorithm.
+    """
+    v1_bytes = np.asarray(v1_bytes, dtype=np.uint8)
+    v2_bytes = np.asarray(v2_bytes, dtype=np.uint8)
+    coll = np.array(coll_bytes, dtype=np.uint8, copy=True)
+    num_bits = 8 * len(v1_bytes)
+    buffer_half = 32
+    buf = np.uint64(0)
+    for byte_nr in range(4):
+        ib = int(v2_bytes[byte_nr])
+        if byte_nr == 0:
+            ib &= 0b11110000
+        buf = np.uint64(buf + (np.uint64(ib) << np.uint64(buffer_half + byte_nr * 8)))
+    byte_offset = sv_offset % 8
+    bit_offset = sv_offset // 8
+    i = SV_START + byte_offset
+    while i < SV_END:
+        byte = 0
+        byte_1 = np.uint64(int(v1_bytes[i >> 3]) << (buffer_half - margin + bit_offset))
+        for _ in range(2 * margin + 1):
+            shift_back = buffer_half - margin + (_)
+            byte |= int((int(byte_1) & int(buf)) >> shift_back) & 0xFF
+            byte_1 = np.uint64(int(byte_1) << 1)
+        coll[i >> 3] = byte
+        buf = np.uint64(int(buf) >> 8)
+        if i < num_bits - buffer_half:
+            buf = np.uint64(int(buf) + (int(v2_bytes[(i + buffer_half) >> 3]) << 56))
+        i += 8
+    return (coll != 0).any(), coll

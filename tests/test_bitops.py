@@ -1,0 +1,123 @@
+"""BitVector<256> semantics tests (mirrors reference test/testing_bitvector.cu)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_voxels_tpu import bitops
+from gpu_voxels_tpu.constants import BitVoxelMeaning, SV_START
+
+
+def np_bytes_from_planes(planes):
+    """uint32[8] -> uint8[32] little-endian (reference byte layout)."""
+    return np.frombuffer(np.asarray(planes, dtype="<u4").tobytes(), dtype=np.uint8)
+
+
+def planes_from_bits(bit_indices, shape_suffix=()):
+    v = bitops.zeros(shape_suffix)
+    for b in bit_indices:
+        v = bitops.set_bit(v, b)
+    return v
+
+
+def test_set_get_clear_bit():
+    v = bitops.zeros(())
+    for b in [0, 1, 31, 32, 63, 100, 255]:
+        v = bitops.set_bit(v, b)
+        assert bool(bitops.get_bit(v, b))
+    v = bitops.clear_bit(v, 100)
+    assert not bool(bitops.get_bit(v, 100))
+    assert bool(bitops.get_bit(v, 63))
+
+
+def test_none_but_empty_ignores_free_bit():
+    v = planes_from_bits([int(BitVoxelMeaning.eBVM_FREE)])
+    assert bool(bitops.none_but_empty(v))
+    assert not bool(bitops.is_zero(v))
+    v2 = planes_from_bits([0, 7])
+    assert not bool(bitops.none_but_empty(v2))
+    v3 = planes_from_bits([200])
+    assert not bool(bitops.none_but_empty(v3))
+
+
+def test_bitwise_ops_and_equality():
+    a = planes_from_bits([1, 40, 250])
+    b = planes_from_bits([40, 99])
+    ored = bitops.bv_or(a, b)
+    for bit in [1, 40, 99, 250]:
+        assert bool(bitops.get_bit(ored, bit))
+    anded = bitops.bv_and(a, b)
+    assert bool(bitops.get_bit(anded, 40))
+    assert not bool(bitops.get_bit(anded, 1))
+    assert bool(bitops.bv_equal(a, a))
+    assert not bool(bitops.bv_equal(a, b))
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    planes = jnp.asarray(rng.integers(0, 2**32, size=(8, 5), dtype=np.uint64).astype(np.uint32))
+    bits = bitops.unpack(planes)
+    assert bits.shape == (5, 256)
+    repacked = bitops.pack(bits)
+    np.testing.assert_array_equal(np.asarray(repacked), np.asarray(planes))
+
+
+@pytest.mark.parametrize("shift", [1, 4, 8, 13, 32, 37, 56])
+def test_perform_left_shift_semantics(shift):
+    """bit b of result == bit (b+shift) of input; low nibble cleared."""
+    rng = np.random.default_rng(shift)
+    words = rng.integers(0, 2**32, size=(8, 3), dtype=np.uint64).astype(np.uint32)
+    planes = jnp.asarray(words)
+    out = bitops.perform_left_shift(planes, shift)
+    in_bits = np.asarray(bitops.unpack(planes))
+    out_bits = np.asarray(bitops.unpack(out))
+    expected = np.zeros_like(in_bits)
+    expected[..., : 256 - shift] = in_bits[..., shift:]
+    expected[..., 0:4] = False  # byte0 & 0b11110000
+    np.testing.assert_array_equal(out_bits, expected)
+
+
+def test_perform_left_shift_swept_volume_usage():
+    """A swept-volume ID at bit SV_START+k moves to SV_START+k-s."""
+    v = planes_from_bits([SV_START + 10])
+    out = bitops.perform_left_shift(v, 3)
+    assert bool(bitops.get_bit(out, SV_START + 7))
+    assert not bool(bitops.get_bit(out, SV_START + 10))
+
+
+@pytest.mark.parametrize("margin,sv_offset", [(0, 0), (1, 0), (2, 0), (5, 0), (2, 3), (2, 8), (3, 12), (1, 37)])
+def test_bit_margin_collision_check_matches_reference_oracle(margin, sv_offset):
+    rng = np.random.default_rng(margin * 101 + sv_offset)
+    n = 16
+    v1 = rng.integers(0, 2**32, size=(8, n), dtype=np.uint64).astype(np.uint32)
+    v2 = rng.integers(0, 2**32, size=(8, n), dtype=np.uint64).astype(np.uint32)
+    # make them sparse so both hit and miss cases occur
+    v1 &= rng.integers(0, 2**32, size=(8, n), dtype=np.uint64).astype(np.uint32)
+    v1 &= rng.integers(0, 2**32, size=(8, n), dtype=np.uint64).astype(np.uint32)
+    v2 &= rng.integers(0, 2**32, size=(8, n), dtype=np.uint64).astype(np.uint32)
+    v2 &= rng.integers(0, 2**32, size=(8, n), dtype=np.uint64).astype(np.uint32)
+    coll0 = rng.integers(0, 2**32, size=(8, n), dtype=np.uint64).astype(np.uint32)
+
+    hit, coll = bitops.bit_margin_collision_check(
+        jnp.asarray(v1), jnp.asarray(v2), jnp.asarray(coll0), margin, sv_offset
+    )
+    hit = np.asarray(hit)
+    coll = np.asarray(coll)
+    for i in range(n):
+        exp_hit, exp_coll_bytes = bitops.bit_margin_collision_check_np(
+            np_bytes_from_planes(v1[:, i]),
+            np_bytes_from_planes(v2[:, i]),
+            np_bytes_from_planes(coll0[:, i]),
+            margin,
+            sv_offset,
+        )
+        got_bytes = np_bytes_from_planes(coll[:, i])
+        np.testing.assert_array_equal(got_bytes, exp_coll_bytes, err_msg=f"voxel {i}")
+        assert bool(hit[i]) == bool(exp_hit)
+
+
+def test_or_reduce():
+    a = planes_from_bits([3], shape_suffix=(4,))
+    b = bitops.set_bit(bitops.zeros((4,)), 77)
+    stacked = a | b
+    red = bitops.or_reduce(stacked, axis=0)
+    assert bool(bitops.get_bit(red, 3)) and bool(bitops.get_bit(red, 77))
