@@ -1,0 +1,264 @@
+"""Dense voxel maps (equivalents of voxelmap/TemplateVoxelMap + subclasses).
+
+Maps are immutable pytrees: every operation returns a new map object sharing
+unmodified buffers. Voxel data is a flat device array over
+N = dimx*dimy*dimz with the reference's linear addressing
+(index = z*dimx*dimy + y*dimx + x, TemplateVoxelMap.h:258), which makes the
+reference's signed-pointer-offset collision semantics a pair of flat slices.
+
+  ProbVoxelMap       int8[N] log-odds            (voxelmap/ProbVoxelMap.{h,hpp})
+  BitVectorVoxelMap  uint32[8, N] bit planes     (voxelmap/BitVoxelMap.{h,hpp})
+  CountingVoxelMap   int8[N] density counter     (dense variant of CountingVoxel)
+
+All operations are jittable; whole sense->insert->collide cycles fuse into a
+single XLA program.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import bitops, probability
+from ..constants import (
+    MAX_PROBABILITY,
+    UNKNOWN_PROBABILITY,
+    BitVoxelMeaning,
+    MapType,
+    float_to_probability,
+)
+from ..ops import collide as collide_ops
+from ..ops import insert as insert_ops
+
+Dims = Tuple[int, int, int]
+
+
+def _n(dims: Dims) -> int:
+    return dims[0] * dims[1] * dims[2]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class _DenseMap:
+    data: jnp.ndarray
+    dims: Dims = field(metadata=dict(static=True))
+    side_length: float = field(metadata=dict(static=True))
+
+    @property
+    def voxelmap_size(self) -> int:
+        return _n(self.dims)
+
+    @property
+    def dimensions(self) -> Dims:
+        return self.dims
+
+    @property
+    def metric_dimensions(self) -> Tuple[float, float, float]:
+        return tuple(d * self.side_length for d in self.dims)
+
+    def as_3d(self) -> jnp.ndarray:
+        """View as [Z, Y, X] (x fastest, reference layout)."""
+        x, y, z = self.dims
+        return self.data.reshape(self.data.shape[:-1] + (z, y, x))
+
+    # -- shared helpers -----------------------------------------------------
+    def _offset(self, offset) -> Dims:
+        return tuple(int(v) for v in offset)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ProbVoxelMap(_DenseMap):
+    """Dense probabilistic map; voxels are int8 log-odds, UNKNOWN=-128."""
+
+    map_type: MapType = field(default=MapType.MT_PROBAB_VOXELMAP, metadata=dict(static=True))
+
+    @staticmethod
+    def create(dims: Dims, side_length: float = 1.0) -> "ProbVoxelMap":
+        data = jnp.full((_n(dims),), jnp.int8(UNKNOWN_PROBABILITY))
+        return ProbVoxelMap(data, tuple(dims), float(side_length))
+
+    def clear_map(self) -> "ProbVoxelMap":
+        """kernelClearVoxelMap: reset to UNKNOWN (TemplateVoxelMap.hpp:205)."""
+        return replace(self, data=jnp.full_like(self.data, jnp.int8(UNKNOWN_PROBABILITY)))
+
+    # -- insertion ----------------------------------------------------------
+    def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "ProbVoxelMap":
+        new, _ = insert_ops.insert_prob(self.data, jnp.asarray(points, jnp.float32), self.side_length, self.dims, meaning)
+        return replace(self, data=new)
+
+    def insert_meta_point_cloud(self, meta, meanings=None) -> "ProbVoxelMap":
+        """Uniform or per-subcloud meanings (TemplateVoxelMap.hpp:609-663)."""
+        if meanings is None:
+            return self.insert_point_cloud(meta.points)
+        m = self
+        for i, meaning in enumerate(meanings):
+            m = m.insert_point_cloud(meta.get_cloud(i), meaning)
+        return m
+
+    def update_occupancy(self, points, delta) -> "ProbVoxelMap":
+        """Log-odds additive update for every hit voxel (sensor path)."""
+        idx, _ = insert_ops.voxelize(jnp.asarray(points, jnp.float32), self.side_length, self.dims)
+        hits = insert_ops.occupancy_mask(idx, self.voxelmap_size)
+        upd = probability.update_occupancy(self.data, hits.astype(jnp.int32) * int(delta))
+        return replace(self, data=upd)
+
+    # -- collision ----------------------------------------------------------
+    def collide_with(self, other, coll_threshold: float = 1.0, offset=(0, 0, 0)):
+        """collideWith returning the collision count (ProbVoxelMap.hpp:144-155).
+
+        Matches the reference's counting kernel but without marking
+        (the marking variant is collide_with_marking)."""
+        t = float_to_probability(coll_threshold)
+        off = self._offset(offset)
+        if isinstance(other, ProbVoxelMap):
+            return collide_ops.count_prob_prob(self.data, other.data, t, t, self.dims, off)
+        if isinstance(other, BitVectorVoxelMap):
+            return collide_ops.count_prob_bit(self.data, t, other.data, self.dims, off)
+        raise TypeError(f"cannot collide ProbVoxelMap with {type(other)}")
+
+    def collide_with_marking(self, other, coll_threshold: float = 1.0, offset=(0, 0, 0)):
+        """Exact kernelCollideVoxelMapsDebug semantics: returns (count, map
+        with eBVM_COLLISION inserted into colliding voxels)."""
+        t = float_to_probability(coll_threshold)
+        off = self._offset(offset)
+        if isinstance(other, ProbVoxelMap):
+            cnt, new = collide_ops.count_and_mark_prob(self.data, other.data, t, t, self.dims, off)
+            return cnt, replace(self, data=new)
+        raise TypeError(f"cannot collide ProbVoxelMap with {type(other)}")
+
+    # -- queries ------------------------------------------------------------
+    def occupancy(self) -> jnp.ndarray:
+        return self.data
+
+    def occupied_mask(self, threshold: float = 0.5) -> jnp.ndarray:
+        return collide_ops.prob_occupied(self.data, float_to_probability(threshold))
+
+    def merge(self, other: "ProbVoxelMap") -> "ProbVoxelMap":
+        """Voxel::reduce = saturating occupancy add (ProbabilisticVoxel.hpp:94-101).
+        UNKNOWN voxels in `other` contribute nothing."""
+        delta = jnp.where(probability.is_unknown(other.data), jnp.int8(0), other.data)
+        return replace(self, data=probability.update_occupancy(self.data, delta.astype(jnp.int32)))
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BitVectorVoxelMap(_DenseMap):
+    """Dense 256-bit deterministic map; data is uint32[8, N] bit planes."""
+
+    map_type: MapType = field(default=MapType.MT_BITVECTOR_VOXELMAP, metadata=dict(static=True))
+
+    @staticmethod
+    def create(dims: Dims, side_length: float = 1.0) -> "BitVectorVoxelMap":
+        data = bitops.zeros((_n(dims),))
+        return BitVectorVoxelMap(data, tuple(dims), float(side_length))
+
+    def clear_map(self) -> "BitVectorVoxelMap":
+        return replace(self, data=jnp.zeros_like(self.data))
+
+    # -- insertion ----------------------------------------------------------
+    def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "BitVectorVoxelMap":
+        new, _ = insert_ops.insert_bit(self.data, jnp.asarray(points, jnp.float32), self.side_length, self.dims, int(meaning))
+        return replace(self, data=new)
+
+    def insert_meta_point_cloud(self, meta, meanings=None) -> "BitVectorVoxelMap":
+        if meanings is None:
+            return self.insert_point_cloud(meta.points)
+        m = self
+        for i, meaning in enumerate(meanings):
+            m = m.insert_point_cloud(meta.get_cloud(i), meaning)
+        return m
+
+    # -- bit maintenance ----------------------------------------------------
+    def clear_bit(self, bit_index: int) -> "BitVectorVoxelMap":
+        """clearBit: clear one meaning in every voxel (BitVoxelMap.hpp:58-72)."""
+        return replace(self, data=bitops.clear_bit(self.data, bit_index))
+
+    def clear_bits(self, bit_indices) -> "BitVectorVoxelMap":
+        d = self.data
+        for b in bit_indices:
+            d = bitops.clear_bit(d, b)
+        return replace(self, data=d)
+
+    def clear_voxel_meaning(self, meaning) -> "BitVectorVoxelMap":
+        return self.clear_bit(int(meaning))
+
+    def shift_left_swept_volume_ids(self, shift_size: int) -> "BitVectorVoxelMap":
+        """shiftLeftSweptVolumeIDs (BitVoxelMap.hpp:226-240)."""
+        return replace(self, data=bitops.perform_left_shift(self.data, shift_size))
+
+    # -- collision ----------------------------------------------------------
+    def collide_with(self, other, coll_threshold: float = 1.0, offset=(0, 0, 0)):
+        t = float_to_probability(coll_threshold)
+        off = self._offset(offset)
+        if isinstance(other, BitVectorVoxelMap):
+            return collide_ops.count_bit_bit(self.data, other.data, self.dims, off)
+        if isinstance(other, ProbVoxelMap):
+            # DefaultCollider bit x prob: threshold applies to the prob side
+            return collide_ops.count_prob_bit(other.data, t, self.data, self.dims, tuple(-v for v in off))
+        raise TypeError(f"cannot collide BitVectorVoxelMap with {type(other)}")
+
+    def collide_with_types(self, other, coll_threshold: float = 1.0, sv_window: int = 0, sv_offset: int = 0):
+        """collideWithTypes (BitVoxelMap.hpp:195-210): SVCollider collision
+        collecting colliding meanings. Returns (count, meanings[8] uint32,
+        map with eBVM_COLLISION marked)."""
+        if isinstance(other, BitVectorVoxelMap):
+            cnt, meanings, new = collide_ops.collide_with_types_bit_bit(
+                self.data, other.data, margin=sv_window, sv_offset=sv_offset
+            )
+            return cnt, meanings, replace(self, data=new)
+        if isinstance(other, ProbVoxelMap):
+            t = float_to_probability(coll_threshold)
+            cnt, meanings, new = collide_ops.collide_with_types_bit_prob(self.data, other.data, t)
+            return cnt, meanings, replace(self, data=new)
+        raise TypeError(f"cannot collide BitVectorVoxelMap with {type(other)}")
+
+    def collide_with_bitcheck(self, other: "BitVectorVoxelMap", margin: int = 0, sv_offset: int = 0):
+        """Same-bit collision with +-margin window, count only."""
+        hit, _ = bitops.bit_margin_collision_check(
+            self.data, other.data, bitops.zeros((self.voxelmap_size,)), margin, sv_offset
+        )
+        return jnp.sum(hit, dtype=jnp.uint32)
+
+    # -- queries ------------------------------------------------------------
+    def occupied_mask(self) -> jnp.ndarray:
+        return bitops.occupied(self.data)
+
+    def get_bit_mask(self, meaning) -> jnp.ndarray:
+        return bitops.get_bit(self.data, int(meaning))
+
+    def merge(self, other: "BitVectorVoxelMap", new_meaning=None) -> "BitVectorVoxelMap":
+        """Voxel::reduce = bitwise OR; optional re-meaning of merged voxels."""
+        if new_meaning is None:
+            return replace(self, data=self.data | other.data)
+        occ = bitops.occupied(other.data)
+        word = bitops.UINT32(bitops.bit_word(int(new_meaning)))
+        p = bitops.bit_plane(int(new_meaning))
+        plane = jnp.where(occ, self.data[p] | word, self.data[p])
+        return replace(self, data=self.data.at[p].set(plane))
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CountingVoxelMap(_DenseMap):
+    """Dense per-voxel point counter (dense variant of CountingVoxelList's
+    noise filtering; the sparse list lives in maps/voxellist)."""
+
+    map_type: MapType = field(default=MapType.MT_COUNTING_VOXELLIST, metadata=dict(static=True))
+
+    @staticmethod
+    def create(dims: Dims, side_length: float = 1.0) -> "CountingVoxelMap":
+        return CountingVoxelMap(jnp.zeros((_n(dims),), jnp.int8), tuple(dims), float(side_length))
+
+    def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "CountingVoxelMap":
+        new, _ = insert_ops.insert_count(self.data, jnp.asarray(points, jnp.float32), self.side_length, self.dims)
+        return replace(self, data=new)
+
+    def occupied_mask(self, threshold: int = 1) -> jnp.ndarray:
+        return self.data.astype(jnp.int32) >= int(threshold)
+
+    def clear_map(self) -> "CountingVoxelMap":
+        return replace(self, data=jnp.zeros_like(self.data))

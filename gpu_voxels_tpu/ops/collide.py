@@ -1,0 +1,142 @@
+"""Dense map x dense map collision reductions (XLA formulation).
+
+Equivalents of voxelmap/kernels/VoxelMapOperations.hpp:78-239
+(kernelCollideVoxelMaps / ...Debug / ...Bitvector). The CUDA version does a
+grid-stride sweep with shared-memory block reductions and finishes the sum on
+the host; here each variant is a single fused element-wise compare + on-chip
+reduction with no host round trip. A Pallas kernel path (ops/collide_pallas)
+covers the multi-output variants; these XLA forms are the semantics reference
+and work for any grid size.
+
+Offset semantics replicate collisionCheckWithCounterRelativeTransform
+(TemplateVoxelMap.hpp:486-519): the *left* map's base pointer is shifted by
+the signed linear offset, i.e. collide(left[i+off], right[i]); indices where
+either side is out of range contribute nothing.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from .. import bitops
+from ..constants import MAX_PROBABILITY
+from .insert import linear_offset
+
+INT32 = jnp.int32
+
+
+def _offset_slices(n: int, off: int):
+    """Valid flat ranges for collide(left[i+off], right[i])."""
+    off = int(off)
+    if off >= 0:
+        return slice(off, n), slice(0, n - off)
+    return slice(0, n + off), slice(-off, n)
+
+
+def _slice_flat(arr, sl):
+    return arr[..., sl]  # works for [N] and [8, N]
+
+
+def prob_occupied(data, threshold) -> jnp.ndarray:
+    return data.astype(INT32) >= jnp.asarray(threshold, INT32)
+
+
+def count_prob_prob(a, b, t1, t2, dims=None, offset=(0, 0, 0)) -> jnp.ndarray:
+    """Counting collide, prob x prob (DefaultCollider thresholds)."""
+    n = a.shape[-1]
+    off = linear_offset(offset, dims) if dims else 0
+    sa, sb = _offset_slices(n, off)
+    hit = prob_occupied(a[sa], t1) & prob_occupied(b[sb], t2)
+    return jnp.sum(hit, dtype=jnp.uint32)
+
+
+def count_bit_bit(a_planes, b_planes, dims=None, offset=(0, 0, 0)) -> jnp.ndarray:
+    """Counting collide, bit x bit: both !noneButEmpty (DefaultCollider.hpp:76-81)."""
+    n = a_planes.shape[-1]
+    off = linear_offset(offset, dims) if dims else 0
+    sa, sb = _offset_slices(n, off)
+    hit = bitops.occupied(a_planes[:, sa]) & bitops.occupied(b_planes[:, sb])
+    return jnp.sum(hit, dtype=jnp.uint32)
+
+
+def count_prob_bit(prob, t1, bit_planes, dims=None, offset=(0, 0, 0)) -> jnp.ndarray:
+    """prob x bit: occupancy >= t && !noneButEmpty (DefaultCollider.hpp:60-73)."""
+    n = prob.shape[-1]
+    off = linear_offset(offset, dims) if dims else 0
+    sa, sb = _offset_slices(n, off)
+    hit = prob_occupied(prob[sa], t1) & bitops.occupied(bit_planes[:, sb])
+    return jnp.sum(hit, dtype=jnp.uint32)
+
+
+def any_collision(hit_count) -> jnp.ndarray:
+    return hit_count > 0
+
+
+def count_and_mark_prob(a, b, t1, t2, dims=None, offset=(0, 0, 0)):
+    """kernelCollideVoxelMapsDebug semantics for prob maps: count collisions
+    AND insert eBVM_COLLISION (occupancy=127) into the left map's colliding
+    voxels (VoxelMapOperations.hpp:129-184). Returns (count, new_left)."""
+    n = a.shape[-1]
+    off = linear_offset(offset, dims) if dims else 0
+    sa, sb = _offset_slices(n, off)
+    hit = prob_occupied(a[sa], t1) & prob_occupied(b[sb], t2)
+    marked = jnp.where(hit, jnp.int8(MAX_PROBABILITY), a[sa])
+    new_a = a.at[sa].set(marked)
+    return jnp.sum(hit, dtype=jnp.uint32), new_a
+
+
+def count_and_mark_bit(a_planes, b_planes, dims=None, offset=(0, 0, 0)):
+    """Debug-kernel semantics for bit maps: mark eBVM_COLLISION (bit 2)."""
+    n = a_planes.shape[-1]
+    off = linear_offset(offset, dims) if dims else 0
+    sa, sb = _offset_slices(n, off)
+    hit = bitops.occupied(a_planes[:, sa]) & bitops.occupied(b_planes[:, sb])
+    plane0 = a_planes[0, sa]
+    plane0 = jnp.where(hit, plane0 | bitops.UINT32(1 << 2), plane0)
+    new_a = a_planes.at[0, sa].set(plane0)
+    return jnp.sum(hit, dtype=jnp.uint32), new_a
+
+
+def collide_with_types_bit_bit(
+    a_planes, b_planes, margin: int = 0, sv_offset: int = 0, mark_collisions: bool = True
+):
+    """kernelCollideVoxelMapsBitvector with SVCollider (BitVoxelMap.hpp:85-135).
+
+    Per voxel: windowed swept-volume check bitMarginCollisionCheck(a, b,
+    margin, sv_offset); colliding voxels get eBVM_COLLISION set in the left
+    map; the per-voxel colliding-bit records are OR-reduced into one
+    BitVector. Returns (count, meanings uint32[8], new_left).
+
+    Deviation from CUDA: the reference reuses one uninitialized per-thread
+    temp vector across its grid-stride loop, so a voxel's record can leak
+    stale bytes from a previous voxel of the same thread before the block-OR;
+    we give every voxel a fresh zero record (the sane reading, and
+    order-independent).
+    """
+    n = a_planes.shape[-1]
+    zero = bitops.zeros((n,))
+    hit, records = bitops.bit_margin_collision_check(a_planes, b_planes, zero, margin, sv_offset)
+    records = jnp.where(hit[None, :], records, jnp.zeros_like(records))
+    meanings = jnp.bitwise_or.reduce(records, axis=1)
+    count = jnp.sum(hit, dtype=jnp.uint32)
+    if mark_collisions:
+        plane0 = jnp.where(hit, a_planes[0] | bitops.UINT32(1 << 2), a_planes[0])
+        a_planes = a_planes.at[0].set(plane0)
+    return count, meanings, a_planes
+
+
+def collide_with_types_bit_prob(
+    bit_planes, prob, t, mark_collisions: bool = True
+):
+    """SVCollider bit x prob (SVCollider.hpp:98-118): collision when the prob
+    voxel passes the threshold and the bit voxel is !noneButEmpty; the bit
+    voxel's full vector is OR'd into the colliding-meanings record."""
+    hit = prob_occupied(prob, t) & bitops.occupied(bit_planes)
+    masked = jnp.where(hit[None, :], bit_planes, jnp.zeros_like(bit_planes))
+    meanings = jnp.bitwise_or.reduce(masked, axis=1)
+    count = jnp.sum(hit, dtype=jnp.uint32)
+    if mark_collisions:
+        plane0 = jnp.where(hit, bit_planes[0] | bitops.UINT32(1 << 2), bit_planes[0])
+        bit_planes = bit_planes.at[0].set(plane0)
+    return count, meanings, bit_planes

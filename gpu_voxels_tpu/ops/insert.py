@@ -1,0 +1,108 @@
+"""Point -> voxel scatter pipelines (dense maps).
+
+TPU-native replacement for the reference's racy atomic scatter kernels
+(voxelmap/kernels/VoxelMapOperations.hpp:241-264 kernelInsertGlobalPointCloud,
+kernelInsertMetaPointCloud): points are voxelized with the reference's
+floor(p / side_length) rule (VoxelMapOperations.h:123-133), mapped to linear
+indices z*dimx*dimy + y*dimx + x (VoxelMapOperations.h:44-74), and scattered
+deterministically — same-value set for probabilistic voxels, one-hot
+scatter-max + OR for bit voxels. Out-of-bounds points are dropped and
+reported via a flag, matching TemplateVoxelMap.hpp:588-607.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..bitops import UINT32, bit_plane, bit_word
+from ..constants import meaning_to_probability
+
+
+def map_to_voxels(points: jnp.ndarray, side_length: float) -> jnp.ndarray:
+    """float coords -> integer voxel coords (VoxelMapOperations.h:123-133)."""
+    return jnp.floor(points / jnp.float32(side_length)).astype(jnp.int32)
+
+
+def linear_index(coords: jnp.ndarray, dims: Tuple[int, int, int]) -> jnp.ndarray:
+    """Voxel coords -> linear index (VoxelMapOperations.h:44-52)."""
+    dx, dy, _ = dims
+    return coords[..., 2] * (dx * dy) + coords[..., 1] * dx + coords[..., 0]
+
+
+def linear_offset(offset: Tuple[int, int, int], dims: Tuple[int, int, int]) -> int:
+    """Signed voxel offset -> signed linear offset (getVoxelIndexSigned)."""
+    dx, dy, _ = dims
+    return int(offset[2]) * dx * dy + int(offset[1]) * dx + int(offset[0])
+
+
+def voxelize(points, side_length, dims):
+    """Returns (linear idx with out-of-map points sent to N, any_outside).
+
+    Out-of-range indices use the scatter 'drop' mode downstream; the flag
+    feeds the host-side warning (TemplateVoxelMap.hpp:601-606).
+    """
+    coords = map_to_voxels(points, side_length)
+    dims_arr = jnp.asarray(dims, dtype=jnp.int32)
+    valid = jnp.all((coords >= 0) & (coords < dims_arr), axis=-1)
+    n = dims[0] * dims[1] * dims[2]
+    idx = jnp.where(valid, linear_index(coords, dims), n)
+    return idx, ~jnp.all(valid)
+
+
+def insert_prob(data, points, side_length, dims, meaning):
+    """ProbVoxelMap point insert: voxel occupancy SET to the meaning's value
+    (ProbabilisticVoxel::insert, a store not an update)."""
+    idx, outside = voxelize(points, side_length, dims)
+    val = jnp.int8(meaning_to_probability(meaning))
+    vals = jnp.full(idx.shape, val, dtype=jnp.int8)
+    return data.at[idx].set(vals, mode="drop"), outside
+
+
+def occupancy_mask(idx, n):
+    """One-hot bool[n] of hit voxels (duplicates collapse)."""
+    hits = jnp.zeros((n,), dtype=jnp.int8)
+    hits = hits.at[idx].max(jnp.int8(1), mode="drop")
+    return hits
+
+
+def insert_bit(planes, points, side_length, dims, meaning: int):
+    """BitVoxelMap point insert: set bit `meaning` in every hit voxel.
+
+    Deterministic formulation of the reference's atomic byte-OR: a one-hot
+    scatter-max builds the hit set, then a single vector OR merges it into
+    the target plane.
+    """
+    idx, outside = voxelize(points, side_length, dims)
+    n = planes.shape[1]
+    word = UINT32(bit_word(meaning))
+    delta = jnp.zeros((n,), dtype=UINT32).at[idx].max(word, mode="drop")
+    p = bit_plane(meaning)
+    return planes.at[p].set(planes[p] | delta), outside
+
+
+def insert_bit_dynamic(planes, idx, meaning):
+    """Bit insert where `meaning` is a traced scalar (e.g. per-step SV id).
+
+    One scatter per plane; only the plane selected by meaning>>5 receives a
+    non-zero word, so XLA folds the rest away when meaning is constant.
+    """
+    n = planes.shape[1]
+    word = UINT32(1) << (jnp.asarray(meaning, UINT32) & UINT32(31))
+    out = []
+    plane_of = jnp.asarray(meaning, UINT32) >> UINT32(5)
+    for p in range(planes.shape[0]):
+        w = jnp.where(plane_of == p, word, UINT32(0))
+        delta = jnp.zeros((n,), dtype=UINT32).at[idx].max(w, mode="drop")
+        out.append(planes[p] | delta)
+    return jnp.stack(out, axis=0)
+
+
+def insert_count(data, points, side_length, dims, saturate_int8=True):
+    """CountingVoxel insert: +1 per inserted point (CountingVoxel.h:98)."""
+    idx, outside = voxelize(points, side_length, dims)
+    ones = jnp.ones(idx.shape, dtype=jnp.int32)
+    counts = data.astype(jnp.int32).at[idx].add(ones, mode="drop")
+    if saturate_int8:
+        counts = jnp.clip(counts, -128, 127)
+    return counts.astype(data.dtype), outside

@@ -1,0 +1,69 @@
+"""Pallas collision kernels agree with the XLA reference formulation.
+
+On the CPU test backend Pallas runs in interpreter-compatible lowering via
+pallas on CPU backend (jax interprets TPU kernels with interpret=False only
+on TPU); here we compare through interpret mode.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_voxels_tpu import bitops
+from gpu_voxels_tpu.ops import collide as xla_collide
+
+pltpu_interpret = True
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    # On the CPU test mesh, run pallas kernels in interpret mode.
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    import gpu_voxels_tpu.ops.collide_pallas as cp
+    monkeypatch.setattr(cp.pl, "pallas_call", patched)
+    yield
+
+
+def test_count_prob_prob_matches_xla():
+    from gpu_voxels_tpu.ops import collide_pallas as cp
+
+    rng = np.random.default_rng(0)
+    n = 300_000  # not tile aligned on purpose
+    a = jnp.asarray(rng.integers(-128, 128, n, dtype=np.int64).astype(np.int8))
+    b = jnp.asarray(rng.integers(-128, 128, n, dtype=np.int64).astype(np.int8))
+    got = int(cp.count_prob_prob(a, b, 100, 100))
+    ref = int(xla_collide.count_prob_prob(a, b, 100, 100))
+    assert got == ref
+
+
+def test_count_bit_bit_matches_xla():
+    from gpu_voxels_tpu.ops import collide_pallas as cp
+
+    rng = np.random.default_rng(1)
+    n = 100_000
+    a = jnp.asarray((rng.integers(0, 2**32, (8, n), dtype=np.uint64) & rng.integers(0, 4, (8, n), dtype=np.uint64)).astype(np.uint32))
+    b = jnp.asarray((rng.integers(0, 2**32, (8, n), dtype=np.uint64) & rng.integers(0, 4, (8, n), dtype=np.uint64)).astype(np.uint32))
+    got = int(cp.count_bit_bit(a, b))
+    ref = int(xla_collide.count_bit_bit(a, b))
+    assert got == ref
+
+
+def test_count_and_mark_matches_xla():
+    from gpu_voxels_tpu.ops import collide_pallas as cp
+
+    rng = np.random.default_rng(2)
+    n = 50_000
+    a = jnp.asarray(rng.integers(-128, 128, n, dtype=np.int64).astype(np.int8))
+    b = jnp.asarray(rng.integers(-128, 128, n, dtype=np.int64).astype(np.int8))
+    got_c, got_m = cp.count_and_mark_prob(a, b, 50, 50)
+    ref_c, ref_m = xla_collide.count_and_mark_prob(a, b, 50, 50)
+    assert int(got_c) == int(ref_c)
+    np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
