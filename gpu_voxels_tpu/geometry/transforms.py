@@ -124,6 +124,21 @@ def dh_matrix(d, theta, a, alpha, value, joint_type=REVOLUTE, xp=jnp):
     return xp.stack([xp.stack(r, axis=-1) for r in rows], axis=-2).astype(xp.float32)
 
 
+def axis_angle(axis, angle, xp=jnp):
+    """3x3 rotation about a (normalized) axis by angle (Rodrigues)."""
+    axis = xp.asarray(axis, dtype=xp.float32)
+    axis = axis / xp.sqrt(xp.sum(axis * axis) + xp.float32(1e-30))
+    x, y, z = axis[0], axis[1], axis[2]
+    c, s = xp.cos(angle), xp.sin(angle)
+    C = 1.0 - c
+    rows = [
+        [x * x * C + c, x * y * C - z * s, x * z * C + y * s],
+        [y * x * C + z * s, y * y * C + c, y * z * C - x * s],
+        [z * x * C - y * s, z * y * C + x * s, z * z * C + c],
+    ]
+    return xp.stack([xp.stack([xp.asarray(e, dtype=xp.float32) for e in r], axis=-1) for r in rows], axis=-2)
+
+
 def transform_points(matrix, points):
     """Apply a 4x4 (or batch of per-point 4x4s) to [N,3] points.
 

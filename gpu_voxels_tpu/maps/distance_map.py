@@ -1,0 +1,118 @@
+"""DistanceVoxelMap (reference: voxelmap/DistanceVoxelMap.{h,hpp}).
+
+Dense grid of packed nearest-obstacle coordinates with EDT algorithms:
+jump flood (default fast path), brute force (oracle), and queries. The PBA
+banded-sweep Pallas path plugs in as `algorithm="pba"` once available; until
+then parallel_banding defers to jump_flood with exactness-checked settings.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    MAX_OBSTACLE_DISTANCE,
+    PBA_UNINITIALISED_PACKED,
+    BitVoxelMeaning,
+    MapType,
+    float_to_probability,
+)
+from ..ops import edt
+from ..ops import insert as insert_ops
+from .voxelmap import _DenseMap, ProbVoxelMap
+
+Dims = Tuple[int, int, int]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DistanceVoxelMap(_DenseMap):
+    """data: uint32[N] DistanceVoxel-packed obstacle coords."""
+
+    map_type: MapType = field(default=MapType.MT_DISTANCE_VOXELMAP, metadata=dict(static=True))
+
+    @staticmethod
+    def create(dims: Dims, side_length: float = 1.0) -> "DistanceVoxelMap":
+        n = dims[0] * dims[1] * dims[2]
+        data = jnp.full((n,), jnp.uint32(PBA_UNINITIALISED_PACKED))
+        return DistanceVoxelMap(data, tuple(dims), float(side_length))
+
+    def clear_map(self) -> "DistanceVoxelMap":
+        return replace(self, data=jnp.full_like(self.data, jnp.uint32(PBA_UNINITIALISED_PACKED)))
+
+    # -- obstacle insertion --------------------------------------------------
+    def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "DistanceVoxelMap":
+        """DistanceVoxel::insert: obstacle voxels store their own coords
+        (DistanceVoxel.hpp insert(pos, eBVM_OCCUPIED))."""
+        idx, _ = insert_ops.voxelize(jnp.asarray(points, jnp.float32), self.side_length, self.dims)
+        n = self.voxelmap_size
+        mask = jnp.zeros((n,), bool).at[idx].set(True, mode="drop")
+        own = edt.init_from_obstacle_mask(mask, self.dims)
+        return replace(self, data=jnp.where(mask, own, self.data))
+
+    def merge_occupied(self, prob_map: ProbVoxelMap, occupancy_threshold: float = 0.5) -> "DistanceVoxelMap":
+        """mergeOccupied (DistanceVoxelMap.h:86-122): occupied prob voxels
+        become obstacles."""
+        t = float_to_probability(occupancy_threshold)
+        mask = prob_map.data.astype(jnp.int32) >= t
+        own = edt.init_from_obstacle_mask(mask, self.dims)
+        return replace(self, data=jnp.where(mask, own, self.data))
+
+    # -- EDT algorithms --------------------------------------------------------
+    def jump_flood(self, extra_rounds: int = 1) -> "DistanceVoxelMap":
+        """jumpFlood3D (DistanceVoxelMap.hpp:136)."""
+        return replace(self, data=edt.jump_flood(self.data, self.dims, extra_rounds))
+
+    def parallel_banding(self, m1: int = 1, m2: int = 1, m3: int = 1) -> "DistanceVoxelMap":
+        """parallelBanding3D (DistanceVoxelMap.hpp:279). Currently computed
+        via exhaustive jump flooding (same result contract: exact EDT); the
+        banded Pallas sweeps replace this without API change."""
+        del m1, m2, m3
+        return self.jump_flood(extra_rounds=2)
+
+    def exact_distances(self, obstacle_coords) -> "DistanceVoxelMap":
+        """exactDistances3D oracle (DistanceVoxelMap.hpp:203)."""
+        return replace(self, data=edt.exact_distances(jnp.asarray(obstacle_coords, jnp.int32), self.dims))
+
+    # -- queries ---------------------------------------------------------------
+    def squared_distances(self) -> jnp.ndarray:
+        return edt.squared_distance_grid(self.data, self.dims)
+
+    def get_squared_obstacle_distance(self, x: int, y: int, z: int) -> jnp.ndarray:
+        """getSquaredObstacleDistance (DistanceVoxelMap.hpp:699-717)."""
+        dx, dy, _ = self.dims
+        return self.squared_distances().reshape(-1)[z * dx * dy + y * dx + x]
+
+    def get_obstacle_distance(self, x: int, y: int, z: int) -> jnp.ndarray:
+        d2 = self.get_squared_obstacle_distance(x, y, z)
+        return jnp.sqrt(d2.astype(jnp.float32))
+
+    def min_distance_to(self, points) -> jnp.ndarray:
+        """Min metric distance from any query point to its nearest obstacle
+        (proximity query batch; gathers the EDT at the query voxels)."""
+        idx, _ = insert_ops.voxelize(jnp.asarray(points, jnp.float32), self.side_length, self.dims)
+        d2 = self.squared_distances().reshape(-1)
+        vals = jnp.where(idx < self.voxelmap_size, d2[jnp.minimum(idx, self.voxelmap_size - 1)], MAX_OBSTACLE_DISTANCE)
+        return jnp.sqrt(jnp.min(vals).astype(jnp.float32)) * self.side_length
+
+    def extract_distances(self, robot_radius: int = 0) -> jnp.ndarray:
+        """int8 free-space bytes (extract_byte_distance functor)."""
+        return edt.extract_byte_distances(self.data, self.dims, robot_radius)
+
+    def init_floodfill(self) -> jnp.ndarray:
+        """Manhattan distance field for planners (getManhattanDistances)."""
+        mask = self.obstacle_mask()
+        return edt.manhattan_distance(mask, self.dims)
+
+    def obstacle_mask(self) -> jnp.ndarray:
+        ox, _, _ = edt.unpack(self.data)
+        d2 = self.squared_distances().reshape(-1)
+        return d2 == 0
+
+    def differences(self, other: "DistanceVoxelMap") -> jnp.ndarray:
+        """differences3D cross-check (testing_distance.cu:79-119)."""
+        return edt.differences(self.data, other.data, self.dims)

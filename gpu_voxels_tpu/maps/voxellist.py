@@ -1,0 +1,412 @@
+"""Sparse voxel lists (equivalents of voxellist/TemplateVoxelList + subclasses).
+
+The reference keeps three parallel thrust::device_vectors (id, coord, voxel)
+and maintains them sorted+unique after every insert
+(TemplateVoxelList.hpp:142-209). Here a list is a fixed-capacity pytree:
+
+    ids:   uint32[C]    sorted; EMPTY (0xFFFFFFFF) pads the tail
+    <payload>           per voxel kind (bit planes / occupancy / count)
+    count: int32        number of valid entries (traced)
+
+Capacity is static; inserts grow it by the (static) number of new points,
+and `with_capacity` re-fixes it for steady-state jit loops. Coordinates are
+derived from ids on demand instead of being stored (they are redundant).
+
+The make_unique step (sort_by_key + unique_by_key with Voxel::reduce_op)
+becomes argsort + a segmented associative scan that merges duplicate-id
+payloads (bitwise OR / saturating add), then a prefix-sum compaction —
+all fixed-shape, all on device.
+
+IDs: "linear" mode uses the dense map linear index (MapVoxelID); "morton"
+mode uses 30-bit Morton codes (octree-compatible, BitVectorMortonVoxelList).
+Like the reference's list insert kernels, points are NOT bounds-checked
+(VoxelListOperations.hpp:41-59) — out-of-range points produce out-of-range
+ids (uint32 wraparound).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import bitops, morton, probability
+from ..constants import NUM_BIT_PLANES, UNKNOWN_PROBABILITY, BitVoxelMeaning, MapType
+from ..ops.insert import linear_offset, map_to_voxels
+
+EMPTY_ID = jnp.uint32(0xFFFFFFFF)
+Dims = Tuple[int, int, int]
+
+KIND_BIT = "bit"
+KIND_PROB = "prob"
+KIND_COUNT = "count"
+
+
+def _payload_init(kind: str, capacity: int):
+    if kind == KIND_BIT:
+        return jnp.zeros((NUM_BIT_PLANES, capacity), jnp.uint32)
+    if kind == KIND_PROB:
+        return jnp.full((capacity,), jnp.int8(UNKNOWN_PROBABILITY))
+    if kind == KIND_COUNT:
+        return jnp.zeros((capacity,), jnp.int8)
+    raise ValueError(kind)
+
+
+def _gather_payload(kind: str, payload, order):
+    if kind == KIND_BIT:
+        return payload[:, order]
+    return payload[order]
+
+
+def _where_payload(kind: str, mask, a, b):
+    if kind == KIND_BIT:
+        return jnp.where(mask[None, :], a, b)
+    return jnp.where(mask, a, b)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class VoxelList:
+    ids: jnp.ndarray  # uint32[C], sorted, EMPTY-padded
+    payload: jnp.ndarray
+    count: jnp.ndarray  # int32 scalar
+    dims: Dims = field(metadata=dict(static=True))
+    side_length: float = field(metadata=dict(static=True))
+    kind: str = field(metadata=dict(static=True))
+    id_mode: str = field(default="linear", metadata=dict(static=True))  # or "morton"
+    map_type: MapType = field(default=MapType.MT_BITVECTOR_VOXELLIST, metadata=dict(static=True))
+
+    # -- construction ---------------------------------------------------------
+    @staticmethod
+    def create(
+        dims: Dims,
+        side_length: float = 1.0,
+        kind: str = KIND_BIT,
+        capacity: int = 0,
+        id_mode: str = "linear",
+        map_type: Optional[MapType] = None,
+    ) -> "VoxelList":
+        if map_type is None:
+            map_type = {
+                (KIND_BIT, "linear"): MapType.MT_BITVECTOR_VOXELLIST,
+                (KIND_BIT, "morton"): MapType.MT_BITVECTOR_MORTON_VOXELLIST,
+                (KIND_PROB, "linear"): MapType.MT_PROBAB_VOXELLIST,
+                (KIND_PROB, "morton"): MapType.MT_PROBAB_MORTON_VOXELLIST,
+                (KIND_COUNT, "linear"): MapType.MT_COUNTING_VOXELLIST,
+            }[(kind, id_mode)]
+        return VoxelList(
+            ids=jnp.full((capacity,), EMPTY_ID),
+            payload=_payload_init(kind, capacity),
+            count=jnp.int32(0),
+            dims=tuple(dims),
+            side_length=float(side_length),
+            kind=kind,
+            id_mode=id_mode,
+            map_type=map_type,
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.ids.shape[0]
+
+    # -- id <-> coordinate maps ----------------------------------------------
+    def _ids_from_coords(self, coords: jnp.ndarray) -> jnp.ndarray:
+        if self.id_mode == "morton":
+            return morton.morton_code30(
+                coords[..., 0].astype(jnp.uint32),
+                coords[..., 1].astype(jnp.uint32),
+                coords[..., 2].astype(jnp.uint32),
+            )
+        dx, dy, _ = self.dims
+        # uint32 wraparound for out-of-range points, like the reference
+        return (
+            coords[..., 2].astype(jnp.uint32) * jnp.uint32(dx * dy)
+            + coords[..., 1].astype(jnp.uint32) * jnp.uint32(dx)
+            + coords[..., 0].astype(jnp.uint32)
+        )
+
+    def coords_from_ids(self, ids: jnp.ndarray) -> jnp.ndarray:
+        if self.id_mode == "morton":
+            x, y, z = morton.inv_morton_code30(ids)
+        else:
+            dx, dy, _ = self.dims
+            z = ids // jnp.uint32(dx * dy)
+            rem = ids - z * jnp.uint32(dx * dy)
+            y = rem // jnp.uint32(dx)
+            x = rem - y * jnp.uint32(dx)
+        return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+
+    # -- make_unique ----------------------------------------------------------
+    def _make_unique(self, ids, payload):
+        """sort_by_key + unique_by_key(reduce_op) + compaction, fixed shape."""
+        c = ids.shape[0]
+        order = jnp.argsort(ids)
+        ids = ids[order]
+        payload = _gather_payload(self.kind, payload, order)
+
+        starts = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
+
+        if self.kind == KIND_BIT:
+            # segmented inclusive OR-scan: a run-start flag resets the merge
+            def scan_op(a, b):
+                fa, va = a
+                fb, vb = b
+                return fb | fa, jnp.where(fb[..., None], vb, va | vb)
+
+            # flags is [C]; vals is [8, C] — scan runs along the C axis, which
+            # is axis 0 of flags but axis 1 of vals, so transpose vals
+            _, vals_s = jax.lax.associative_scan(scan_op, (starts, payload.T), axis=0)
+            merged = vals_s.T
+        elif self.kind in (KIND_PROB, KIND_COUNT):
+            v32 = payload.astype(jnp.int32)
+
+            def scan_op(a, b):
+                fa, va = a
+                fb, vb = b
+                return fb | fa, jnp.where(fb, vb, va + vb)
+
+            _, merged32 = jax.lax.associative_scan(scan_op, (starts, v32), axis=0)
+            merged = jnp.clip(merged32, -127, 127).astype(jnp.int8)
+        else:
+            raise ValueError(self.kind)
+
+        # last element of each run = fully merged payload
+        is_last = jnp.concatenate([ids[1:] != ids[:-1], jnp.ones((1,), bool)])
+        valid = is_last & (ids != EMPTY_ID)
+        # compaction: position = exclusive prefix sum of valid
+        pos = jnp.cumsum(valid) - 1
+        dest = jnp.where(valid, pos, c)  # dropped otherwise
+        new_ids = jnp.full((c,), EMPTY_ID).at[dest].set(ids, mode="drop")
+        if self.kind == KIND_BIT:
+            newp = jnp.zeros_like(merged).at[:, dest].set(merged, mode="drop")
+        else:
+            init = _payload_init(self.kind, c)
+            newp = init.at[dest].set(merged, mode="drop")
+        new_count = jnp.sum(valid).astype(jnp.int32)
+        return new_ids, newp, new_count
+
+    # -- insertion --------------------------------------------------------
+    def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "VoxelList":
+        """Append + make_unique (TemplateVoxelList.hpp:142-209)."""
+        points = jnp.asarray(points, jnp.float32)
+        coords = map_to_voxels(points, self.side_length)
+        new_ids = self._ids_from_coords(coords)
+        m = new_ids.shape[0]
+        if self.kind == KIND_BIT:
+            p = bitops.bit_plane(int(meaning))
+            w = bitops.UINT32(bitops.bit_word(int(meaning)))
+            newp = jnp.zeros((NUM_BIT_PLANES, m), jnp.uint32).at[p].set(w)
+        elif self.kind == KIND_PROB:
+            from ..constants import meaning_to_probability
+
+            newp = jnp.full((m,), jnp.int8(meaning_to_probability(meaning)))
+        else:
+            newp = jnp.ones((m,), jnp.int8)
+        ids = jnp.concatenate([self.ids, new_ids])
+        payload = jnp.concatenate([self.payload, newp], axis=-1)
+        u_ids, u_payload, count = self._make_unique(ids, payload)
+        return replace(self, ids=u_ids, payload=u_payload, count=count)
+
+    def insert_coordinates(self, coords, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "VoxelList":
+        pts = (jnp.asarray(coords, jnp.float32) + 0.5) * self.side_length
+        return self.insert_point_cloud(pts, meaning)
+
+    def insert_meta_point_cloud(self, meta, meanings=None) -> "VoxelList":
+        if meanings is None:
+            return self.insert_point_cloud(meta.points)
+        lst = self
+        for i, meaning in enumerate(meanings):
+            lst = lst.insert_point_cloud(meta.get_cloud(i), meaning)
+        return lst
+
+    def with_capacity(self, capacity: int) -> "VoxelList":
+        """Re-fix capacity (truncating invalid tail / padding)."""
+        c = self.capacity
+        if capacity == c:
+            return self
+        if capacity > c:
+            ids = jnp.concatenate([self.ids, jnp.full((capacity - c,), EMPTY_ID)])
+            pad = _payload_init(self.kind, capacity - c)
+            payload = jnp.concatenate([self.payload, pad], axis=-1)
+            return replace(self, ids=ids, payload=payload)
+        return replace(
+            self,
+            ids=self.ids[..., :capacity],
+            payload=self.payload[..., :capacity],
+            count=jnp.minimum(self.count, capacity),
+        )
+
+    # -- membership / collision -------------------------------------------
+    def _membership(self, other: "VoxelList", offset=(0, 0, 0)) -> jnp.ndarray:
+        """bool[C]: my id present in other (thrust::binary_search stencil)."""
+        my = self.ids
+        if tuple(offset) != (0, 0, 0):
+            if self.id_mode == "morton":
+                raise ValueError("offset not supported for morton lists")
+            my = my + jnp.uint32(np.uint32(linear_offset(offset, self.dims)))
+        pos = jnp.searchsorted(other.ids, my)
+        pos = jnp.clip(pos, 0, other.capacity - 1) if other.capacity > 0 else pos
+        found = (other.ids[pos] == my) & (my != EMPTY_ID) if other.capacity > 0 else jnp.zeros_like(my, bool)
+        return found
+
+    def collide_with(self, other: "VoxelList", offset=(0, 0, 0)) -> jnp.ndarray:
+        """collideVoxellists: count of shared voxel ids
+        (TemplateVoxelList.hpp:228-275)."""
+        return jnp.sum(self._membership(other, offset), dtype=jnp.uint32)
+
+    def find_matching(self, other: "VoxelList"):
+        """findMatchingVoxels (BitVoxelList.hpp:397-476): gather payload pairs
+        at shared ids. Returns (mask[C], other_payload gathered to my frame)."""
+        pos = jnp.searchsorted(other.ids, self.ids)
+        pos = jnp.clip(pos, 0, max(other.capacity - 1, 0))
+        mask = (other.ids[pos] == self.ids) & (self.ids != EMPTY_ID)
+        other_payload = _gather_payload(other.kind, other.payload, pos)
+        return mask, other_payload
+
+    def collide_with_types(self, other: "VoxelList"):
+        """collideWithTypes (BitVoxelList.hpp:102-126): AND matched bitvectors,
+        OR-reduce into types-in-collision. Returns (count, meanings[8])."""
+        assert self.kind == KIND_BIT and other.kind == KIND_BIT
+        mask, otherp = self.find_matching(other)
+        # reference reduce_op is OR of the two voxels' vectors (matched pairs)
+        merged = jnp.where(mask[None, :], self.payload | otherp, jnp.uint32(0))
+        meanings = jnp.bitwise_or.reduce(merged, axis=1)
+        return jnp.sum(mask, dtype=jnp.uint32), meanings
+
+    def collide_with_bitcheck(self, other: "VoxelList", margin: int = 0, sv_offset: int = 0):
+        """collideWithBitcheck (BitVoxelList.hpp:268-297): same-bit collision
+        with +-margin window over matched voxels."""
+        assert self.kind == KIND_BIT and other.kind == KIND_BIT
+        mask, otherp = self.find_matching(other)
+        hit, _ = bitops.bit_margin_collision_check(
+            self.payload, otherp, bitops.zeros((self.capacity,)), margin, sv_offset
+        )
+        return jnp.sum(hit & mask, dtype=jnp.uint32)
+
+    def collide_counting_per_meaning(self, other: "VoxelList"):
+        """collideCountingPerMeaning (BitVoxelList.hpp:301-395): per-meaning
+        collision counts. Returns int32[256]."""
+        assert self.kind == KIND_BIT and other.kind == KIND_BIT
+        mask, otherp = self.find_matching(other)
+        anded = jnp.where(mask[None, :], self.payload & otherp, jnp.uint32(0))
+        bits = bitops.unpack(anded)  # [C, 256]
+        return jnp.sum(bits, axis=0, dtype=jnp.int32)
+
+    def collide_with_dense(self, dense_map, coll_threshold: float = 1.0, offset=(0, 0, 0)):
+        """List x dense map lookup collide (kernelCollideWithVoxelMap,
+        voxellist/kernels/VoxelListOperations.h:90-160)."""
+        from ..constants import float_to_probability
+        from .voxelmap import BitVectorVoxelMap, ProbVoxelMap
+
+        if self.id_mode == "morton":
+            coords = self.coords_from_ids(self.ids)
+            dx, dy, _ = dense_map.dims
+            lin = (
+                coords[:, 2].astype(jnp.uint32) * jnp.uint32(dx * dy)
+                + coords[:, 1].astype(jnp.uint32) * jnp.uint32(dx)
+                + coords[:, 0].astype(jnp.uint32)
+            )
+        else:
+            lin = self.ids
+        if tuple(offset) != (0, 0, 0):
+            lin = lin + jnp.uint32(np.uint32(linear_offset(offset, dense_map.dims)))
+        n = dense_map.voxelmap_size
+        valid = (lin < n) & (self.ids != EMPTY_ID)
+        idx = jnp.where(valid, lin, 0).astype(jnp.int32)
+        if isinstance(dense_map, ProbVoxelMap):
+            t = float_to_probability(coll_threshold)
+            occ = dense_map.data[idx].astype(jnp.int32) >= t
+        elif isinstance(dense_map, BitVectorVoxelMap):
+            vox = dense_map.data[:, idx]
+            occ = bitops.occupied(vox)
+        else:
+            raise TypeError(type(dense_map))
+        mine = self._entry_occupied()
+        return jnp.sum(occ & valid & mine, dtype=jnp.uint32)
+
+    def _entry_occupied(self) -> jnp.ndarray:
+        if self.kind == KIND_BIT:
+            return bitops.occupied(self.payload)
+        if self.kind == KIND_PROB:
+            return self.payload.astype(jnp.int32) >= 100  # DefaultCollider default
+        return self.payload.astype(jnp.int32) > 0
+
+    # -- set operations -----------------------------------------------------
+    def merge(self, other: "VoxelList") -> "VoxelList":
+        """Append + make_unique (TemplateVoxelList.hpp:537-607)."""
+        assert self.kind == other.kind
+        ids = jnp.concatenate([self.ids, other.ids])
+        payload = jnp.concatenate([self.payload, other.payload], axis=-1)
+        u_ids, u_payload, count = self._make_unique(ids, payload)
+        merged = replace(self, ids=u_ids, payload=u_payload, count=count)
+        return merged.with_capacity(self.capacity + other.capacity)
+
+    def subtract(self, other: "VoxelList", offset=(0, 0, 0)) -> "VoxelList":
+        """Remove entries present in other (TemplateVoxelList.hpp:610-643)."""
+        member = self._membership(other, offset)
+        return self._compact(~member & (self.ids != EMPTY_ID))
+
+    def remove_underpopulated(self, threshold: int) -> "VoxelList":
+        """CountingVoxelList::remove_underpopulated (CountingVoxelList.h:58)."""
+        assert self.kind == KIND_COUNT
+        keep = (self.payload.astype(jnp.int32) >= int(threshold)) & (self.ids != EMPTY_ID)
+        return self._compact(keep)
+
+    def _compact(self, keep: jnp.ndarray) -> "VoxelList":
+        c = self.capacity
+        pos = jnp.cumsum(keep) - 1
+        dest = jnp.where(keep, pos, c)
+        new_ids = jnp.full((c,), EMPTY_ID).at[dest].set(self.ids, mode="drop")
+        if self.kind == KIND_BIT:
+            newp = jnp.zeros_like(self.payload).at[:, dest].set(self.payload, mode="drop")
+        else:
+            newp = _payload_init(self.kind, c).at[dest].set(self.payload, mode="drop")
+        return replace(self, ids=new_ids, payload=newp, count=jnp.sum(keep).astype(jnp.int32))
+
+    def equals(self, other: "VoxelList") -> jnp.ndarray:
+        if self.capacity != other.capacity:
+            common = min(self.capacity, other.capacity)
+            a, b = self.with_capacity(common), other.with_capacity(common)
+            return a.equals(b)
+        same_ids = jnp.all(self.ids == other.ids)
+        same_payload = jnp.all(self.payload == other.payload)
+        return same_ids & same_payload & (self.count == other.count)
+
+    # -- maintenance ----------------------------------------------------------
+    def clear_map(self) -> "VoxelList":
+        return replace(
+            self,
+            ids=jnp.full((self.capacity,), EMPTY_ID),
+            payload=_payload_init(self.kind, self.capacity),
+            count=jnp.int32(0),
+        )
+
+    def shift_left_swept_volume_ids(self, shift_size: int) -> "VoxelList":
+        assert self.kind == KIND_BIT
+        return replace(self, payload=bitops.perform_left_shift(self.payload, shift_size))
+
+    def screendump(self, max_entries: int = 32) -> str:
+        n = int(self.count)
+        coords = np.asarray(self.coords_from_ids(self.ids[:max_entries]))
+        lines = [f"VoxelList(kind={self.kind}, count={n}, capacity={self.capacity})"]
+        for i in range(min(n, max_entries)):
+            lines.append(f"  id={int(np.asarray(self.ids[i]))} xyz={coords[i].tolist()}")
+        return "\n".join(lines)
+
+
+def bit_vector_voxel_list(dims, side_length=1.0, capacity=0) -> VoxelList:
+    return VoxelList.create(dims, side_length, KIND_BIT, capacity, "linear")
+
+
+def bit_vector_morton_voxel_list(dims, side_length=1.0, capacity=0) -> VoxelList:
+    return VoxelList.create(dims, side_length, KIND_BIT, capacity, "morton")
+
+
+def prob_voxel_list(dims, side_length=1.0, capacity=0) -> VoxelList:
+    return VoxelList.create(dims, side_length, KIND_PROB, capacity, "linear")
+
+
+def counting_voxel_list(dims, side_length=1.0, capacity=0) -> VoxelList:
+    return VoxelList.create(dims, side_length, KIND_COUNT, capacity, "linear")

@@ -99,12 +99,65 @@ class ProbVoxelMap(_DenseMap):
             m = m.insert_point_cloud(meta.get_cloud(i), meaning)
         return m
 
+    def insert_meta_point_cloud_with_self_collision_check(
+        self, meta, meaning=BitVoxelMeaning.eBVM_OCCUPIED
+    ):
+        """insertMetaPointCloudWithSelfcollisionCheck (ProbVoxelMap.h):
+        insert all sub-clouds; report whether two different sub-clouds hit
+        the same voxel. Returns (map, self_collision: bool array)."""
+        n = self.voxelmap_size
+        union = jnp.zeros((n,), jnp.int8)
+        clash = jnp.zeros((), bool)
+        for i in range(meta.num_clouds):
+            idx, _ = insert_ops.voxelize(meta.get_cloud(i), self.side_length, self.dims)
+            hits = insert_ops.occupancy_mask(idx, n)
+            clash = clash | jnp.any((hits > 0) & (union > 0))
+            union = jnp.maximum(union, hits)
+        new = self.insert_point_cloud(meta.points, meaning)
+        return new, clash
+
     def update_occupancy(self, points, delta) -> "ProbVoxelMap":
         """Log-odds additive update for every hit voxel (sensor path)."""
         idx, _ = insert_ops.voxelize(jnp.asarray(points, jnp.float32), self.side_length, self.dims)
         hits = insert_ops.occupancy_mask(idx, self.voxelmap_size)
         upd = probability.update_occupancy(self.data, hits.astype(jnp.int32) * int(delta))
         return replace(self, data=upd)
+
+    def insert_sensor_data(
+        self,
+        points,
+        sensor_origin=(0.0, 0.0, 0.0),
+        enable_raycasting: bool = True,
+        cut_real_robot: bool = False,
+        robot_map=None,
+        max_steps: int = 256,
+    ) -> "ProbVoxelMap":
+        """ProbVoxelMap::insertSensorData (ProbVoxelMap.hpp:52-102): occupied
+        hits (+72) plus optional free-space carving (-10 per crossing ray).
+
+        `points` are world-frame endpoints; transform by the sensor pose
+        first (geometry.transforms.transform_points)."""
+        from ..ops import raycast
+
+        robot_mask = None
+        if cut_real_robot and robot_map is not None:
+            robot_mask = (
+                robot_map.occupied_mask()
+                if hasattr(robot_map, "occupied_mask")
+                else robot_map
+            )
+        new = raycast.insert_sensor_data(
+            self.data,
+            sensor_origin,
+            jnp.asarray(points, jnp.float32),
+            self.side_length,
+            self.dims,
+            enable_raycasting=enable_raycasting,
+            cut_real_robot=cut_real_robot,
+            robot_occupied_mask=robot_mask,
+            max_steps=max_steps,
+        )
+        return replace(self, data=new)
 
     # -- collision ----------------------------------------------------------
     def collide_with(self, other, coll_threshold: float = 1.0, offset=(0, 0, 0)):

@@ -84,6 +84,7 @@ def count_prob_prob(a: jnp.ndarray, b: jnp.ndarray, t1, t2) -> jnp.ndarray:
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=_interpret(),
     )(thresholds, a2, b2)
     return out[0].astype(jnp.uint32)
 
@@ -129,6 +130,7 @@ def count_bit_bit(a_planes: jnp.ndarray, b_planes: jnp.ndarray) -> jnp.ndarray:
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=_interpret(),
     )(a2, b2)
     return out[0].astype(jnp.uint32)
 
@@ -179,5 +181,6 @@ def count_and_mark_prob(a: jnp.ndarray, b: jnp.ndarray, t1, t2):
             jax.ShapeDtypeStruct((rows, LANES), jnp.int8),
         ),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=_interpret(),
     )(thresholds, a2, b2)
     return count[0].astype(jnp.uint32), marked.reshape(-1)[:n]

@@ -1,0 +1,130 @@
+"""Sensor-data insertion: occupied hits + free-space ray carving.
+
+Equivalent of ProbVoxelMap::insertSensorData (ProbVoxelMap.hpp:52-102) and
+the Bresenham RayCaster (VoxelMapOperations.h:199-334).
+
+Per-ray variable-length Bresenham is hostile to SIMD, so free-space carving
+is reformulated as bounded uniform work: every ray takes the same K
+dominant-axis-normalized steps (masked past its own length), each step doing
+one batched scatter-add of ray-crossing counts. The per-cell update is then
+count * SENSOR_MODEL_FREE in one fused clamp — deterministic, unlike the
+reference's racy read-modify-write (which also multiply-counts cells crossed
+by many rays; we reproduce the multiplicity, just deterministically).
+
+The hit voxels get SENSOR_MODEL_OCCUPIED (+72); with cut_real_robot, hits
+landing inside the robot's voxels are skipped (the robot is not an obstacle).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import probability
+from ..constants import SENSOR_MODEL_FREE, SENSOR_MODEL_OCCUPIED
+from .insert import linear_index, map_to_voxels
+
+Dims = Tuple[int, int, int]
+
+
+def ray_crossing_counts(
+    origin: jnp.ndarray,
+    points: jnp.ndarray,
+    side_length: float,
+    dims: Dims,
+    max_steps: int = 256,
+) -> jnp.ndarray:
+    """int32[N]: per-voxel count of rays origin->point crossing it.
+
+    Steps are sized so the dominant axis advances one voxel per step
+    (Bresenham's visiting rule); the hit voxel itself is excluded, like the
+    reference which stops the ray one cell before the measurement.
+    """
+    n = dims[0] * dims[1] * dims[2]
+    origin = jnp.asarray(origin, jnp.float32)
+    points = jnp.asarray(points, jnp.float32)
+    side = jnp.float32(side_length)
+
+    start_v = origin / side
+    end_v = points / side
+    delta = end_v - start_v[None, :]
+    dominant = jnp.max(jnp.abs(delta), axis=-1)  # in voxel units
+    n_steps = jnp.ceil(dominant).astype(jnp.int32)  # cells to visit per ray
+    inv = jnp.where(n_steps > 0, 1.0 / jnp.maximum(n_steps.astype(jnp.float32), 1.0), 0.0)
+    step_vec = delta * inv[:, None]  # one dominant-axis voxel per step
+
+    dims_arr = jnp.asarray(dims, jnp.int32)
+
+    def body(k, counts):
+        # k=0 samples the sensor's own voxel; the endpoint voxel is excluded
+        # (k goes to n_steps-1 < n_steps), matching the reference RayCaster
+        pos = start_v + step_vec * jnp.float32(k)
+        coords = jnp.floor(pos).astype(jnp.int32)
+        live = k < n_steps
+        inside = jnp.all((coords >= 0) & (coords < dims_arr), axis=-1)
+        idx = jnp.where(live & inside, linear_index(coords, dims), n)
+        return counts.at[idx].add(1, mode="drop")
+
+    counts = jnp.zeros((n,), jnp.int32)
+    return jax.lax.fori_loop(0, max_steps, body, counts)
+
+
+def insert_sensor_data(
+    data: jnp.ndarray,
+    sensor_origin,
+    points: jnp.ndarray,
+    side_length: float,
+    dims: Dims,
+    enable_raycasting: bool = True,
+    cut_real_robot: bool = False,
+    robot_occupied_mask: Optional[jnp.ndarray] = None,
+    max_steps: int = 256,
+) -> jnp.ndarray:
+    """ProbVoxelMap::insertSensorData on a flat int8 log-odds grid.
+
+    points are world-frame measurement endpoints (already transformed by the
+    sensor pose, cf. transformSensorData TemplateVoxelMap.hpp:894).
+    """
+    n = dims[0] * dims[1] * dims[2]
+    points = jnp.asarray(points, jnp.float32)
+    finite = jnp.all(jnp.isfinite(points), axis=-1)
+    coords = map_to_voxels(jnp.where(finite[:, None], points, -1.0), side_length)
+    dims_arr = jnp.asarray(dims, jnp.int32)
+    inside = finite & jnp.all((coords >= 0) & (coords < dims_arr), axis=-1)
+    idx = jnp.where(inside, linear_index(coords, dims), n)
+
+    # hit counts (multiple measurements in one cell accumulate, like the
+    # reference's per-point updateOccupancy)
+    hit_counts = jnp.zeros((n,), jnp.int32).at[idx].add(1, mode="drop")
+    if cut_real_robot and robot_occupied_mask is not None:
+        hit_counts = jnp.where(robot_occupied_mask, 0, hit_counts)
+
+    delta = hit_counts * SENSOR_MODEL_OCCUPIED
+    if enable_raycasting:
+        free_counts = ray_crossing_counts(sensor_origin, points, side_length, dims, max_steps)
+        delta = delta + free_counts * SENSOR_MODEL_FREE
+
+    # only touched voxels update — the clamp floor (-127) must not lift
+    # untouched UNKNOWN (-128) voxels
+    return jnp.where(delta != 0, probability.update_occupancy(data, delta), data)
+
+
+def depth_image_to_point_cloud(depth, fx, fy, cx, cy, invalid_value=0.0):
+    """Pinhole back-projection: depth image -> sensor-frame points.
+
+    Equivalent of the octree sensor preprocess kernels
+    (kernel_preprocessObjectDepthImage, octree/kernels/kernel_PointCloud.h).
+    Invalid measurements become NaN points (dropped by voxelization later,
+    mirroring Sensor.h invalid-measure handling).
+    """
+    depth = jnp.asarray(depth, jnp.float32)
+    h, w = depth.shape
+    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    v = jnp.arange(h, dtype=jnp.float32)[:, None]
+    z = depth
+    x = (u - cx) * z / fx
+    y = (v - cy) * z / fy
+    pts = jnp.stack([x, y, z * jnp.ones_like(x)], axis=-1).reshape(-1, 3)
+    valid = (depth != invalid_value).reshape(-1)
+    return jnp.where(valid[:, None], pts, jnp.nan)

@@ -1,0 +1,111 @@
+"""Multi-chip scaling: shard the voxel grid over a device mesh.
+
+The reference is single-GPU (SURVEY.md §2.4); grid scaling is this
+framework's new capability. The dense grid's flat layout is z-major
+(index = z*dimx*dimy + y*dimx + x), so sharding the leading Z axis over the
+mesh gives contiguous per-chip slabs:
+
+  * insert: point clouds are replicated (small); each chip masks the points
+    falling in its slab and scatters locally — no communication.
+  * collide/count: purely local element-wise work + one psum over the mesh.
+  * swept-volume shift / clear / merge: local.
+  * EDT sweeps and raycasts need halo exchange (ppermute) — see ops/edt.
+
+A second 'world' axis batches independent scenes (motion-validity batches)
+data-parallel over the remaining chips.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..constants import UNKNOWN_PROBABILITY, float_to_probability, meaning_to_probability
+from ..ops.insert import map_to_voxels
+
+
+def make_grid_mesh(n_devices: int, world: int = 1) -> Mesh:
+    """Mesh over ('world', 'z'): scene batch x spatial slabs."""
+    devices = np.asarray(jax.devices()[:n_devices]).reshape(world, n_devices // world)
+    return Mesh(devices, ("world", "z"))
+
+
+def _local_insert_prob(local: jnp.ndarray, points: jnp.ndarray, side_length, dims, z0, zl, value):
+    """Scatter points into this chip's [zl*Y*X] slab (others dropped)."""
+    dx, dy, _ = dims
+    coords = map_to_voxels(points, side_length)
+    in_map = (
+        (coords[:, 0] >= 0) & (coords[:, 0] < dx)
+        & (coords[:, 1] >= 0) & (coords[:, 1] < dy)
+        & (coords[:, 2] >= z0) & (coords[:, 2] < z0 + zl)
+    )
+    idx = (coords[:, 2] - z0) * (dx * dy) + coords[:, 1] * dx + coords[:, 0]
+    idx = jnp.where(in_map, idx, zl * dx * dy)
+    vals = jnp.full(idx.shape, jnp.int8(value))
+    return local.at[idx].set(vals, mode="drop")
+
+
+def build_sharded_cycle(
+    mesh: Mesh,
+    dims: Tuple[int, int, int],
+    side_length: float = 1.0,
+    coll_threshold: float = 1.0,
+):
+    """Jitted multi-chip sense->insert->collide step.
+
+    Returns fn(points_a [W?, M, 3], points_b [W?, M, 3]) -> count [W?] where
+    the optional leading axis is sharded over 'world' and the grid over 'z'.
+    Each step builds both maps from scratch (the benchmark cycle), counts
+    collisions locally and psums over the z axis.
+    """
+    dx, dy, dz = dims
+    nz = mesh.shape["z"]
+    if dz % nz != 0:
+        raise ValueError(f"dimz {dz} must divide over z-mesh {nz}")
+    zl = dz // nz
+    t = float_to_probability(coll_threshold)
+    occ = meaning_to_probability(1)  # eBVM_OCCUPIED
+
+    def _shard_fn(pa, pb):
+        # pa, pb: [M, 3] replicated within z; per-world slice outside
+        zi = jax.lax.axis_index("z")
+        z0 = zi * zl
+        local = jnp.full((zl * dy * dx,), jnp.int8(UNKNOWN_PROBABILITY))
+        ma = _local_insert_prob(local, pa, side_length, dims, z0, zl, occ)
+        mb = _local_insert_prob(local, pb, side_length, dims, z0, zl, occ)
+        hit = (ma.astype(jnp.int32) >= t) & (mb.astype(jnp.int32) >= t)
+        cnt = jnp.sum(hit, dtype=jnp.uint32)
+        return jax.lax.psum(cnt, "z")
+
+    has_world = "world" in mesh.shape and mesh.shape["world"] > 1
+
+    if has_world:
+        fn = jax.shard_map(
+            jax.vmap(_shard_fn),
+            mesh=mesh,
+            in_specs=(P("world"), P("world")),
+            out_specs=P("world"),
+        )
+    else:
+        fn = jax.shard_map(
+            _shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=P(),
+        )
+    return jax.jit(fn)
+
+
+def sharded_collide_count(mesh: Mesh, data_a: jnp.ndarray, data_b: jnp.ndarray, t1: int, t2: int):
+    """Collide two already-sharded flat prob grids (z-major) -> scalar count."""
+
+    def _fn(a, b):
+        hit = (a.astype(jnp.int32) >= t1) & (b.astype(jnp.int32) >= t2)
+        return jax.lax.psum(jnp.sum(hit, dtype=jnp.uint32), "z")
+
+    fn = jax.shard_map(_fn, mesh=mesh, in_specs=(P("z"), P("z")), out_specs=P())
+    return jax.jit(fn)(data_a, data_b)

@@ -1,0 +1,137 @@
+"""Map disk serialization, binary-compatible with the reference.
+
+VoxelMap format (TemplateVoxelMap.hpp:666-713):
+    int32 MapType | float32 side_length | 3 x uint32 dims | raw voxel array
+where the raw array is the device layout: int8 occupancy (prob), uint32
+packed coords (distance), or 32 bytes/voxel little-endian bit vector (bit
+maps, voxel-major — converted from/to this framework's plane-major planes).
+
+VoxelList format (TemplateVoxelList.hpp:445-535):
+    int32 MapType | 3 x uint32 ref dims | float32 side_length | uint32 count
+    | ids | coords (3 x uint32 each) | voxel payloads
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import MapType
+
+_HEADER = np.dtype([("map_type", "<i4"), ("side_length", "<f4"), ("dims", "<u4", 3)])
+
+
+def _planes_to_voxel_bytes(planes: np.ndarray) -> np.ndarray:
+    """uint32[8, N] plane-major -> uint8[N, 32] voxel-major (reference layout)."""
+    return np.ascontiguousarray(planes.astype("<u4").T).view(np.uint8).reshape(-1, 32)
+
+
+def _voxel_bytes_to_planes(raw: np.ndarray, n: int) -> np.ndarray:
+    return np.ascontiguousarray(raw.reshape(n, 8 * 4).view("<u4").T)
+
+
+def write_voxel_map(m, path) -> None:
+    import jax.numpy as jnp  # noqa: F401
+
+    from ..maps.distance_map import DistanceVoxelMap
+    from ..maps.voxelmap import BitVectorVoxelMap, CountingVoxelMap, ProbVoxelMap
+
+    data = np.asarray(m.data)
+    if isinstance(m, ProbVoxelMap):
+        raw = data.astype(np.int8).tobytes()
+    elif isinstance(m, BitVectorVoxelMap):
+        raw = _planes_to_voxel_bytes(data).tobytes()
+    elif isinstance(m, DistanceVoxelMap):
+        raw = data.astype("<u4").tobytes()
+    elif isinstance(m, CountingVoxelMap):
+        raw = data.astype(np.int8).tobytes()
+    else:
+        raise TypeError(type(m))
+    header = np.zeros((), dtype=_HEADER)
+    header["map_type"] = int(m.map_type)
+    header["side_length"] = m.side_length
+    header["dims"] = m.dims
+    with open(path, "wb") as f:
+        f.write(header.tobytes())
+        f.write(raw)
+
+
+def read_voxel_map(path):
+    from ..maps.distance_map import DistanceVoxelMap
+    from ..maps.voxelmap import BitVectorVoxelMap, CountingVoxelMap, ProbVoxelMap
+    import jax.numpy as jnp
+
+    with open(path, "rb") as f:
+        header = np.frombuffer(f.read(_HEADER.itemsize), dtype=_HEADER)[0]
+        raw = f.read()
+    map_type = MapType(int(header["map_type"]))
+    side = float(header["side_length"])
+    dims = tuple(int(v) for v in header["dims"])
+    n = dims[0] * dims[1] * dims[2]
+    if map_type == MapType.MT_PROBAB_VOXELMAP:
+        data = np.frombuffer(raw, np.int8, n)
+        return ProbVoxelMap(jnp.asarray(data), dims, side)
+    if map_type == MapType.MT_BITVECTOR_VOXELMAP:
+        planes = _voxel_bytes_to_planes(np.frombuffer(raw, np.uint8, n * 32), n)
+        return BitVectorVoxelMap(jnp.asarray(planes), dims, side)
+    if map_type == MapType.MT_DISTANCE_VOXELMAP:
+        data = np.frombuffer(raw, "<u4", n)
+        return DistanceVoxelMap(jnp.asarray(data), dims, side)
+    if map_type == MapType.MT_COUNTING_VOXELLIST:
+        data = np.frombuffer(raw, np.int8, n)
+        return CountingVoxelMap(jnp.asarray(data), dims, side)
+    raise ValueError(f"unknown map type {map_type}")
+
+
+def write_voxel_list(lst, path) -> None:
+    from ..maps.voxellist import KIND_BIT
+
+    n = int(lst.count)
+    ids = np.asarray(lst.ids[:n]).astype("<u4")
+    coords = np.asarray(lst.coords_from_ids(lst.ids[:n])).astype("<u4")
+    if lst.kind == KIND_BIT:
+        payload = _planes_to_voxel_bytes(np.asarray(lst.payload[:, :n]))
+    else:
+        payload = np.asarray(lst.payload[:n]).astype(np.int8)
+    with open(path, "wb") as f:
+        f.write(np.int32(int(lst.map_type)).tobytes())
+        f.write(np.asarray(lst.dims, "<u4").tobytes())
+        f.write(np.float32(lst.side_length).tobytes())
+        f.write(np.uint32(n).tobytes())
+        f.write(ids.tobytes())
+        f.write(coords.tobytes())
+        f.write(payload.tobytes())
+
+
+def read_voxel_list(path):
+    import jax.numpy as jnp
+
+    from ..maps.voxellist import KIND_BIT, KIND_COUNT, KIND_PROB, VoxelList
+
+    with open(path, "rb") as f:
+        map_type = MapType(int(np.frombuffer(f.read(4), "<i4")[0]))
+        dims = tuple(int(v) for v in np.frombuffer(f.read(12), "<u4"))
+        side = float(np.frombuffer(f.read(4), "<f4")[0])
+        n = int(np.frombuffer(f.read(4), "<u4")[0])
+        ids = np.frombuffer(f.read(4 * n), "<u4")
+        _coords = np.frombuffer(f.read(12 * n), "<u4").reshape(n, 3)
+        rest = f.read()
+    kind = {
+        MapType.MT_BITVECTOR_VOXELLIST: KIND_BIT,
+        MapType.MT_BITVECTOR_MORTON_VOXELLIST: KIND_BIT,
+        MapType.MT_PROBAB_VOXELLIST: KIND_PROB,
+        MapType.MT_PROBAB_MORTON_VOXELLIST: KIND_PROB,
+        MapType.MT_COUNTING_VOXELLIST: KIND_COUNT,
+    }[map_type]
+    id_mode = "morton" if map_type in (
+        MapType.MT_BITVECTOR_MORTON_VOXELLIST,
+        MapType.MT_PROBAB_MORTON_VOXELLIST,
+    ) else "linear"
+    lst = VoxelList.create(dims, side, kind, n, id_mode, map_type)
+    if n == 0:
+        return lst
+    if kind == KIND_BIT:
+        payload = jnp.asarray(_voxel_bytes_to_planes(np.frombuffer(rest, np.uint8, n * 32), n))
+    else:
+        payload = jnp.asarray(np.frombuffer(rest, np.int8, n))
+    from dataclasses import replace
+
+    return replace(lst, ids=jnp.asarray(ids), payload=payload, count=jnp.int32(n))

@@ -1,40 +1,17 @@
 """Pallas collision kernels agree with the XLA reference formulation.
 
-On the CPU test backend Pallas runs in interpreter-compatible lowering via
-pallas on CPU backend (jax interprets TPU kernels with interpret=False only
-on TPU); here we compare through interpret mode.
+On the CPU test backend the kernels auto-select interpreter mode
+(collide_pallas._interpret), so these tests exercise the same kernel bodies
+that compile on TPU.
 """
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
-from gpu_voxels_tpu import bitops
 from gpu_voxels_tpu.ops import collide as xla_collide
-
-pltpu_interpret = True
-
-
-@pytest.fixture(autouse=True)
-def _interpret_mode(monkeypatch):
-    # On the CPU test mesh, run pallas kernels in interpret mode.
-    from jax.experimental.pallas import tpu as pltpu
-    import jax.experimental.pallas as pl
-
-    orig = pl.pallas_call
-
-    def patched(*args, **kwargs):
-        kwargs.setdefault("interpret", True)
-        return orig(*args, **kwargs)
-
-    monkeypatch.setattr(pl, "pallas_call", patched)
-    import gpu_voxels_tpu.ops.collide_pallas as cp
-    monkeypatch.setattr(cp.pl, "pallas_call", patched)
-    yield
+from gpu_voxels_tpu.ops import collide_pallas as cp
 
 
 def test_count_prob_prob_matches_xla():
-    from gpu_voxels_tpu.ops import collide_pallas as cp
-
     rng = np.random.default_rng(0)
     n = 300_000  # not tile aligned on purpose
     a = jnp.asarray(rng.integers(-128, 128, n, dtype=np.int64).astype(np.int8))
@@ -45,8 +22,6 @@ def test_count_prob_prob_matches_xla():
 
 
 def test_count_bit_bit_matches_xla():
-    from gpu_voxels_tpu.ops import collide_pallas as cp
-
     rng = np.random.default_rng(1)
     n = 100_000
     a = jnp.asarray((rng.integers(0, 2**32, (8, n), dtype=np.uint64) & rng.integers(0, 4, (8, n), dtype=np.uint64)).astype(np.uint32))
@@ -57,8 +32,6 @@ def test_count_bit_bit_matches_xla():
 
 
 def test_count_and_mark_matches_xla():
-    from gpu_voxels_tpu.ops import collide_pallas as cp
-
     rng = np.random.default_rng(2)
     n = 50_000
     a = jnp.asarray(rng.integers(-128, 128, n, dtype=np.int64).astype(np.int8))

