@@ -119,6 +119,62 @@ def perform_left_shift(planes: jnp.ndarray, shift_size: int) -> jnp.ndarray:
     return jnp.stack(out, axis=0)
 
 
+def shift_bits(planes: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Whole-vector bit shift: result bit b = input bit (b + k), zero fill.
+
+    Positive k shifts toward lower indices. No masking (unlike
+    perform_left_shift, which clears the non-SV nibble).
+    """
+    k = int(k)
+    if k == 0:
+        return planes
+    nplanes = planes.shape[0]
+    zero = jnp.zeros_like(planes[0])
+    out = []
+    if k > 0:
+        q, r = divmod(k, 32)
+        for p in range(nplanes):
+            lo = planes[p + q] if (p + q) < nplanes else zero
+            if r == 0:
+                word = lo
+            else:
+                hi = planes[p + q + 1] if (p + q + 1) < nplanes else zero
+                word = (lo >> UINT32(r)) | (hi << UINT32(32 - r))
+            out.append(word)
+    else:
+        q, r = divmod(-k, 32)
+        for p in range(nplanes):
+            hi = planes[p - q] if (p - q) >= 0 else zero
+            if r == 0:
+                word = hi
+            else:
+                lo = planes[p - q - 1] if (p - q - 1) >= 0 else zero
+                word = (hi << UINT32(r)) | (lo >> UINT32(32 - r))
+            out.append(word)
+    return jnp.stack(out, axis=0)
+
+
+def bit_margin_collision_check_packed(
+    v1: jnp.ndarray, v2: jnp.ndarray, margin: int
+):
+    """Fast packed bitMarginCollisionCheck for sv_offset == 0.
+
+    Equivalent to bit_margin_collision_check(..., sv_offset=0) but without
+    unpacking to bools: collisions = v1 & OR_{s in [-margin, margin]}
+    shift_bits(v2 & ~0xF, s). Verified equivalent in tests.
+    """
+    if margin > 24:
+        # beyond 24 the reference's 64-bit sliding buffer drops matches for
+        # high in-byte bit positions; keep the faithful (unpacked) path there
+        raise ValueError("margin must be <= 24 (reference buffer limit)")
+    v2m = v2.at[0].set(v2[0] & UINT32(0xFFFFFFF0))  # mask non-SV nibble
+    window = v2m
+    for s in range(1, margin + 1):
+        window = window | shift_bits(v2m, s) | shift_bits(v2m, -s)
+    collisions = v1 & window
+    return ~is_zero(collisions), collisions
+
+
 # ---------------------------------------------------------------------------
 # Unpacked (bool) representation: used by the margin collision check, whose
 # byte-level quirks are easiest to reproduce exactly on an unpacked axis.

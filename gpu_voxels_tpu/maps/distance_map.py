@@ -68,11 +68,14 @@ class DistanceVoxelMap(_DenseMap):
         return replace(self, data=edt.jump_flood(self.data, self.dims, extra_rounds))
 
     def parallel_banding(self, m1: int = 1, m2: int = 1, m3: int = 1) -> "DistanceVoxelMap":
-        """parallelBanding3D (DistanceVoxelMap.hpp:279). Currently computed
-        via exhaustive jump flooding (same result contract: exact EDT); the
-        banded Pallas sweeps replace this without API change."""
+        """parallelBanding3D (DistanceVoxelMap.hpp:279): exact EDT.
+
+        The PBA math (separable 1D transforms with parabolic costs) runs as
+        one pair of Z scans plus two batched integer lower-envelope passes
+        (ops/edt.exact_separable) — the band counts m1/m2/m3 are accepted for
+        API parity but the TPU formulation has no banding to tune."""
         del m1, m2, m3
-        return self.jump_flood(extra_rounds=2)
+        return replace(self, data=edt.exact_separable(self.data, self.dims))
 
     def exact_distances(self, obstacle_coords) -> "DistanceVoxelMap":
         """exactDistances3D oracle (DistanceVoxelMap.hpp:203)."""

@@ -1,0 +1,265 @@
+"""Hierarchical maps: the TPU-native octree (NTree) replacement.
+
+The reference NTree (octree/NTree.{h,hpp}, ~9 kLoC of pointer-chasing CUDA
+with a work-stealing load balancer) exists to answer *multi-resolution
+tri-state* queries: is this region FREE / UNKNOWN / OCCUPIED / mixed (PART)?
+Pointer trees and device stacks are hostile to the TPU; the same semantics
+map to a dense Morton-friendly *status pyramid*:
+
+  level 0:        per-voxel status byte (bits: FREE|UNKNOWN|OCCUPIED)
+  level l+1:      OR of the 8 children's statuses (2x2x2 reduce)
+
+A node is "uniform" iff exactly one status bit is set (the reference's
+non-PART nodes, Nodes.h:50-84: getNewStatus ORs child statuses and sets
+ns_PART when mixed). Probe queries descend top-down and stop at the first
+uniform node (kernel_Octree.h:383-423) — here that is L gathers + a select,
+fully vectorized, no stacks, no load balancer.
+
+Occupancy semantics (probabilistic variant) follow the octree contract:
+  occupied <=> occ != -128 && occ >= THRESHOLD_OCCUPANCY(=10)
+  unknown  <=> occ == -128          (EnvNodesProbCommon.h:30-45)
+Rebuilding the pyramid after an insert costs ~N/7 OR-reduces — this replaces
+NTree::propagate (NTree.hpp:3056).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import probability
+from ..constants import (
+    SENSOR_MODEL_FREE,
+    SENSOR_MODEL_OCCUPIED,
+    THRESHOLD_OCCUPANCY,
+    UNKNOWN_PROBABILITY,
+    BitVoxelMeaning,
+    MapType,
+    meaning_to_probability,
+)
+from ..ops import insert as insert_ops
+from ..ops import raycast as raycast_ops
+
+Dims = Tuple[int, int, int]
+
+NS_FREE = 1
+NS_UNKNOWN = 2
+NS_OCCUPIED = 4
+
+U8 = jnp.uint8
+
+
+def _pad_dims(dims: Dims, levels: int) -> Dims:
+    q = 1 << levels
+    return tuple(-(-d // q) * q for d in dims)
+
+
+def _num_levels(dims: Dims, cap: int = 8) -> int:
+    l = 0
+    m = min(dims)
+    while (1 << (l + 1)) <= m and l + 1 < cap:
+        l += 1
+    return max(l, 1)
+
+
+def _status_from_occupancy(occ: jnp.ndarray) -> jnp.ndarray:
+    unknown = occ == jnp.int8(UNKNOWN_PROBABILITY)
+    occupied = (~unknown) & (occ >= jnp.int8(THRESHOLD_OCCUPANCY))
+    return jnp.where(
+        unknown, U8(NS_UNKNOWN), jnp.where(occupied, U8(NS_OCCUPIED), U8(NS_FREE))
+    )
+
+
+def _build_pyramid(status0_3d: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
+    """[level0 [Z,Y,X], level1 [Z/2,Y/2,X/2], ...] status bytes."""
+    pyr = [status0_3d]
+    cur = status0_3d
+    for _ in range(levels):
+        z, y, x = cur.shape
+        r = cur.reshape(z // 2, 2, y // 2, 2, x // 2, 2)
+        # OR of the 8 children == getNewStatus fusion
+        cur = (
+            r[:, 0, :, 0, :, 0] | r[:, 0, :, 0, :, 1]
+            | r[:, 0, :, 1, :, 0] | r[:, 0, :, 1, :, 1]
+            | r[:, 1, :, 0, :, 0] | r[:, 1, :, 0, :, 1]
+            | r[:, 1, :, 1, :, 0] | r[:, 1, :, 1, :, 1]
+        )
+        pyr.append(cur)
+    return pyr
+
+
+def _is_uniform(status: jnp.ndarray) -> jnp.ndarray:
+    s = status.astype(jnp.int32)
+    return (s & (s - 1)) == 0  # exactly one bit (0 never occurs in-range)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class HierarchicalProbMap:
+    """Probabilistic hierarchical map (MT_PROBAB_OCTREE equivalent)."""
+
+    occupancy: jnp.ndarray  # int8[Zp, Yp, Xp] (padded)
+    pyramid: Tuple[jnp.ndarray, ...]  # status bytes per level
+    dims: Dims = field(metadata=dict(static=True))  # logical dims (x, y, z)
+    side_length: float = field(metadata=dict(static=True))
+    levels: int = field(metadata=dict(static=True))
+    map_type: MapType = field(default=MapType.MT_PROBAB_OCTREE, metadata=dict(static=True))
+
+    # -- construction -------------------------------------------------------
+    @staticmethod
+    def create(dims: Dims, side_length: float = 1.0, levels: int | None = None) -> "HierarchicalProbMap":
+        levels = levels if levels is not None else _num_levels(dims)
+        pd = _pad_dims(dims, levels)
+        occ = jnp.full((pd[2], pd[1], pd[0]), jnp.int8(UNKNOWN_PROBABILITY))
+        pyr = _build_pyramid(_status_from_occupancy(occ), levels)
+        return HierarchicalProbMap(occ, tuple(pyr), tuple(dims), float(side_length), levels)
+
+    @property
+    def padded_dims(self) -> Dims:
+        z, y, x = self.occupancy.shape
+        return (x, y, z)
+
+    def _rebuilt(self, occ: jnp.ndarray) -> "HierarchicalProbMap":
+        pyr = _build_pyramid(_status_from_occupancy(occ), self.levels)
+        return replace(self, occupancy=occ, pyramid=tuple(pyr))
+
+    def clear_map(self) -> "HierarchicalProbMap":
+        return self._rebuilt(jnp.full_like(self.occupancy, jnp.int8(UNKNOWN_PROBABILITY)))
+
+    # -- insertion ------------------------------------------------------------
+    def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "HierarchicalProbMap":
+        """Point insert: voxels take the meaning's probability (then one
+        propagate pass rebuilds the pyramid)."""
+        pd = self.padded_dims
+        flat = self.occupancy.reshape(-1)
+        idx, _ = insert_ops.voxelize(jnp.asarray(points, jnp.float32), self.side_length, pd)
+        val = jnp.int8(meaning_to_probability(meaning))
+        flat = flat.at[idx].set(jnp.full(idx.shape, val), mode="drop")
+        return self._rebuilt(flat.reshape(self.occupancy.shape))
+
+    def insert_point_cloud_with_free_space(
+        self, points, sensor_origin=(0.0, 0.0, 0.0), max_steps: int = 256
+    ) -> "HierarchicalProbMap":
+        """insertPointCloudWithFreespaceCalculation (GvlNTree.hpp:108-130):
+        occupied hits + carved free space, probabilistic update."""
+        pd = self.padded_dims
+        flat = raycast_ops.insert_sensor_data(
+            self.occupancy.reshape(-1),
+            sensor_origin,
+            jnp.asarray(points, jnp.float32),
+            self.side_length,
+            pd,
+            enable_raycasting=True,
+            max_steps=max_steps,
+        )
+        return self._rebuilt(flat.reshape(self.occupancy.shape))
+
+    # -- probing --------------------------------------------------------------
+    def probe(self, coords: jnp.ndarray, min_level: int = 0):
+        """Tri-state query per voxel coordinate (the intersect_sparse descent,
+        NTree.hpp:817-1004). Returns (occupied, unknown, free) bool arrays.
+
+        The descent starts at the top level and stops at the first uniform
+        node; `min_level` stops early (coarser), matching the reference's
+        min_level/resolution checks."""
+        coords = jnp.asarray(coords, jnp.int32)
+        x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+        # start at the top: everything PART until a uniform node decides
+        decided = jnp.zeros(x.shape, bool)
+        status = jnp.zeros(x.shape, U8)
+        for l in range(self.levels, min_level - 1, -1):
+            s = self.pyramid[l][z >> l, y >> l, x >> l]
+            uni = _is_uniform(s) | (l == min_level)
+            take = uni & ~decided
+            status = jnp.where(take, s, status)
+            decided = decided | uni
+        occupied = (status & U8(NS_OCCUPIED)) != 0
+        unknown = ((status & U8(NS_UNKNOWN)) != 0) & ~occupied
+        free = status == U8(NS_FREE)
+        return occupied, unknown, free
+
+    def _query_coords_of(self, other):
+        from ..vis.extract import occupied_coords  # host path for plain maps
+
+        from .voxellist import VoxelList
+        from .voxelmap import BitVectorVoxelMap, ProbVoxelMap
+
+        if isinstance(other, VoxelList):
+            coords = other.coords_from_ids(other.ids)
+            valid = other.ids != jnp.uint32(0xFFFFFFFF)
+            return coords, valid & other._entry_occupied()
+        if isinstance(other, ProbVoxelMap):
+            # octree probe occupancy: occ >= 50 hardcoded (kernel_common.h:172-183)
+            mask = other.data.astype(jnp.int32) >= 50
+        elif isinstance(other, BitVectorVoxelMap):
+            from .. import bitops
+
+            mask = ~bitops.is_zero(other.data)  # !isZero, NOT noneButEmpty
+        else:
+            raise TypeError(type(other))
+        dx, dy, _ = other.dims
+        n = other.voxelmap_size
+        lin = jnp.arange(n, dtype=jnp.int32)
+        zz = lin // (dx * dy)
+        rem = lin - zz * dx * dy
+        coords = jnp.stack([rem - (rem // dx) * dx, rem // dx, zz], axis=-1)
+        return coords, mask
+
+    def collide_with(self, other, min_level: int = 0):
+        """intersect_sparse: count occupied-vs-occupied hits."""
+        coords, valid = self._query_coords_of(other)
+        occ, _, _ = self.probe(coords, min_level)
+        return jnp.sum(occ & valid, dtype=jnp.uint32)
+
+    def collide_with_counting_unknown(self, other, min_level: int = 0):
+        """collideWithTypesConsideringUnknownCells (GvlNTree.h:120-129):
+        returns (collisions, unknown-cell hits)."""
+        coords, valid = self._query_coords_of(other)
+        occ, unk, _ = self.probe(coords, min_level)
+        return (
+            jnp.sum(occ & valid, dtype=jnp.uint32),
+            jnp.sum(unk & valid, dtype=jnp.uint32),
+        )
+
+    # -- maintenance -------------------------------------------------------------
+    def propagate(self) -> "HierarchicalProbMap":
+        """Re-establish the tree invariant (NTree::propagate). The pyramid is
+        rebuilt after every insert already; exposed for API parity."""
+        return self._rebuilt(self.occupancy)
+
+    def extract_occupied_coords(self) -> np.ndarray:
+        s0 = np.asarray(self.pyramid[0])
+        z, y, x = np.nonzero(s0 == NS_OCCUPIED)
+        keep = (x < self.dims[0]) & (y < self.dims[1]) & (z < self.dims[2])
+        return np.stack([x[keep], y[keep], z[keep]], axis=1).astype(np.int32)
+
+    def memory_usage(self) -> int:
+        total = self.occupancy.size
+        for p in self.pyramid:
+            total += p.size
+        return int(total)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class HierarchicalBitMap(HierarchicalProbMap):
+    """Deterministic hierarchical map (MT_BITVECTOR_OCTREE / NTreeDet
+    equivalent): same status pyramid, but inserts write hard
+    occupied/free statuses instead of probabilistic updates
+    (Environment::LeafNode, EnvironmentNodes.h:225-290)."""
+
+    map_type: MapType = field(default=MapType.MT_BITVECTOR_OCTREE, metadata=dict(static=True))
+
+    @staticmethod
+    def create(dims: Dims, side_length: float = 1.0, levels: int | None = None) -> "HierarchicalBitMap":
+        base = HierarchicalProbMap.create(dims, side_length, levels)
+        return HierarchicalBitMap(
+            base.occupancy, base.pyramid, base.dims, base.side_length, base.levels
+        )
+
+    def _rebuilt(self, occ: jnp.ndarray) -> "HierarchicalBitMap":
+        pyr = _build_pyramid(_status_from_occupancy(occ), self.levels)
+        return replace(self, occupancy=occ, pyramid=tuple(pyr))

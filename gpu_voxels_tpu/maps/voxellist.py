@@ -280,9 +280,12 @@ class VoxelList:
         with +-margin window over matched voxels."""
         assert self.kind == KIND_BIT and other.kind == KIND_BIT
         mask, otherp = self.find_matching(other)
-        hit, _ = bitops.bit_margin_collision_check(
-            self.payload, otherp, bitops.zeros((self.capacity,)), margin, sv_offset
-        )
+        if sv_offset == 0:
+            hit, _ = bitops.bit_margin_collision_check_packed(self.payload, otherp, margin)
+        else:
+            hit, _ = bitops.bit_margin_collision_check(
+                self.payload, otherp, bitops.zeros((self.capacity,)), margin, sv_offset
+            )
         return jnp.sum(hit & mask, dtype=jnp.uint32)
 
     def collide_counting_per_meaning(self, other: "VoxelList"):

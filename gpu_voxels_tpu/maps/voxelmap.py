@@ -271,9 +271,12 @@ class BitVectorVoxelMap(_DenseMap):
 
     def collide_with_bitcheck(self, other: "BitVectorVoxelMap", margin: int = 0, sv_offset: int = 0):
         """Same-bit collision with +-margin window, count only."""
-        hit, _ = bitops.bit_margin_collision_check(
-            self.data, other.data, bitops.zeros((self.voxelmap_size,)), margin, sv_offset
-        )
+        if sv_offset == 0:
+            hit, _ = bitops.bit_margin_collision_check_packed(self.data, other.data, margin)
+        else:
+            hit, _ = bitops.bit_margin_collision_check(
+                self.data, other.data, bitops.zeros((self.voxelmap_size,)), margin, sv_offset
+            )
         return jnp.sum(hit, dtype=jnp.uint32)
 
     # -- queries ------------------------------------------------------------

@@ -115,8 +115,11 @@ def collide_with_types_bit_bit(
     order-independent).
     """
     n = a_planes.shape[-1]
-    zero = bitops.zeros((n,))
-    hit, records = bitops.bit_margin_collision_check(a_planes, b_planes, zero, margin, sv_offset)
+    if sv_offset == 0:
+        hit, records = bitops.bit_margin_collision_check_packed(a_planes, b_planes, margin)
+    else:
+        zero = bitops.zeros((n,))
+        hit, records = bitops.bit_margin_collision_check(a_planes, b_planes, zero, margin, sv_offset)
     records = jnp.where(hit[None, :], records, jnp.zeros_like(records))
     meanings = jnp.bitwise_or.reduce(records, axis=1)
     count = jnp.sum(hit, dtype=jnp.uint32)

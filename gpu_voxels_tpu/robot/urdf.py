@@ -191,6 +191,20 @@ class UrdfRobot(RobotInterface):
         return dict(self._upper)
 
     def update_point_cloud(self, link_name: str, cloud) -> None:
-        idx = self.clouds.cloud_index(link_name)
-        self.clouds = self.clouds.updated_cloud(idx, cloud)
+        """updatePointcloud: replace a link's cloud, or attach geometry to a
+        link that had none (the reference's resize path)."""
+        if link_name not in self.clouds.names:
+            if link_name not in self.links:
+                raise KeyError(f"unknown link '{link_name}'")
+            clouds = [np.asarray(self.clouds.get_cloud(i)) for i in range(self.clouds.num_clouds)]
+            names = list(self.clouds.names)
+            # drop the geometry-less placeholder if it is empty
+            if len(names) == 1 and clouds[0].shape[0] == 0:
+                clouds, names = [], []
+            clouds.append(np.asarray(cloud, np.float32).reshape(-1, 3))
+            names.append(link_name)
+            self.clouds = MetaPointCloud.from_clouds(clouds, names)
+        else:
+            idx = self.clouds.cloud_index(link_name)
+            self.clouds = self.clouds.updated_cloud(idx, cloud)
         self._transformed = self.clouds.transformed_per_cloud(self.link_cloud_matrices())

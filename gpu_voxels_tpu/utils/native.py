@@ -1,0 +1,85 @@
+"""ctypes bridge to the native C++ fast paths (native/gvtpu_native.cpp).
+
+Loads native/build/libgvtpu_native.so when present (build with
+`make -C native`); every entry point has a pure-Python fallback in its
+caller, so the library is optional.
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_ROOT = Path(__file__).resolve().parent.parent.parent
+_SO = _ROOT / "native" / "build" / "libgvtpu_native.so"
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def build() -> bool:
+    """Compile the native library (requires g++/make)."""
+    try:
+        subprocess.run(["make", "-C", str(_ROOT / "native")], check=True, capture_output=True)
+        return _load() is not None
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _lib is not None:
+        return _lib
+    if _load_attempted and not _SO.exists():
+        return None
+    _load_attempted = True
+    if not _SO.exists():
+        return None
+    lib = ctypes.CDLL(str(_SO))
+    lib.gv_parse_floats.restype = ctypes.c_int64
+    lib.gv_parse_floats.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.gv_binvox_rle_decode.restype = ctypes.c_int64
+    lib.gv_binvox_rle_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.gv_abi_version.restype = ctypes.c_int
+    if lib.gv_abi_version() != 1:
+        return None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_xyz(data: bytes) -> Optional[np.ndarray]:
+    """[N,3] float32 from ASCII bytes, or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    max_floats = max(len(data) // 2, 16)
+    out = np.empty(max_floats, np.float32)
+    n = lib.gv_parse_floats(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_floats
+    )
+    n = (n // 3) * 3
+    return out[:n].reshape(-1, 3).copy()
+
+
+def binvox_rle_decode(rle: bytes, size: int) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not loaded")
+    rle_arr = np.frombuffer(rle, np.uint8)
+    out = np.zeros(size, np.uint8)
+    lib.gv_binvox_rle_decode(
+        rle_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(rle_arr),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        size,
+    )
+    return out

@@ -1,0 +1,36 @@
+"""VisProvider: per-map visualization publisher (vis_interface equivalent).
+
+The CUDA reference publishes device pointers over CUDA IPC + boost shm to a
+separate viewer process (VisProvider.h:49-73). The TPU equivalent is an
+async host-readback publisher: visualize() snapshots the map into a
+directory (PLY + HTML) only when the content changed, so a file-watching
+viewer (or a browser on the HTML) plays the reference viewer's role.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+from . import export
+
+
+class VisProvider:
+    def __init__(self, name: str, out_dir: Optional[str] = None):
+        self.name = name
+        self.out_dir = Path(out_dir or os.environ.get("GPU_VOXELS_VIS_DIR", "/tmp/gpu_voxels_tpu_vis"))
+        self._last_fingerprint = None
+
+    def visualize(self, m, force_repaint: bool = True, threshold: float = 0.5) -> bool:
+        """Publish the map snapshot; skips unchanged content unless forced."""
+        import numpy as np
+
+        data = np.asarray(m.data if hasattr(m, "data") else m.payload)
+        fp = hash(data.tobytes())
+        if not force_repaint and fp == self._last_fingerprint:
+            return False
+        self._last_fingerprint = fp
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        export.write_ply(self.out_dir / f"{self.name}.ply", m, threshold)
+        export.write_html(self.out_dir / f"{self.name}.html", {self.name: m}, threshold)
+        return True

@@ -1,0 +1,90 @@
+// Native data-loader fast paths for gpu_voxels_tpu.
+//
+// The reference implements its file handling, geometry parsing and runtime
+// glue in C++ (helpers/*FileReader.cpp, icl_core); this library is the
+// equivalent native tier: hot host-side paths (ASCII point-cloud parsing,
+// binvox RLE decoding, Morton codecs) exposed over a C ABI and loaded from
+// Python via ctypes (no pybind11 dependency).
+//
+// Build: make -C native   (produces native/build/libgvtpu_native.so)
+
+#include <cctype>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+extern "C" {
+
+// Parse whitespace-separated ASCII floats (xyz / ascii-pcd payloads).
+// Returns the number of floats written (<= max_out).
+int64_t gv_parse_floats(const char* data, int64_t len, float* out, int64_t max_out) {
+    const char* p = data;
+    const char* end = data + len;
+    int64_t n = 0;
+    while (p < end && n < max_out) {
+        while (p < end && std::isspace((unsigned char)*p)) ++p;
+        if (p >= end) break;
+        char* next = nullptr;
+        float v = std::strtof(p, &next);
+        if (next == p) {  // not a number: skip token
+            while (p < end && !std::isspace((unsigned char)*p)) ++p;
+            continue;
+        }
+        out[n++] = v;
+        p = next;
+    }
+    return n;
+}
+
+// Decode binvox run-length encoding: pairs of (value, count) bytes.
+// Returns the number of voxels written (== size on success).
+int64_t gv_binvox_rle_decode(const uint8_t* rle, int64_t rle_len, uint8_t* out,
+                             int64_t size) {
+    int64_t idx = 0;
+    for (int64_t i = 0; i + 1 < rle_len && idx < size; i += 2) {
+        uint8_t value = rle[i];
+        int64_t count = rle[i + 1];
+        if (idx + count > size) count = size - idx;
+        std::memset(out + idx, value, (size_t)count);
+        idx += count;
+    }
+    return idx;
+}
+
+static inline uint32_t part1by2(uint32_t x) {
+    x &= 0x3FF;
+    x = (x | (x << 16)) & 0x030000FF;
+    x = (x | (x << 8)) & 0x0300F00F;
+    x = (x | (x << 4)) & 0x030C30C3;
+    x = (x | (x << 2)) & 0x09249249;
+    return x;
+}
+
+static inline uint32_t compact1by2(uint32_t x) {
+    x &= 0x09249249;
+    x = (x ^ (x >> 2)) & 0x030C30C3;
+    x = (x ^ (x >> 4)) & 0x0300F00F;
+    x = (x ^ (x >> 8)) & 0xFF0000FF;
+    x = (x ^ (x >> 16)) & 0x000003FF;
+    return x;
+}
+
+// Batch 30-bit Morton encode (octree/Morton.h:80-100 semantics).
+void gv_morton_encode30(const uint32_t* x, const uint32_t* y, const uint32_t* z,
+                        uint32_t* out, int64_t n) {
+    for (int64_t i = 0; i < n; ++i)
+        out[i] = part1by2(x[i]) | (part1by2(y[i]) << 1) | (part1by2(z[i]) << 2);
+}
+
+void gv_morton_decode30(const uint32_t* code, uint32_t* x, uint32_t* y,
+                        uint32_t* z, int64_t n) {
+    for (int64_t i = 0; i < n; ++i) {
+        x[i] = compact1by2(code[i]);
+        y[i] = compact1by2(code[i] >> 1);
+        z[i] = compact1by2(code[i] >> 2);
+    }
+}
+
+int gv_abi_version() { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,196 @@
+"""GVL facade, disk IO, perfmon, config, vis export, primitives, planning."""
+import json
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_voxels_tpu.api import GpuVoxels
+from gpu_voxels_tpu.constants import BitVoxelMeaning, MapType
+from gpu_voxels_tpu.geometry.pointcloud import MetaPointCloud
+from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap, ProbVoxelMap
+from gpu_voxels_tpu.maps.voxellist import bit_vector_voxel_list
+from gpu_voxels_tpu.maps.distance_map import DistanceVoxelMap
+from gpu_voxels_tpu.primitive_array import PrimitiveType
+from gpu_voxels_tpu.utils import io as map_io
+from gpu_voxels_tpu.utils.config import ConfigManager
+from gpu_voxels_tpu.utils.perfmon import PerformanceMonitor
+
+
+def fresh_gvl():
+    GpuVoxels._instance = None
+    gvl = GpuVoxels.get_instance()
+    gvl.initialize(150, 150, 150, 0.01)
+    return gvl
+
+
+def test_linkage_scene_through_facade():
+    """The gvl_linkage_test flow end-to-end through the facade."""
+    gvl = fresh_gvl()
+    gvl.add_map(MapType.MT_PROBAB_VOXELMAP, "myFirstMap")
+    gvl.add_map(MapType.MT_PROBAB_VOXELMAP, "mySecondMap")
+    center, box, overlap = np.array([0.5] * 3), np.array([0.4] * 3), np.array([0.1] * 3)
+    c1 = center - overlap
+    c2 = c1 + box
+    c3 = center + overlap
+    c4 = c3 - box
+    gvl.insert_box_into_map(c1, c2, "myFirstMap", BitVoxelMeaning.eBVM_OCCUPIED, 1)
+    gvl.insert_box_into_map(c4, c3, "mySecondMap", BitVoxelMeaning.eBVM_OCCUPIED, 1)
+    n = int(gvl.get_map("myFirstMap").collide_with(gvl.get_map("mySecondMap")))
+    # overlap region [0.4,0.6]^3 at 0.01 voxels -> 20^3 (float32 point
+    # accumulation ends the second box just below 0.6); verified against an
+    # independent numpy voxelization on TPU earlier
+    assert n == 8000
+
+
+def test_facade_map_factory_all_types():
+    gvl = fresh_gvl()
+    for mt in MapType:
+        gvl.add_map(mt, f"m_{mt.name}")
+    assert int(np.asarray(gvl.get_map("m_MT_PROBAB_VOXELMAP").data).size) == 150 ** 3
+
+
+def test_facade_robot_and_primitives(tmp_path):
+    gvl = fresh_gvl()
+    from gpu_voxels_tpu.robot.dh import DHParameters, KinematicChain
+
+    clouds = MetaPointCloud.from_clouds([[[0.25, 0.0, 0.0]]], names=("link1",))
+    gvl.add_robot_dh("arm", ["link1"], [DHParameters(0, 0, 0.5, 0)], clouds)
+    gvl.add_map(MapType.MT_BITVECTOR_VOXELMAP, "robotmap")
+    gvl.set_robot_configuration("arm", {"link1": 0.0})
+    gvl.insert_robot_into_map("arm", "robotmap", BitVoxelMeaning.eBVM_OCCUPIED)
+    assert int(gvl.get_map("robotmap").collide_with(gvl.get_map("robotmap"))) == 1
+
+    gvl.add_primitives(PrimitiveType.ePRIM_SPHERE, "spheres")
+    gvl.modify_primitives("spheres", np.array([[1, 2, 3]], np.float32), diameter=0.5)
+    assert gvl.get_primitives("spheres").size == 1
+
+    gvl.clear_map("robotmap")
+    assert int(gvl.get_map("robotmap").collide_with(gvl.get_map("robotmap"))) == 0
+
+
+def test_voxelmap_disk_roundtrip(tmp_path):
+    pts = np.array([[2.5, 3.5, 4.5]], np.float32)
+    for make in (
+        lambda: ProbVoxelMap.create((8, 8, 8)).insert_point_cloud(pts),
+        lambda: BitVectorVoxelMap.create((8, 8, 8)).insert_point_cloud(pts, 77),
+        lambda: DistanceVoxelMap.create((8, 8, 8)).insert_point_cloud(pts),
+    ):
+        m = make()
+        f = tmp_path / "m.bin"
+        map_io.write_voxel_map(m, f)
+        back = map_io.read_voxel_map(f)
+        assert type(back) is type(m)
+        assert back.dims == m.dims and back.side_length == m.side_length
+        np.testing.assert_array_equal(np.asarray(back.data), np.asarray(m.data))
+
+
+def test_voxelmap_disk_format_is_reference_binary(tmp_path):
+    m = ProbVoxelMap.create((4, 4, 4), 0.25).insert_point_cloud(
+        np.array([[0.1, 0.1, 0.1]], np.float32)
+    )
+    f = tmp_path / "m.bin"
+    map_io.write_voxel_map(m, f)
+    raw = f.read_bytes()
+    # int32 MapType | float32 side | 3x uint32 dims | int8[64]
+    assert len(raw) == 4 + 4 + 12 + 64
+    assert np.frombuffer(raw[:4], "<i4")[0] == int(MapType.MT_PROBAB_VOXELMAP)
+    assert np.frombuffer(raw[4:8], "<f4")[0] == np.float32(0.25)
+    assert np.frombuffer(raw[8:20], "<u4").tolist() == [4, 4, 4]
+    assert np.frombuffer(raw[20:], "i1")[0] == 127
+
+
+def test_voxellist_disk_roundtrip(tmp_path):
+    lst = bit_vector_voxel_list((16, 16, 16)).insert_point_cloud(
+        np.array([[1.5, 2.5, 3.5], [4.5, 5.5, 6.5]], np.float32), 50
+    )
+    f = tmp_path / "l.bin"
+    map_io.write_voxel_list(lst, f)
+    back = map_io.read_voxel_list(f)
+    assert int(back.count) == 2
+    np.testing.assert_array_equal(np.asarray(back.ids[:2]), np.asarray(lst.ids[:2]))
+    np.testing.assert_array_equal(np.asarray(back.payload[:, :2]), np.asarray(lst.payload[:, :2]))
+
+
+def test_perfmon():
+    PerformanceMonitor.initialize()
+    pm = PerformanceMonitor.instance()
+    pm.enable("test")
+    pm.start("t")
+    pm.measure("t", "phase1", "test")
+    pm.add_data("counts", 42.0, "test")
+    pm.measure("t", "phase1", "disabled_prefix")
+    s = pm.summary("test")
+    assert "test::phase1" in s and "test::counts" in s
+    assert pm.series("counts", "test") == [42.0]
+    assert pm.series("phase1", "disabled_prefix") == []
+
+
+def test_config_manager(tmp_path):
+    ConfigManager._instance = None
+    cm = ConfigManager.instance()
+    cm.set("/scene/dimX", 64)
+    assert cm.get("/scene/dimX", int) == 64
+    seen = []
+    cm.observe("/scene", lambda k, v: seen.append((k, v)))
+    cm.set("/scene/dimY", 32)
+    assert seen == [("/scene/dimY", 32)]
+    xml = tmp_path / "cfg.xml"
+    xml.write_text("<cfg><camera><fov>90</fov></camera></cfg>")
+    cm.load_xml(xml)
+    assert cm.get("/cfg/camera/fov", int) == 90
+    cm.add_parameter("--dim-z", "/scene/dimZ", type_=int)
+    cm.parse(["--dim-z", "77"])
+    assert cm.get("/scene/dimZ", int) == 77
+    batch = cm.get_batch([("/scene/dimX", int, 0), ("/missing", str, "d")])
+    assert batch == {"/scene/dimX": 64, "/missing": "d"}
+
+
+def test_vis_extract_and_export(tmp_path):
+    from gpu_voxels_tpu.vis import extract_cubes, occupied_coords
+    from gpu_voxels_tpu.vis.export import write_html, write_ply
+
+    m = BitVectorVoxelMap.create((8, 8, 8), 0.5).insert_point_cloud(
+        np.array([[1.25, 1.25, 1.25]], np.float32), 50
+    )
+    coords = occupied_coords(m)
+    assert coords.tolist() == [[2, 2, 2]]
+    centers, types = extract_cubes(m)
+    np.testing.assert_allclose(centers, [[1.25, 1.25, 1.25]])
+    assert types.tolist() == [50]
+    n = write_ply(tmp_path / "m.ply", m)
+    assert n == 1 and (tmp_path / "m.ply").exists()
+    write_html(tmp_path / "m.html", {"m": m})
+    assert "InstancedMesh" in (tmp_path / "m.html").read_text()
+
+
+def test_vis_provider_change_detection(tmp_path):
+    from gpu_voxels_tpu.vis.provider import VisProvider
+
+    m = ProbVoxelMap.create((8, 8, 8)).insert_point_cloud(np.array([[1.5, 1.5, 1.5]], np.float32))
+    vp = VisProvider("env", tmp_path)
+    assert vp.visualize(m, force_repaint=False)
+    assert not vp.visualize(m, force_repaint=False)  # unchanged
+    assert vp.visualize(m, force_repaint=True)
+
+
+def test_planning_validity():
+    from gpu_voxels_tpu.planning import GvlValidityChecker, MotionValidator
+    from gpu_voxels_tpu.robot.dh import DHParameters, KinematicChain
+
+    params = [DHParameters(0, 0, 1.0, 0)]
+    clouds = MetaPointCloud.from_clouds([[[1.0, 0.0, 0.0]]], names=("l1",))
+    arm = KinematicChain(["l1"], params, clouds)
+    # obstacle at the +x pose of the end effector (cloud transforms by
+    # identity for link1 -> always at (1,0,0)); env occupied at (1,0,0)
+    env = ProbVoxelMap.create((8, 8, 8), 0.5).insert_point_cloud(
+        np.array([[1.0, 0.1, 0.1]], np.float32)
+    )
+    checker = GvlValidityChecker(env, arm, 0.7)
+    assert not checker.is_valid(jnp.asarray([0.0]))
+    # empty env -> valid
+    free_env = ProbVoxelMap.create((8, 8, 8), 0.5)
+    checker2 = GvlValidityChecker(free_env, arm, 0.7)
+    assert checker2.is_valid(jnp.asarray([0.0]))
+    mv = MotionValidator(checker2, resolution=0.1)
+    ok, n = mv.check_motion([0.0], [1.0])
+    assert ok and n >= 10

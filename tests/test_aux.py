@@ -1,0 +1,92 @@
+"""Auxiliary subsystems: tf helper, sensors, converters, heightmap."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_voxels_tpu import converters
+from gpu_voxels_tpu.geometry import heightmap, transforms
+from gpu_voxels_tpu.maps.distance_map import DistanceVoxelMap
+from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap, ProbVoxelMap
+from gpu_voxels_tpu.sensors import ReplayDepthSource, Sensor, SensorModel, SyntheticDepthSource
+from gpu_voxels_tpu.utils.tf_helper import TfHelper
+
+
+def test_tf_helper_chain_lookup():
+    tf = TfHelper()
+    tf.publish(transforms.from_translation([1, 0, 0], xp=np), "world", "base")
+    tf.publish(transforms.from_translation([0, 2, 0], xp=np), "base", "camera")
+    m = tf.lookup("world", "camera")
+    np.testing.assert_allclose(m[:3, 3], [1, 2, 0], atol=1e-6)
+    inv = tf.lookup("camera", "world")
+    np.testing.assert_allclose(inv[:3, 3], [-1, -2, 0], atol=1e-6)
+    assert tf.lookup("world", "unknown") is None
+    np.testing.assert_allclose(tf.lookup("base", "base"), np.eye(4))
+
+
+def test_sensor_depth_processing():
+    s = Sensor(
+        position=np.array([1, 2, 3], np.float32),
+        data_width=8,
+        data_height=6,
+        fx=4.0,
+        fy=4.0,
+        cx=4.0,
+        cy=3.0,
+    )
+    depth = np.zeros((6, 8), np.float32)
+    depth[3, 4] = 2.0
+    pts = np.asarray(s.process_depth_image(depth))
+    valid = pts[np.isfinite(pts).all(axis=1)]
+    np.testing.assert_allclose(valid, [[1, 2, 5]], atol=1e-6)
+
+
+def test_depth_sources():
+    s = Sensor(data_width=16, data_height=12)
+    src = SyntheticDepthSource(s)
+    f1, f2 = src.get_frame(), src.get_frame()
+    assert f1.shape == (12, 16) and not np.array_equal(f1, f2)
+    rp = ReplayDepthSource(np.stack([f1, f2]))
+    np.testing.assert_array_equal(rp.get_frame(), f1)
+    np.testing.assert_array_equal(rp.get_frame(), f2)
+    np.testing.assert_array_equal(rp.get_frame(), f1)
+    assert SensorModel().initial_probability == 72
+
+
+def test_converters_roundtrip():
+    pts = np.array([[3.5, 3.5, 3.5]], np.float32)
+    dm = DistanceVoxelMap.create((16, 16, 16)).insert_point_cloud(pts).jump_flood()
+    pm = converters.distance_map_to_prob_map(dm, clearance=2.0)
+    occ = np.asarray(pm.as_3d())
+    assert occ[3, 3, 3] == 127 and occ[3, 3, 5] == 127 and occ[3, 3, 6] == -127
+    bm = converters.distance_map_to_bit_map(dm, clearance=0.0)
+    assert int(np.asarray(bm.occupied_mask()).sum()) == 1
+    pm2 = converters.bit_map_to_prob_map(bm)
+    assert int(np.asarray(pm2.occupied_mask(0.5)).sum()) == 1
+    bm2 = converters.prob_map_to_bit_map(pm2)
+    assert int(np.asarray(bm2.occupied_mask()).sum()) == 1
+
+
+def test_heightmap_extrusion():
+    h = np.array([[0, 2], [1, 0]], np.float32)
+    pts = heightmap.heightmap_to_point_cloud(h, pixel_size=1.0)
+    m = ProbVoxelMap.create((2, 2, 3)).insert_point_cloud(pts + 0.25)
+    occ = np.asarray(m.occupied_mask(0.5)).reshape(3, 2, 2)  # [Z,Y,X]
+    assert occ[0].all()  # ground layer everywhere
+    assert occ[2, 0, 1] and not occ[2, 1, 0]  # only the h=2 column reaches z=2
+
+
+def test_heightmap_npy_loader(tmp_path):
+    arr = np.arange(6, dtype=np.float32).reshape(2, 3)
+    np.save(tmp_path / "h.npy", arr)
+    back = heightmap.load_height_array(tmp_path / "h.npy")
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_swept_fitter_example():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import swept_fitter
+
+    assert swept_fitter.main() == 3

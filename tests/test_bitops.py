@@ -115,6 +115,24 @@ def test_bit_margin_collision_check_matches_reference_oracle(margin, sv_offset):
         assert bool(hit[i]) == bool(exp_hit)
 
 
+@pytest.mark.parametrize("margin", [0, 1, 2, 5, 20, 24])
+def test_packed_margin_check_matches_unpacked(margin):
+    rng = np.random.default_rng(margin)
+    n = 64
+    mk = lambda: jnp.asarray(
+        (rng.integers(0, 2**32, (8, n), dtype=np.uint64)
+         & rng.integers(0, 2**32, (8, n), dtype=np.uint64)
+         & rng.integers(0, 2**32, (8, n), dtype=np.uint64)).astype(np.uint32)
+    )
+    v1, v2 = mk(), mk()
+    hit_p, coll_p = bitops.bit_margin_collision_check_packed(v1, v2, margin)
+    hit_u, coll_u = bitops.bit_margin_collision_check(
+        v1, v2, bitops.zeros((n,)), margin, 0
+    )
+    np.testing.assert_array_equal(np.asarray(coll_p), np.asarray(coll_u))
+    np.testing.assert_array_equal(np.asarray(hit_p), np.asarray(hit_u))
+
+
 def test_or_reduce():
     a = planes_from_bits([3], shape_suffix=(4,))
     b = bitops.set_bit(bitops.zeros((4,)), 77)

@@ -1,0 +1,59 @@
+"""Every example program runs headlessly and produces sane output."""
+import sys
+from pathlib import Path
+
+import pytest
+
+EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
+sys.path.insert(0, str(EXAMPLES))
+
+
+def _run(name):
+    import importlib
+
+    mod = importlib.import_module(name)
+    return mod.main()
+
+
+def test_collisions():
+    assert _run("collisions") > 0
+
+
+def test_swept_volume_vs_environment():
+    assert _run("swept_volume_vs_environment") >= 1
+
+
+def test_robot_vs_environment():
+    _run("robot_vs_environment")
+
+
+def test_distance_voxel_test():
+    assert _run("distance_voxel_test") == 0  # all algorithms agree
+
+
+def test_counting_voxel_list():
+    assert _run("counting_voxel_list") >= 1
+
+
+def test_shift_vs_transform():
+    assert _run("shift_vs_transform") > 0
+
+
+def test_urdf_loader():
+    _run("urdf_loader")
+
+
+def test_maps_demo():
+    assert _run("maps_demo") > 0
+
+
+def test_heightmap_demo():
+    assert _run("heightmap_demo") > 0
+
+
+def test_primitive_array():
+    assert _run("primitive_array_test") == 10
+
+
+def test_ompl_planning_demo():
+    assert _run("ompl_planning_demo")

@@ -1,0 +1,89 @@
+"""Hierarchical map (octree replacement) tests."""
+import numpy as np
+import jax.numpy as jnp
+
+from gpu_voxels_tpu.constants import THRESHOLD_OCCUPANCY, UNKNOWN_PROBABILITY
+from gpu_voxels_tpu.maps.hierarchical import (
+    NS_FREE,
+    NS_OCCUPIED,
+    NS_UNKNOWN,
+    HierarchicalBitMap,
+    HierarchicalProbMap,
+)
+from gpu_voxels_tpu.maps.voxellist import bit_vector_voxel_list
+from gpu_voxels_tpu.maps.voxelmap import ProbVoxelMap
+
+DIMS = (32, 32, 32)
+
+
+def test_fresh_map_is_all_unknown():
+    h = HierarchicalProbMap.create(DIMS)
+    occ, unk, free = h.probe(jnp.asarray([[0, 0, 0], [31, 31, 31]], jnp.int32))
+    assert not bool(occ.any()) and bool(unk.all()) and not bool(free.any())
+    # top node is uniform unknown -> probe decides at the very top
+    assert int(np.asarray(h.pyramid[-1]).max()) == NS_UNKNOWN
+
+
+def test_insert_builds_pyramid_and_probe_descends():
+    pts = np.array([[5.5, 6.5, 7.5]], np.float32)
+    h = HierarchicalProbMap.create(DIMS).insert_point_cloud(pts)
+    occ, unk, free = h.probe(jnp.asarray([[5, 6, 7], [5, 6, 8]], jnp.int32))
+    assert bool(occ[0]) and not bool(occ[1])
+    assert bool(unk[1])
+    # coarse query at min_level: the containing node is mixed -> status OR
+    occ2, _, _ = h.probe(jnp.asarray([[5, 6, 7]], jnp.int32), min_level=3)
+    assert bool(occ2[0])  # coarse node contains an occupied child
+
+
+def test_free_space_carving_probabilistic():
+    h = HierarchicalProbMap.create(DIMS)
+    h = h.insert_point_cloud_with_free_space(
+        np.array([[20.5, 10.5, 10.5]], np.float32), sensor_origin=(0.5, 10.5, 10.5)
+    )
+    occ = np.asarray(h.occupancy)  # [Z,Y,X]
+    assert occ[10, 10, 20] == UNKNOWN_PROBABILITY + 72
+    assert occ[10, 10, 5] == -127  # carved
+    o, u, f = h.probe(jnp.asarray([[5, 10, 10]], jnp.int32))
+    assert bool(f[0])
+
+
+def test_collide_with_voxellist_and_probmap():
+    pts = np.array([[4.5, 4.5, 4.5], [9.5, 9.5, 9.5]], np.float32)
+    h = HierarchicalProbMap.create(DIMS).insert_point_cloud(pts)
+    lst = bit_vector_voxel_list(DIMS).insert_point_cloud(pts[:1], 50)
+    assert int(h.collide_with(lst)) == 1
+    pm = ProbVoxelMap.create(DIMS).insert_point_cloud(pts)
+    assert int(h.collide_with(pm)) == 2
+    # prob map probe threshold is the hardcoded >=50 (kernel_common.h:172-183)
+    weak = ProbVoxelMap.create(DIMS)
+    from dataclasses import replace
+    weak = replace(weak, data=weak.data.at[0].set(jnp.int8(40)))
+    assert int(h.collide_with(weak)) == 0
+
+
+def test_unknown_cell_counting():
+    pts = np.array([[4.5, 4.5, 4.5]], np.float32)
+    h = HierarchicalProbMap.create(DIMS).insert_point_cloud(pts)
+    probe_pts = np.array([[4.5, 4.5, 4.5], [20.5, 20.5, 20.5]], np.float32)
+    lst = bit_vector_voxel_list(DIMS).insert_point_cloud(probe_pts, 50)
+    colls, unknowns = h.collide_with_counting_unknown(lst)
+    assert int(colls) == 1
+    assert int(unknowns) == 1
+
+
+def test_bit_hierarchical_variant():
+    pts = np.array([[4.5, 4.5, 4.5]], np.float32)
+    h = HierarchicalBitMap.create(DIMS).insert_point_cloud(pts)
+    occ, _, _ = h.probe(jnp.asarray([[4, 4, 4]], jnp.int32))
+    assert bool(occ[0])
+    coords = h.extract_occupied_coords()
+    assert coords.tolist() == [[4, 4, 4]]
+
+
+def test_non_pow2_dims_are_padded():
+    h = HierarchicalProbMap.create((20, 24, 12))
+    assert all(p % (1 << h.levels) == 0 for p in h.padded_dims)
+    pts = np.array([[19.5, 23.5, 11.5]], np.float32)
+    h = h.insert_point_cloud(pts)
+    occ, _, _ = h.probe(jnp.asarray([[19, 23, 11]], jnp.int32))
+    assert bool(occ[0])
