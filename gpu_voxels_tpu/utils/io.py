@@ -81,6 +81,44 @@ def read_voxel_map(path):
     raise ValueError(f"unknown map type {map_type}")
 
 
+def write_hierarchical_map(h, path) -> None:
+    """NTree::serialize equivalent (NTree.hpp:3283-3400): persist the fine
+    occupancy grid + metadata; the pyramid is an invariant rebuilt on load."""
+    occ = np.asarray(h.occupancy, np.int8)
+    header = np.zeros((), dtype=_HEADER)
+    header["map_type"] = int(h.map_type)
+    header["side_length"] = h.side_length
+    header["dims"] = h.dims
+    with open(path, "wb") as f:
+        f.write(header.tobytes())
+        f.write(np.int32(h.levels).tobytes())
+        f.write(np.asarray(occ.shape, "<i4").tobytes())
+        f.write(occ.tobytes())
+
+
+def read_hierarchical_map(path):
+    import jax.numpy as jnp
+
+    from ..maps.hierarchical import (
+        HierarchicalBitMap,
+        HierarchicalProbMap,
+        _build_pyramid,
+        _status_from_occupancy,
+    )
+
+    with open(path, "rb") as f:
+        header = np.frombuffer(f.read(_HEADER.itemsize), dtype=_HEADER)[0]
+        levels = int(np.frombuffer(f.read(4), "<i4")[0])
+        shape = tuple(np.frombuffer(f.read(12), "<i4"))
+        occ = np.frombuffer(f.read(), np.int8).reshape(shape)
+    map_type = MapType(int(header["map_type"]))
+    dims = tuple(int(v) for v in header["dims"])
+    cls = HierarchicalBitMap if map_type == MapType.MT_BITVECTOR_OCTREE else HierarchicalProbMap
+    occ_j = jnp.asarray(occ)
+    pyr = tuple(_build_pyramid(_status_from_occupancy(occ_j), levels))
+    return cls(occ_j, pyr, dims, float(header["side_length"]), levels)
+
+
 def write_voxel_list(lst, path) -> None:
     from ..maps.voxellist import KIND_BIT
 

@@ -194,3 +194,19 @@ def test_planning_validity():
     mv = MotionValidator(checker2, resolution=0.1)
     ok, n = mv.check_motion([0.0], [1.0])
     assert ok and n >= 10
+
+
+def test_hierarchical_disk_roundtrip(tmp_path):
+    from gpu_voxels_tpu.maps.hierarchical import HierarchicalBitMap, HierarchicalProbMap
+
+    pts = np.array([[2.5, 3.5, 4.5]], np.float32)
+    for cls in (HierarchicalProbMap, HierarchicalBitMap):
+        h = cls.create((16, 16, 16)).insert_point_cloud(pts)
+        f = tmp_path / "h.bin"
+        map_io.write_hierarchical_map(h, f)
+        back = map_io.read_hierarchical_map(f)
+        assert type(back) is type(h)
+        assert back.dims == h.dims and back.levels == h.levels
+        np.testing.assert_array_equal(np.asarray(back.occupancy), np.asarray(h.occupancy))
+        for a, b in zip(back.pyramid, h.pyramid):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

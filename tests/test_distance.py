@@ -57,13 +57,24 @@ def test_exact_brute_force_matches_numpy():
 
 
 def test_cross_algorithm_differences_zero():
-    """The reference's oracle: differences3D(exact, jfa) == 0."""
+    """The reference's oracle: differences3D between all algorithms == 0."""
     obs = random_scene(3)
     jfa = insert_obstacles(DistanceVoxelMap.create(DIMS), obs).jump_flood()
     exact = DistanceVoxelMap.create(DIMS).exact_distances(obs.astype(np.int32))
     assert int(jfa.differences(exact)) == 0
     pba = insert_obstacles(DistanceVoxelMap.create(DIMS), obs).parallel_banding()
     assert int(pba.differences(exact)) == 0
+    sep = insert_obstacles(DistanceVoxelMap.create(DIMS), obs).exact_separable()
+    assert int(sep.differences(exact)) == 0
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_exact_separable_matches_oracle(seed):
+    obs = random_scene(seed, n_obs=23)
+    sep = insert_obstacles(DistanceVoxelMap.create(DIMS), obs).exact_separable()
+    np.testing.assert_array_equal(
+        np.asarray(sep.squared_distances()), np_exact_sqdist(obs, DIMS)
+    )
 
 
 def test_uninitialised_map_distances():
