@@ -118,6 +118,85 @@ def main():
         file=sys.stderr,
     )
 
+    # --- secondary workloads (stderr diagnostics) --------------------------
+    from gpu_voxels_tpu import bitops
+    from gpu_voxels_tpu.ops import edt
+
+    # 256-bit map collide at 256^3
+    nb = 256 ** 3
+    pa = jnp.asarray(
+        (rng.integers(0, 2**32, (8, nb), dtype=np.uint64)
+         & rng.integers(0, 4, (8, nb), dtype=np.uint64)).astype(np.uint32)
+    )
+    pb = jnp.asarray(
+        (rng.integers(0, 2**32, (8, nb), dtype=np.uint64)
+         & rng.integers(0, 4, (8, nb), dtype=np.uint64)).astype(np.uint32)
+    )
+
+    def build_bit(k):
+        @jax.jit
+        def run(x, y):
+            def body(i, carry):
+                acc, a = carry
+                # in-place update on the carried buffer forces re-execution
+                # (still pays one buffer copy per iteration; the reported
+                # number is therefore conservative)
+                a = a.at[0, 0].set(a[0, 0] ^ acc)
+                return (acc + xla_collide.count_bit_bit(a, y), a)
+
+            acc, _ = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), x))
+            return acc
+
+        return run
+
+    t_bit = _timed_loop(build_bit, 41, pa, pb)
+    print(
+        f"bitvector collide 256^3: {t_bit*1e3:.3f} ms/sweep = {nb/t_bit:.3e} checks/s (conservative)",
+        file=sys.stderr,
+    )
+
+    # EDT (jump flood) at 256^3 with 10k obstacles
+    dims_e = (256, 256, 256)
+    ne = 256 ** 3
+    mask = np.zeros(ne, bool)
+    mask[rng.integers(0, ne, 10000)] = True
+    packed = jax.jit(lambda m: edt.init_from_obstacle_mask(m, dims_e))(jnp.asarray(mask))
+
+    def build_edt(k):
+        @jax.jit
+        def run(p):
+            def body(i, acc):
+                pp = p.at[0].set(p[0] ^ (acc & jnp.uint32(1)))
+                out = edt.jump_flood(pp, dims_e)
+                return acc + out[ne // 2]
+
+            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+        return run
+
+    t_edt = _timed_loop(build_edt, 4, packed)
+    print(f"EDT jump-flood 256^3 (10k obstacles): {t_edt*1e3:.1f} ms", file=sys.stderr)
+
+    # insert throughput: 307k points into 512^3
+    def build_insert(k):
+        @jax.jit
+        def run(pts):
+            def body(i, acc):
+                off = (acc % jnp.uint32(7)).astype(jnp.float32)
+                m = ProbVoxelMap.create(dims, side).insert_point_cloud(pts + off)
+                return acc + m.data[0].astype(jnp.uint32)
+
+            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+        return run
+
+    t_ins = _timed_loop(build_insert, 51, pts_env)
+    print(
+        f"insert 307k points into fresh 512^3: {t_ins*1e3:.3f} ms = "
+        f"{pts_env.shape[0]/t_ins:.3e} points/s",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {

@@ -70,14 +70,14 @@ class DistanceVoxelMap(_DenseMap):
     def parallel_banding(self, m1: int = 1, m2: int = 1, m3: int = 1) -> "DistanceVoxelMap":
         """parallelBanding3D (DistanceVoxelMap.hpp:279): fast EDT.
 
-        Measured on v5e at 256^3: jump flooding ~0.3s vs ~15s for the
-        scan-based separable pass (TPU scatters dominate), so this fast path
-        runs JFA with two step-1 refinement rounds — empirically exact on all
-        cross-checked scenes (tests compare against the brute-force oracle).
-        Use exact_separable() when guaranteed exactness is required; band
-        counts m1/m2/m3 are accepted for API parity only."""
+        Measured on v5e at 256^3: multi-resolution jump flooding ~0.24s,
+        flat JFA ~0.33s, scan-based separable ~15s (TPU scatters dominate) —
+        so this fast path runs coarse-grid JFA + short-range fine refinement,
+        cross-checked exact against the brute-force oracle in tests. Use
+        exact_separable() when guaranteed exactness is required; band counts
+        m1/m2/m3 are accepted for API parity only."""
         del m1, m2, m3
-        return self.jump_flood(extra_rounds=2)
+        return replace(self, data=edt.jump_flood_multires(self.data, self.dims))
 
     def exact_separable(self) -> "DistanceVoxelMap":
         """Guaranteed-exact EDT: the PBA math as two Z scans + batched

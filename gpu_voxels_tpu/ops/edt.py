@@ -174,6 +174,95 @@ def jump_flood(packed_flat: jnp.ndarray, dims: Dims, extra_rounds: int = 1) -> j
     return grid.reshape(-1)
 
 
+def jump_flood_multires(
+    packed_flat: jnp.ndarray,
+    dims: Dims,
+    coarse_factor: int = 4,
+    fine_steps=(8, 4, 2, 1, 1, 1),
+) -> jnp.ndarray:
+    """Multi-resolution jump flooding: full JFA on a coarse grid (1/c^3 of
+    the work) seeds the fine grid, which then needs only short-range rounds.
+
+    The long-range JFA rounds dominate the flat algorithm's bandwidth (each
+    round reads the grid 26x); running them at 1/64 resolution makes their
+    cost negligible, and the fine refinement steps cover the coarse answer's
+    localization error. Empirically exact on cross-checked scenes (tests
+    compare against the brute oracle); `jump_flood` remains the
+    straightforward fallback.
+    """
+    dx, dy, dz = dims
+    c = coarse_factor
+    if dx % c or dy % c or dz % c:
+        return jump_flood(packed_flat, dims)
+    grid = packed_flat.reshape(dz, dy, dx)
+    d2 = squared_distance_grid(packed_flat, dims)
+
+    # --- coarsen: per c^3 block keep the site closest to the block center ---
+    gb = grid.reshape(dz // c, c, dy // c, c, dx // c, c)
+    db = d2.reshape(dz // c, c, dy // c, c, dx // c, c)
+    # distance of each stored site to its block's center, in fine coords
+    cxg, cyg, czg = unpack(gb)
+    # doubled coordinates keep the half-integer block center exact:
+    # 2*center = 2*block_index*c + (c-1)
+    bx = jax.lax.broadcasted_iota(I32, gb.shape, 4) * (2 * c) + (c - 1)
+    by = jax.lax.broadcasted_iota(I32, gb.shape, 2) * (2 * c) + (c - 1)
+    bz = jax.lax.broadcasted_iota(I32, gb.shape, 0) * (2 * c) + (c - 1)
+    uninit = (cxg == PBA_UNINITIALISED_COORD) | (cyg == PBA_UNINITIALISED_COORD) | (czg == PBA_UNINITIALISED_COORD)
+    dd = (
+        (2 * cxg.astype(I32) - bx) ** 2
+        + (2 * cyg.astype(I32) - by) ** 2
+        + (2 * czg.astype(I32) - bz) ** 2
+    )
+    dd = jnp.where(uninit, I32(MAX_OBSTACLE_DISTANCE), dd)
+    # min over the c^3 block
+    ddf = dd.transpose(0, 2, 4, 1, 3, 5).reshape(dz // c, dy // c, dx // c, c ** 3)
+    gbf = gb.transpose(0, 2, 4, 1, 3, 5).reshape(dz // c, dy // c, dx // c, c ** 3)
+    k = jnp.argmin(ddf, axis=-1)
+    coarse_sites = jnp.take_along_axis(gbf, k[..., None], axis=-1)[..., 0]
+
+    # --- coarse JFA: sites keep FINE coordinates; positions are block centers
+    cdims = (dx // c, dy // c, dz // c)
+
+    def coarse_d2(cand):
+        sx, sy, sz = unpack(cand)
+        un = (sx == PBA_UNINITIALISED_COORD) | (sy == PBA_UNINITIALISED_COORD) | (sz == PBA_UNINITIALISED_COORD)
+        px = jax.lax.broadcasted_iota(I32, cand.shape, 2) * c * 2 + (c - 1)
+        py = jax.lax.broadcasted_iota(I32, cand.shape, 1) * c * 2 + (c - 1)
+        pz = jax.lax.broadcasted_iota(I32, cand.shape, 0) * c * 2 + (c - 1)
+        val = (
+            (2 * sx.astype(I32) - px) ** 2
+            + (2 * sy.astype(I32) - py) ** 2
+            + (2 * sz.astype(I32) - pz) ** 2
+        )
+        return jnp.where(un, I32(MAX_OBSTACLE_DISTANCE), val)
+
+    cg = coarse_sites
+    cbest = coarse_d2(cg)
+    step = 1
+    while step * 2 < max(cdims):
+        step *= 2
+    s = step
+    while s >= 1:
+        for off in _NEIGHBORS:
+            cand = _shift3d(cg, (off[0] * s, off[1] * s, off[2] * s), U32(PBA_UNINITIALISED_PACKED))
+            nd = coarse_d2(cand)
+            take = nd < cbest
+            cg = jnp.where(take, cand, cg)
+            cbest = jnp.where(take, nd, cbest)
+        s //= 2
+
+    # --- upsample: every fine voxel adopts its block's coarse site ----------
+    up = jnp.repeat(jnp.repeat(jnp.repeat(cg, c, axis=0), c, axis=1), c, axis=2)
+    grid, d2 = _merge(grid, d2, up, dims)
+
+    # --- short-range fine refinement ----------------------------------------
+    for s in fine_steps:
+        for off in _NEIGHBORS:
+            cand = _shift3d(grid, (off[0] * s, off[1] * s, off[2] * s), U32(PBA_UNINITIALISED_PACKED))
+            grid, d2 = _merge(grid, d2, cand, dims)
+    return grid.reshape(-1)
+
+
 def _envelope_pass_1d(g2: jnp.ndarray, sites: jnp.ndarray):
     """Exact 1D distance transform with parabolic costs, batched over lines.
 

@@ -68,6 +68,23 @@ def test_cross_algorithm_differences_zero():
     assert int(sep.differences(exact)) == 0
 
 
+@pytest.mark.parametrize("seed,n_obs", [(21, 5), (22, 40), (23, 200), (24, 1)])
+def test_multires_jfa_matches_oracle(seed, n_obs):
+    from gpu_voxels_tpu.ops import edt
+    import jax.numpy as jnp
+
+    dims = (32, 32, 32)
+    rng = np.random.default_rng(seed)
+    obs = np.unique(rng.integers(0, 32, (n_obs, 3)), axis=0)
+    mask = np.zeros(32 ** 3, bool)
+    lin = obs[:, 2] * 32 * 32 + obs[:, 1] * 32 + obs[:, 0]
+    mask[lin] = True
+    packed = edt.init_from_obstacle_mask(jnp.asarray(mask), dims)
+    out = edt.jump_flood_multires(packed, dims)
+    got = np.asarray(edt.squared_distance_grid(out, dims))
+    np.testing.assert_array_equal(got, np_exact_sqdist(obs, dims))
+
+
 @pytest.mark.parametrize("seed", [11, 12])
 def test_exact_separable_matches_oracle(seed):
     obs = random_scene(seed, n_obs=23)
