@@ -167,7 +167,7 @@ def main():
         def run(p):
             def body(i, acc):
                 pp = p.at[0].set(p[0] ^ (acc & jnp.uint32(1)))
-                out = edt.jump_flood(pp, dims_e)
+                out = edt.jump_flood_multires(pp, dims_e)
                 return acc + out[ne // 2]
 
             return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
@@ -175,7 +175,7 @@ def main():
         return run
 
     t_edt = _timed_loop(build_edt, 4, packed)
-    print(f"EDT jump-flood 256^3 (10k obstacles): {t_edt*1e3:.1f} ms", file=sys.stderr)
+    print(f"EDT multires jump-flood 256^3 (10k obstacles): {t_edt*1e3:.1f} ms", file=sys.stderr)
 
     # insert throughput: 307k points into 512^3
     def build_insert(k):

@@ -149,6 +149,39 @@ def _shift3d(grid, off, fill):
     return g
 
 
+def _jfa_round(grid: jnp.ndarray, best_d2: jnp.ndarray, s: int, dims: Dims):
+    """One JFA round: merge all 26 neighbors at step s in one fused pass.
+
+    The grid is padded once (uninitialised border) so every neighbor is a
+    static slice of one array — XLA fuses the whole round into a single
+    sweep instead of materializing 26 shifted copies.
+    """
+    dz, dy, dx = grid.shape
+    p = jnp.pad(grid, s, constant_values=int(PBA_UNINITIALISED_PACKED))
+    px, py, pz = _position_grids(dims)
+    for off in _NEIGHBORS:
+        ox, oy, oz = off
+        cand = jax.lax.slice(
+            p,
+            (s + oz * s, s + oy * s, s + ox * s),
+            (s + oz * s + dz, s + oy * s + dy, s + ox * s + dx),
+        )
+        cx, cy, cz = unpack(cand)
+        # any coord == 1023 marks uninitialised, like the reference
+        # (DistanceVoxel.hpp:39-54; 1024-wide grids lose coordinate 1023)
+        un = (cx == PBA_UNINITIALISED_COORD) | (cy == PBA_UNINITIALISED_COORD) | (cz == PBA_UNINITIALISED_COORD)
+        d2 = (
+            (px - cx.astype(I32)) ** 2
+            + (py - cy.astype(I32)) ** 2
+            + (pz - cz.astype(I32)) ** 2
+        )
+        d2 = jnp.where(un, I32(MAX_OBSTACLE_DISTANCE), d2)
+        take = d2 < best_d2
+        grid = jnp.where(take, cand, grid)
+        best_d2 = jnp.where(take, d2, best_d2)
+    return grid, best_d2
+
+
 def jump_flood(packed_flat: jnp.ndarray, dims: Dims, extra_rounds: int = 1) -> jnp.ndarray:
     """3D jump flooding over the packed grid (jumpFlood3D,
     DistanceVoxelMap.hpp:136). extra_rounds appends step-1 JFA+k refinement
@@ -168,9 +201,7 @@ def jump_flood(packed_flat: jnp.ndarray, dims: Dims, extra_rounds: int = 1) -> j
     steps.extend([1] * int(extra_rounds))
 
     for s in steps:
-        for off in _NEIGHBORS:
-            cand = _shift3d(grid, (off[0] * s, off[1] * s, off[2] * s), U32(PBA_UNINITIALISED_PACKED))
-            grid, best_d2 = _merge(grid, best_d2, cand, dims)
+        grid, best_d2 = _jfa_round(grid, best_d2, s, dims)
     return grid.reshape(-1)
 
 
@@ -257,9 +288,7 @@ def jump_flood_multires(
 
     # --- short-range fine refinement ----------------------------------------
     for s in fine_steps:
-        for off in _NEIGHBORS:
-            cand = _shift3d(grid, (off[0] * s, off[1] * s, off[2] * s), U32(PBA_UNINITIALISED_PACKED))
-            grid, d2 = _merge(grid, d2, cand, dims)
+        grid, d2 = _jfa_round(grid, d2, s, dims)
     return grid.reshape(-1)
 
 

@@ -87,3 +87,27 @@ def test_non_pow2_dims_are_padded():
     h = h.insert_point_cloud(pts)
     occ, _, _ = h.probe(jnp.asarray([[19, 23, 11]], jnp.int32))
     assert bool(occ[0])
+
+
+def test_collide_with_bit_map_uses_iszero():
+    """GvlNTree probes bit maps with !isZero, not noneButEmpty
+    (kernel_common.h:172-183): a FREE-only bit voxel still counts."""
+    from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap
+
+    pts = np.array([[4.5, 4.5, 4.5]], np.float32)
+    h = HierarchicalProbMap.create(DIMS).insert_point_cloud(pts)
+    bm_free = BitVectorVoxelMap.create(DIMS).insert_point_cloud(pts, 0)  # eBVM_FREE
+    assert int(h.collide_with(bm_free)) == 1  # !isZero includes bit 0
+    bm_empty = BitVectorVoxelMap.create(DIMS)
+    assert int(h.collide_with(bm_empty)) == 0
+
+
+def test_min_level_coarse_probe():
+    pts = np.array([[8.5, 8.5, 8.5]], np.float32)
+    h = HierarchicalProbMap.create(DIMS).insert_point_cloud(pts)
+    # probing the far corner of the same level-3 node at min_level=3:
+    # node [8..15]^3 contains an occupied child -> OR status includes OCCUPIED
+    occ, _, _ = h.probe(jnp.asarray([[15, 15, 15]], jnp.int32), min_level=3)
+    assert bool(occ[0])
+    occ, _, _ = h.probe(jnp.asarray([[15, 15, 15]], jnp.int32), min_level=0)
+    assert not bool(occ[0])
