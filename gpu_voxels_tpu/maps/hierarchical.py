@@ -74,19 +74,17 @@ def _status_from_occupancy(occ: jnp.ndarray) -> jnp.ndarray:
 
 
 def _build_pyramid(status0_3d: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
-    """[level0 [Z,Y,X], level1 [Z/2,Y/2,X/2], ...] status bytes."""
+    """[level0 [Z,Y,X], level1 [Z/2,Y/2,X/2], ...] status bytes.
+
+    The 2x2x2 OR (getNewStatus fusion) reduces one axis at a time with
+    strided slices — a 6D reshape forces a catastrophically tiled layout on
+    TPU (u8[512,2,512,2,512,2] would "grow" to 64 GiB at 1024^3)."""
     pyr = [status0_3d]
     cur = status0_3d
     for _ in range(levels):
-        z, y, x = cur.shape
-        r = cur.reshape(z // 2, 2, y // 2, 2, x // 2, 2)
-        # OR of the 8 children == getNewStatus fusion
-        cur = (
-            r[:, 0, :, 0, :, 0] | r[:, 0, :, 0, :, 1]
-            | r[:, 0, :, 1, :, 0] | r[:, 0, :, 1, :, 1]
-            | r[:, 1, :, 0, :, 0] | r[:, 1, :, 0, :, 1]
-            | r[:, 1, :, 1, :, 0] | r[:, 1, :, 1, :, 1]
-        )
+        cur = cur[:, :, 0::2] | cur[:, :, 1::2]
+        cur = cur[:, 0::2, :] | cur[:, 1::2, :]
+        cur = cur[0::2, :, :] | cur[1::2, :, :]
         pyr.append(cur)
     return pyr
 

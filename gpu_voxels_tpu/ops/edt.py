@@ -182,10 +182,33 @@ def _jfa_round(grid: jnp.ndarray, best_d2: jnp.ndarray, s: int, dims: Dims):
     return grid, best_d2
 
 
-def jump_flood(packed_flat: jnp.ndarray, dims: Dims, extra_rounds: int = 1) -> jnp.ndarray:
+def _converge_step1(grid, best_d2, dims):
+    """Iterate step-1 rounds to a fixpoint: every cell's result becomes a
+    local optimum w.r.t. its 26 neighbors' sites. Repairs the rare isolated
+    errors both JFA and its multiresolution variant can leave (the correct
+    site always reaches an erroneous cell through its neighbors because
+    Voronoi cells of point sites are connected)."""
+
+    def cond(state):
+        _, _, changed = state
+        return changed
+
+    def body(state):
+        g, d, _ = state
+        g2, d2 = _jfa_round(g, d, 1, dims)
+        return g2, d2, jnp.any(d2 != d)
+
+    grid, best_d2, _ = jax.lax.while_loop(cond, body, (grid, best_d2, jnp.bool_(True)))
+    return grid, best_d2
+
+
+def jump_flood(
+    packed_flat: jnp.ndarray, dims: Dims, extra_rounds: int = 1, converge: bool = True
+) -> jnp.ndarray:
     """3D jump flooding over the packed grid (jumpFlood3D,
     DistanceVoxelMap.hpp:136). extra_rounds appends step-1 JFA+k refinement
-    passes that repair the algorithm's rare inexact cells."""
+    passes; converge=True then iterates step-1 rounds to a fixpoint,
+    repairing JFA's rare inexact cells."""
     dx, dy, dz = dims
     grid = packed_flat.reshape(dz, dy, dx)
     best_d2 = squared_distance_grid(packed_flat, dims)
@@ -202,6 +225,8 @@ def jump_flood(packed_flat: jnp.ndarray, dims: Dims, extra_rounds: int = 1) -> j
 
     for s in steps:
         grid, best_d2 = _jfa_round(grid, best_d2, s, dims)
+    if converge:
+        grid, best_d2 = _converge_step1(grid, best_d2, dims)
     return grid.reshape(-1)
 
 
@@ -286,9 +311,10 @@ def jump_flood_multires(
     up = jnp.repeat(jnp.repeat(jnp.repeat(cg, c, axis=0), c, axis=1), c, axis=2)
     grid, d2 = _merge(grid, d2, up, dims)
 
-    # --- short-range fine refinement ----------------------------------------
+    # --- short-range fine refinement + fixpoint repair -----------------------
     for s in fine_steps:
         grid, d2 = _jfa_round(grid, d2, s, dims)
+    grid, d2 = _converge_step1(grid, d2, dims)
     return grid.reshape(-1)
 
 

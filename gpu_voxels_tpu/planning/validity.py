@@ -79,6 +79,56 @@ class GvlValidityChecker:
         return np.asarray(f(jnp.asarray(cfgs, jnp.float32), self.env.data))
 
 
+class HierarchicalValidityChecker(GvlValidityChecker):
+    """Validity against a hierarchical map (config: octree-tier map vs
+    voxellist intersection inside motion checks at high effective
+    resolution). Probes descend the status pyramid per robot voxel, so
+    mostly-uniform space costs a single coarse gather."""
+
+    def __init__(self, env_map, robot, max_colliding_voxels: int = 0, min_level: int = 0):
+        self.env = env_map
+        self.robot = robot
+        self.max_colliding = int(max_colliding_voxels)
+        self.min_level = int(min_level)
+        self._check = jax.jit(self._build_check())
+
+    def _build_check(self):
+        env = self.env
+        robot = self.robot
+        min_level = self.min_level
+        dims = env.dims
+
+        def colliding_voxels(cfg, _env_data):
+            clouds = robot.transformed_clouds_for(cfg)
+            coords = map_to_voxels(clouds.points, env.side_length)
+            dims_arr = jnp.asarray(dims, jnp.int32)
+            inside = jnp.all((coords >= 0) & (coords < dims_arr), axis=-1)
+            coords = jnp.clip(coords, 0, dims_arr - 1)
+            occ, _, _ = env.probe(coords, min_level)
+            # distinct colliding voxels via sort (a one-hot grid would cost a
+            # full-resolution array per check at 1024^3)
+            dx, dy, _ = dims
+            lin = (
+                coords[:, 2].astype(jnp.uint32) * jnp.uint32(dx * dy)
+                + coords[:, 1].astype(jnp.uint32) * jnp.uint32(dx)
+                + coords[:, 0].astype(jnp.uint32)
+            )
+            hit = occ & inside
+            key = jnp.where(hit, lin, jnp.uint32(0xFFFFFFFF))
+            key = jnp.sort(key)
+            first = jnp.concatenate([jnp.ones((1,), bool), key[1:] != key[:-1]])
+            return jnp.sum(first & (key != jnp.uint32(0xFFFFFFFF)), dtype=jnp.uint32)
+
+        return colliding_voxels
+
+    def colliding_voxels(self, cfg) -> int:
+        return int(self._check(jnp.asarray(cfg, jnp.float32), None))
+
+    def batch_colliding_voxels(self, cfgs) -> np.ndarray:
+        f = jax.jit(jax.vmap(self._check, in_axes=(0, None)))
+        return np.asarray(f(jnp.asarray(cfgs, jnp.float32), None))
+
+
 class MotionValidator:
     """checkMotion (motion_check prefix): interpolate + batch validate."""
 

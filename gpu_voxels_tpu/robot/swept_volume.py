@@ -48,3 +48,57 @@ def insert_swept_volume(
             clouds = robot.get_transformed_clouds()
         m = m.insert_point_cloud(clouds.points, sv_meaning_for_step(step, num_ids))
     return m
+
+
+def insert_swept_volume_batched(
+    bitmap: BitVectorVoxelMap,
+    robot,
+    trajectory,
+    num_ids: int = NUM_SV_IDS - 1,
+) -> BitVectorVoxelMap:
+    """Whole-trajectory swept-volume insert as ONE fused program.
+
+    FK for all T configurations runs vmapped, and all T*P points scatter in a
+    single pass: (voxel, meaning) pairs are deduplicated by sort so the
+    one-hot bit values can be scatter-ADDED (sum of distinct powers of two ==
+    OR). Equivalent to insert_swept_volume; scales to long trajectories
+    without per-step dispatch.
+
+    Requires robot.transformed_clouds_for (pure FK) and an array trajectory
+    [T, n_joints].
+    """
+    from ..ops.insert import voxelize
+
+    traj = jnp.asarray(trajectory, jnp.float32)
+    T = traj.shape[0]
+
+    pts = jax.vmap(lambda cfg: robot.transformed_clouds_for(cfg).points)(traj)  # [T,P,3]
+    P = pts.shape[1]
+    meanings = (
+        SV_START + (jnp.arange(T, dtype=jnp.int32) % jnp.int32(num_ids))
+    )[:, None].repeat(P, axis=1)
+
+    idx, _ = voxelize(pts.reshape(-1, 3), bitmap.side_length, bitmap.dims)
+    meaning = meanings.reshape(-1)
+    n = bitmap.voxelmap_size
+
+    # dedup (voxel, meaning) pairs: sort by a fused key, keep first of runs
+    key = idx.astype(jnp.uint32) * jnp.uint32(256) + meaning.astype(jnp.uint32)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    idx_s = idx[order]
+    meaning_s = meaning[order]
+    word = jnp.where(first, jnp.uint32(1) << (meaning_s.astype(jnp.uint32) & 31), 0)
+    plane = meaning_s >> 5
+
+    data = bitmap.data
+    out_planes = []
+    for p in range(data.shape[0]):
+        sel = jnp.where((plane == p) & first, word, jnp.uint32(0))
+        tgt = jnp.where((plane == p) & first & (idx_s < n), idx_s, n)
+        delta = jnp.zeros((n,), jnp.uint32).at[tgt].add(sel, mode="drop")
+        out_planes.append(data[p] | delta)
+    from dataclasses import replace
+
+    return replace(bitmap, data=jnp.stack(out_planes, axis=0))

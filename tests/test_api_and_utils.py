@@ -210,3 +210,43 @@ def test_hierarchical_disk_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(back.occupancy), np.asarray(h.occupancy))
         for a, b in zip(back.pyramid, h.pyramid):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hierarchical_validity_checker():
+    from gpu_voxels_tpu.maps.hierarchical import HierarchicalProbMap
+    from gpu_voxels_tpu.planning import MotionValidator
+    from gpu_voxels_tpu.planning.validity import HierarchicalValidityChecker
+    from gpu_voxels_tpu.robot.dh import DHParameters, KinematicChain
+
+    params = [DHParameters(0, 0, 0.0, 0), DHParameters(0, 0, 1.0, 0), DHParameters(0, 0, 0.0, 0)]
+    clouds = MetaPointCloud.from_clouds(
+        [np.linspace([4.1, 4.0, 4.0], [4.9, 4.0, 4.0], 5).astype(np.float32)], names=("fore",)
+    )
+    # cloud on "fore" sees joints 1+2... but cloud coords here are absolute;
+    # use a simple 1-link arm whose cloud rotates about the origin instead
+    params = [DHParameters(0, 0, 0.0, 0), DHParameters(0, 0, 0.0, 0)]
+    clouds = MetaPointCloud.from_clouds(
+        [np.linspace([1.1, 0.0, 0.0], [1.9, 0.0, 0.0], 5).astype(np.float32)], names=("l2",)
+    )
+    arm = KinematicChain(["l1", "l2"], params, clouds)
+
+    class Based:
+        def transformed_clouds_for(self, cfg):
+            import jax.numpy as jnp
+            from dataclasses import replace
+
+            full = jnp.concatenate([jnp.asarray(cfg, jnp.float32), jnp.zeros((1,))])
+            c = arm.transformed_clouds_for(full)
+            return replace(c, points=c.points + jnp.asarray([4.0, 4.0, 4.0]))
+
+    env = HierarchicalProbMap.create((16, 16, 16), 0.5).insert_point_cloud(
+        np.array([[5.8, 4.1, 4.1]], np.float32)
+    )
+    checker = HierarchicalValidityChecker(env, Based())
+    assert checker.colliding_voxels(np.array([0.0], np.float32)) >= 1  # +x blocked
+    assert checker.colliding_voxels(np.array([np.pi / 2], np.float32)) == 0
+    mv = MotionValidator(checker, resolution=0.1)
+    ok, _ = mv.check_motion([np.pi / 2], [np.pi])
+    assert ok
+    bad, _ = mv.check_motion([-0.5], [0.5])
+    assert not bad

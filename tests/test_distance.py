@@ -137,3 +137,22 @@ def test_merge_occupied_from_prob_map():
     m = DistanceVoxelMap.create(DIMS).merge_occupied(pm).jump_flood()
     assert int(m.get_squared_obstacle_distance(3, 3, 3)) == 0
     assert int(m.get_squared_obstacle_distance(3, 3, 5)) == 4
+
+
+@pytest.mark.parametrize("n_obs", [60, 500])
+def test_converged_jfa_exact_at_scale(n_obs):
+    """Denser scenes at 64^3 where plain JFA/multires show rare errors; the
+    step-1 fixpoint repair must make both exactly match brute force."""
+    from gpu_voxels_tpu.ops import edt
+    import jax.numpy as jnp
+
+    dims = (64, 64, 64)
+    rng = np.random.default_rng(n_obs)
+    obs = np.unique(rng.integers(0, 64, (n_obs, 3)), axis=0)
+    mask = np.zeros(64 ** 3, bool)
+    mask[obs[:, 2] * 64 * 64 + obs[:, 1] * 64 + obs[:, 0]] = True
+    packed = edt.init_from_obstacle_mask(jnp.asarray(mask), dims)
+    expect = np_exact_sqdist(obs, dims)
+    for fn in (edt.jump_flood, edt.jump_flood_multires):
+        got = np.asarray(edt.squared_distance_grid(fn(packed, dims), dims))
+        np.testing.assert_array_equal(got, expect, err_msg=fn.__name__)

@@ -141,3 +141,14 @@ def test_self_collision_check():
     assert bool(clash)
     _, clash = m.insert_meta_point_cloud_with_self_collision_check(separate)
     assert not bool(clash)
+
+
+def test_batched_swept_volume_matches_loop():
+    from gpu_voxels_tpu.robot.swept_volume import insert_swept_volume_batched
+
+    arm = two_link_arm()
+    traj = np.stack([np.array([t, 0.0], np.float32) for t in np.linspace(0, np.pi / 2, 5)])
+    base = BitVectorVoxelMap.create((8, 8, 8), 0.25)
+    looped = insert_swept_volume(base, arm, list(traj))
+    batched = insert_swept_volume_batched(base, arm, traj)
+    np.testing.assert_array_equal(np.asarray(looped.data), np.asarray(batched.data))
