@@ -93,14 +93,17 @@ class HierarchicalValidityChecker(GvlValidityChecker):
         self._check = jax.jit(self._build_check())
 
     def _build_check(self):
-        env = self.env
+        # NOTE: the env map is a jit ARGUMENT (a pytree), never a closure —
+        # closed-over gigabyte pyramids would be baked into the program as
+        # constants (and overflow this environment's remote compiler)
         robot = self.robot
         min_level = self.min_level
-        dims = env.dims
+        dims = self.env.dims
+        side = self.env.side_length
 
-        def colliding_voxels(cfg, _env_data):
+        def colliding_voxels(cfg, env):
             clouds = robot.transformed_clouds_for(cfg)
-            coords = map_to_voxels(clouds.points, env.side_length)
+            coords = map_to_voxels(clouds.points, side)
             dims_arr = jnp.asarray(dims, jnp.int32)
             inside = jnp.all((coords >= 0) & (coords < dims_arr), axis=-1)
             coords = jnp.clip(coords, 0, dims_arr - 1)
@@ -122,11 +125,11 @@ class HierarchicalValidityChecker(GvlValidityChecker):
         return colliding_voxels
 
     def colliding_voxels(self, cfg) -> int:
-        return int(self._check(jnp.asarray(cfg, jnp.float32), None))
+        return int(self._check(jnp.asarray(cfg, jnp.float32), self.env))
 
     def batch_colliding_voxels(self, cfgs) -> np.ndarray:
         f = jax.jit(jax.vmap(self._check, in_axes=(0, None)))
-        return np.asarray(f(jnp.asarray(cfgs, jnp.float32), None))
+        return np.asarray(f(jnp.asarray(cfgs, jnp.float32), self.env))
 
 
 class MotionValidator:

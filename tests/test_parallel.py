@@ -46,3 +46,24 @@ def test_sharded_collide_presharded():
     got = int(sharded_collide_count(mesh, a, b, 0, 0))
     expect = int(((np.asarray(a).astype(int) >= 0) & (np.asarray(b).astype(int) >= 0)).sum())
     assert got == expect
+
+
+def test_sharded_edt_matches_single_device():
+    import jax.numpy as jnp
+    from gpu_voxels_tpu.ops import edt
+    from gpu_voxels_tpu.parallel.sharded_edt import build_sharded_edt
+
+    dims = (32, 32, 64)  # z sharded over 8 -> slabs of 8
+    n = dims[0] * dims[1] * dims[2]
+    rng = np.random.default_rng(5)
+    mask = np.zeros(n, bool)
+    mask[rng.integers(0, n, 300)] = True
+    packed = edt.init_from_obstacle_mask(jnp.asarray(mask), dims)
+
+    mesh = make_grid_mesh(8, world=1)
+    fn = build_sharded_edt(mesh, dims, coarse_factor=4, fine_steps=(8, 4, 2, 1, 1))
+    sharded = fn(packed)
+    single = edt.jump_flood_multires(packed, dims)
+    d_sh = np.asarray(edt.squared_distance_grid(sharded, dims))
+    d_si = np.asarray(edt.squared_distance_grid(single, dims))
+    np.testing.assert_array_equal(d_sh, d_si)
