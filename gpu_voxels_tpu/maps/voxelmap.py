@@ -159,6 +159,26 @@ class ProbVoxelMap(_DenseMap):
         )
         return replace(self, data=new)
 
+    def insert_depth_image(self, depth, sensor) -> "ProbVoxelMap":
+        """Projective sensor update from a depth image + Sensor model: hits
+        plus visibility-carved free space in one fused pass (the fast path;
+        see ops/raycast.insert_depth_image)."""
+        from ..ops import raycast
+
+        new = raycast.insert_depth_image(
+            self.data,
+            jnp.asarray(depth, jnp.float32),
+            sensor.pose(),
+            sensor.fx,
+            sensor.fy,
+            sensor.cx,
+            sensor.cy,
+            self.side_length,
+            self.dims,
+            invalid_value=sensor.invalid_value,
+        )
+        return replace(self, data=new)
+
     # -- collision ----------------------------------------------------------
     def collide_with(self, other, coll_threshold: float = 1.0, offset=(0, 0, 0)):
         """collideWith returning the collision count (ProbVoxelMap.hpp:144-155).

@@ -70,6 +70,63 @@ def ray_crossing_counts(
     return jax.lax.fori_loop(0, max_steps, body, counts)
 
 
+def projective_free_space(
+    depth: jnp.ndarray,
+    pose: jnp.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    side_length: float,
+    dims: Dims,
+    invalid_value: float = 0.0,
+    eps_vox: float = 1.0,
+) -> jnp.ndarray:
+    """bool[N]: voxels observed free by a depth camera (visibility carving).
+
+    The per-ray DDA walk costs K sequential scatter rounds; for a single
+    depth camera the union of all rays' free cells IS the camera's visibility
+    volume, so carve it the other way around: project every voxel center into
+    the image and compare against the measured depth — one fused pass over
+    the grid plus gathers from the (tiny) depth image, independent of ray
+    count. (SURVEY.md §7.5's "wavefront/distance-based free-space carving".)
+
+    A voxel is free iff it projects inside the FOV, lies in front of the
+    camera, and sits at least eps_vox voxels closer than the measurement
+    (invalid pixels carve nothing).
+    """
+    h, w = depth.shape
+    pose = jnp.asarray(pose, jnp.float32)
+    rot_t = pose[:3, :3].T
+    origin = pose[:3, 3]
+
+    dx, dy, dz = dims
+    # voxel centers in world, streamed as a fused iota computation
+    zi = jax.lax.broadcasted_iota(jnp.float32, (dz, dy, dx), 0)
+    yi = jax.lax.broadcasted_iota(jnp.float32, (dz, dy, dx), 1)
+    xi = jax.lax.broadcasted_iota(jnp.float32, (dz, dy, dx), 2)
+    side = jnp.float32(side_length)
+    wx = (xi + 0.5) * side - origin[0]
+    wy = (yi + 0.5) * side - origin[1]
+    wz = (zi + 0.5) * side - origin[2]
+    # sensor frame (camera looks along +z of its frame)
+    sx = rot_t[0, 0] * wx + rot_t[0, 1] * wy + rot_t[0, 2] * wz
+    sy = rot_t[1, 0] * wx + rot_t[1, 1] * wy + rot_t[1, 2] * wz
+    sz = rot_t[2, 0] * wx + rot_t[2, 1] * wy + rot_t[2, 2] * wz
+
+    in_front = sz > jnp.float32(1e-6)
+    safe_z = jnp.where(in_front, sz, 1.0)
+    u = jnp.floor(fx * sx / safe_z + cx).astype(jnp.int32)
+    v = jnp.floor(fy * sy / safe_z + cy).astype(jnp.int32)
+    in_fov = in_front & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    ui = jnp.clip(u, 0, w - 1)
+    vi = jnp.clip(v, 0, h - 1)
+    d = depth[vi, ui]
+    valid = d != invalid_value
+    free = in_fov & valid & (sz < d - eps_vox * side)
+    return free.reshape(-1)
+
+
 def insert_sensor_data(
     data: jnp.ndarray,
     sensor_origin,
@@ -107,6 +164,46 @@ def insert_sensor_data(
 
     # only touched voxels update — the clamp floor (-127) must not lift
     # untouched UNKNOWN (-128) voxels
+    return jnp.where(delta != 0, probability.update_occupancy(data, delta), data)
+
+
+def insert_depth_image(
+    data: jnp.ndarray,
+    depth: jnp.ndarray,
+    pose: jnp.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    side_length: float,
+    dims: Dims,
+    invalid_value: float = 0.0,
+    cut_real_robot: bool = False,
+    robot_occupied_mask=None,
+) -> jnp.ndarray:
+    """Full projective sensor update: occupied hits (+72 per measurement) and
+    visibility-carved free space (-10) in one fused program. The fast path
+    for dense depth cameras; insert_sensor_data's DDA walk remains for
+    sparse/arbitrary point sets."""
+    pts = depth_image_to_point_cloud(depth, fx, fy, cx, cy, invalid_value)
+    from ..geometry import transforms
+
+    world = transforms.transform_points(jnp.asarray(pose, jnp.float32), pts)
+    n = dims[0] * dims[1] * dims[2]
+    finite = jnp.all(jnp.isfinite(world), axis=-1)
+    coords = map_to_voxels(jnp.where(finite[:, None], world, -1.0), side_length)
+    dims_arr = jnp.asarray(dims, jnp.int32)
+    inside = finite & jnp.all((coords >= 0) & (coords < dims_arr), axis=-1)
+    idx = jnp.where(inside, linear_index(coords, dims), n)
+    hit_counts = jnp.zeros((n,), jnp.int32).at[idx].add(1, mode="drop")
+    if cut_real_robot and robot_occupied_mask is not None:
+        hit_counts = jnp.where(robot_occupied_mask, 0, hit_counts)
+    free = projective_free_space(
+        depth, pose, fx, fy, cx, cy, side_length, dims, invalid_value
+    )
+    delta = hit_counts * SENSOR_MODEL_OCCUPIED + jnp.where(
+        free & (hit_counts == 0), SENSOR_MODEL_FREE, 0
+    )
     return jnp.where(delta != 0, probability.update_occupancy(data, delta), data)
 
 

@@ -101,3 +101,42 @@ def test_full_kinect_style_cycle():
 
     cnt = int(cycle(jnp.asarray(depth)))
     assert cnt in (0, 1)
+
+
+def test_projective_carving_matches_dda_on_axis_ray():
+    """A single axis-aligned ray: projective visibility and the DDA walk
+    must carve the same cells (modulo the sensor's own voxel)."""
+    from gpu_voxels_tpu.sensors import Sensor
+
+    # camera at (0.5, 4.5, 4.5) looking... build a pose mapping camera +z to
+    # world +x: R = [[0,0,1],[1,0,0],[0,1,0]] columns = camera axes in world
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], np.float32)
+    pose[:3, 3] = [0.5, 4.5, 4.5]
+    depth = np.full((3, 3), 8.0, np.float32)  # 3x3 image, all rays 8m
+    m = ProbVoxelMap.create(DIMS)
+    from gpu_voxels_tpu.ops import raycast as rc
+    new = rc.insert_depth_image(
+        m.data, jnp.asarray(depth), jnp.asarray(pose), 300.0, 300.0, 1.5, 1.5, 1.0, DIMS
+    )
+    d = np.asarray(new).reshape(16, 16, 16)
+    # all 9 near-parallel rays hit voxel x=8: 9 * 72 clamps to 127
+    assert d[4, 4, 8] == 127
+    # voxels x=1..6 on the ray carved free (x=7 is within eps of the hit)
+    for x in range(1, 7):
+        assert d[4, 4, x] == -127, x
+    # far-off voxels untouched
+    assert d[10, 10, 10] == -128
+
+
+def test_projective_invalid_pixels_carve_nothing():
+    from gpu_voxels_tpu.ops import raycast as rc
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], np.float32)
+    pose[:3, 3] = [0.5, 4.5, 4.5]
+    depth = np.zeros((3, 3), np.float32)  # all invalid
+    free = np.asarray(
+        rc.projective_free_space(jnp.asarray(depth), jnp.asarray(pose), 300.0, 300.0, 1.5, 1.5, 1.0, DIMS)
+    )
+    assert free.sum() == 0
