@@ -57,3 +57,8 @@ def test_primitive_array():
 
 def test_ompl_planning_demo():
     assert _run("ompl_planning_demo")
+
+
+def test_distance_kinect_demo():
+    c = _run("distance_kinect_demo")
+    assert c is not None and c >= 0.0
