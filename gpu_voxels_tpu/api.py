@@ -234,6 +234,48 @@ class GpuVoxels:
     def get_primitives(self, array_name: str) -> PrimitiveArray:
         return self._prim_arrays[array_name]
 
+    # -- persistence ---------------------------------------------------------
+    def save_map(self, map_name: str, path) -> bool:
+        """Map writeToDisk via the facade (reference binary formats)."""
+        from .maps.hierarchical import HierarchicalProbMap
+        from .maps.voxellist import VoxelList
+        from .utils import io as map_io
+
+        m = self._maps[map_name]
+        if isinstance(m, VoxelList):
+            map_io.write_voxel_list(m, path)
+        elif isinstance(m, HierarchicalProbMap):
+            map_io.write_hierarchical_map(m, path)
+        else:
+            map_io.write_voxel_map(m, path)
+        return True
+
+    def load_map(self, map_name: str, path) -> bool:
+        """Map readFromDisk via the facade; rebinds the named map."""
+        from .constants import MapType as MT
+        from .utils import io as map_io
+
+        import numpy as np_
+
+        with open(path, "rb") as f:
+            map_type = MT(int(np_.frombuffer(f.read(4), "<i4")[0]))
+        if map_type in (MT.MT_PROBAB_OCTREE, MT.MT_BITVECTOR_OCTREE):
+            m = map_io.read_hierarchical_map(path)
+        elif map_type in (
+            MT.MT_BITVECTOR_VOXELLIST,
+            MT.MT_BITVECTOR_MORTON_VOXELLIST,
+            MT.MT_PROBAB_VOXELLIST,
+            MT.MT_PROBAB_MORTON_VOXELLIST,
+            MT.MT_COUNTING_VOXELLIST,
+        ):
+            m = map_io.read_voxel_list(path)
+        else:
+            m = map_io.read_voxel_map(path)
+        self._maps[map_name] = m
+        self._locks.setdefault(map_name, threading.RLock())
+        self._vis.setdefault(map_name, VisProvider(map_name))
+        return True
+
     # -- visualization -----------------------------------------------------------
     def visualize_map(self, map_name: str, force_repaint: bool = True) -> bool:
         return self._vis[map_name].visualize(self._maps[map_name], force_repaint)

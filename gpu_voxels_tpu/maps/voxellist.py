@@ -329,6 +329,34 @@ class VoxelList:
         mine = self._entry_occupied()
         return jnp.sum(occ & valid & mine, dtype=jnp.uint32)
 
+    def collide_with_type_mask(
+        self, dense_map, types_to_check, coll_threshold: float = 1.0, offset=(0, 0, 0)
+    ):
+        """collideWithTypeMask (BitVoxelList.hpp:219-262): like the dense-map
+        collide, but only list entries whose bit vector intersects the given
+        type mask participate. `types_to_check` is a uint32[8] plane vector
+        (use bitops.set_bit on bitops.zeros(()))."""
+        assert self.kind == KIND_BIT
+        mask = jnp.asarray(types_to_check, jnp.uint32).reshape(NUM_BIT_PLANES, 1)
+        matches = ~bitops.is_zero(self.payload & mask)
+        from ..constants import float_to_probability
+        from .voxelmap import BitVectorVoxelMap, ProbVoxelMap
+
+        lin = self.ids
+        if tuple(offset) != (0, 0, 0):
+            lin = lin + jnp.uint32(np.uint32(linear_offset(offset, dense_map.dims)))
+        n = dense_map.voxelmap_size
+        valid = (lin < n) & (self.ids != EMPTY_ID)
+        idx = jnp.where(valid, lin, 0).astype(jnp.int32)
+        if isinstance(dense_map, ProbVoxelMap):
+            t = float_to_probability(coll_threshold)
+            occ = dense_map.data[idx].astype(jnp.int32) >= t
+        elif isinstance(dense_map, BitVectorVoxelMap):
+            occ = bitops.occupied(dense_map.data[:, idx])
+        else:
+            raise TypeError(type(dense_map))
+        return jnp.sum(occ & valid & matches, dtype=jnp.uint32)
+
     def _entry_occupied(self) -> jnp.ndarray:
         if self.kind == KIND_BIT:
             return bitops.occupied(self.payload)

@@ -90,3 +90,65 @@ def test_swept_fitter_example():
     import swept_fitter
 
     assert swept_fitter.main() == 3
+
+
+def test_provider_contract():
+    from gpu_voxels_tpu.providers import Provider
+    from gpu_voxels_tpu.sensors import Sensor, SyntheticDepthSource
+
+    sensor = Sensor(position=np.array([8.0, 8.0, 0.2], np.float32), data_width=16,
+                    data_height=12, fx=10.0, fy=10.0, cx=8.0, cy=6.0)
+    env = Provider("env")
+    env.init(ProbVoxelMap.create((16, 16, 16), 1.0))
+    robot = Provider("robot")
+    robot.init(BitVectorVoxelMap.create((16, 16, 16), 1.0).insert_point_cloud(
+        np.array([[8.5, 8.5, 4.5]], np.float32)))
+    robot.set_collide_with(env)
+    src = SyntheticDepthSource(sensor)
+    assert env.wait_for_new_data(src, sensor)
+    assert robot.collide() >= 0
+
+
+def test_collide_with_type_mask():
+    from gpu_voxels_tpu import bitops
+    from gpu_voxels_tpu.maps.voxellist import bit_vector_voxel_list
+
+    pts = np.array([[2.5, 2.5, 2.5], [4.5, 4.5, 4.5]], np.float32)
+    lst = bit_vector_voxel_list((8, 8, 8)).insert_point_cloud(pts[:1], 50)
+    lst = lst.insert_point_cloud(pts[1:], 60)
+    env = ProbVoxelMap.create((8, 8, 8)).insert_point_cloud(pts)
+    mask50 = np.asarray(bitops.set_bit(bitops.zeros(()), 50))
+    mask70 = np.asarray(bitops.set_bit(bitops.zeros(()), 70))
+    assert int(lst.collide_with_type_mask(env, mask50, 0.5)) == 1
+    assert int(lst.collide_with_type_mask(env, mask70, 0.5)) == 0
+    both = np.asarray(bitops.set_bit(bitops.set_bit(bitops.zeros(()), 50), 60))
+    assert int(lst.collide_with_type_mask(env, both, 0.5)) == 2
+
+
+def test_counting_list_subtract_bit_list():
+    """subtractFromCountingVoxelList: remove bit-list voxels (e.g. the robot)
+    from a counting list before density filtering."""
+    from gpu_voxels_tpu.maps.voxellist import bit_vector_voxel_list, counting_voxel_list
+
+    pts = np.array([[1.5, 1.5, 1.5], [2.5, 2.5, 2.5]], np.float32)
+    c = counting_voxel_list((8, 8, 8)).insert_point_cloud(pts)
+    robot = bit_vector_voxel_list((8, 8, 8)).insert_point_cloud(pts[:1], 50)
+    out = c.subtract(robot)
+    assert int(out.count) == 1
+    coords = np.asarray(out.coords_from_ids(out.ids[:1]))
+    assert coords[0].tolist() == [2, 2, 2]
+
+
+def test_facade_save_load(tmp_path):
+    from gpu_voxels_tpu.api import GpuVoxels
+    from gpu_voxels_tpu.constants import MapType
+
+    GpuVoxels._instance = None
+    gvl = GpuVoxels.get_instance()
+    gvl.initialize(16, 16, 16, 1.0)
+    gvl.add_map(MapType.MT_PROBAB_VOXELMAP, "env")
+    gvl.insert_point_cloud_into_map(np.array([[3.5, 3.5, 3.5]], np.float32), "env")
+    gvl.save_map("env", tmp_path / "env.bin")
+    gvl.add_map(MapType.MT_PROBAB_VOXELMAP, "env2")
+    gvl.load_map("env2", tmp_path / "env.bin")
+    assert int(gvl.get_map("env2").collide_with(gvl.get_map("env"), 0.5)) == 1

@@ -62,3 +62,7 @@ def test_ompl_planning_demo():
 def test_distance_kinect_demo():
     c = _run("distance_kinect_demo")
     assert c is not None and c >= 0.0
+
+
+def test_octree_bench():
+    assert _run("octree_bench") >= 0
