@@ -152,3 +152,30 @@ def test_batched_swept_volume_matches_loop():
     looped = insert_swept_volume(base, arm, list(traj))
     batched = insert_swept_volume_batched(base, arm, traj)
     np.testing.assert_array_equal(np.asarray(looped.data), np.asarray(batched.data))
+
+
+def test_ur_presets_reach_and_sweep():
+    from gpu_voxels_tpu.robot.presets import ur_robot
+
+    for model, reach in (("ur3", 0.5), ("ur5", 0.85), ("ur10", 1.1)):
+        arm = ur_robot(model, spacing=0.04)
+        arm.set_configuration({n: 0.0 for n in arm.get_joint_names()})
+        pts = np.asarray(arm.get_transformed_clouds().points)
+        r = np.linalg.norm(pts, axis=1).max()
+        # stretched-out reach should be in the right ballpark
+        assert reach * 0.8 < r < reach * 1.8, (model, r)
+
+    # moving the shoulder pan rotates everything after the base column
+    arm = ur_robot("ur10", spacing=0.05)
+    arm.set_configuration({"shoulder_pan_joint": 0.0})
+    p0 = np.asarray(arm.get_transformed_clouds().points)
+    arm.set_configuration({"shoulder_pan_joint": np.pi / 2})
+    p1 = np.asarray(arm.get_transformed_clouds().points)
+    assert np.abs(p0 - p1).max() > 0.1
+
+    # insert into a map and self-collide count > 0
+    arm.set_configuration({n: 0.3 for n in arm.get_joint_names()})
+    m = BitVectorVoxelMap.create((64, 64, 64), 0.05).insert_point_cloud(
+        np.asarray(arm.get_transformed_clouds().points) + 1.5
+    )
+    assert int(m.collide_with(m)) > 10
