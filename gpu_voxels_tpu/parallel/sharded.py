@@ -100,6 +100,76 @@ def build_sharded_cycle(
     return jax.jit(fn)
 
 
+def build_sharded_sensor_cycle(
+    mesh: Mesh,
+    dims: Tuple[int, int, int],
+    side_length: float,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    coll_threshold: float = 0.7,
+):
+    """Multi-chip sensor fusion: depth image -> hits + projective free-space
+    carve -> collide vs a z-sharded environment grid.
+
+    The depth image is tiny and replicated; each chip carves only its own
+    slab's voxels (visibility is per-voxel, embarrassingly shard-parallel)
+    and scatters the hits landing in its slab. Returns a jitted
+    fn(depth [H,W], pose [4,4], env_flat int8[N] sharded) -> collision count.
+    """
+    from ..constants import SENSOR_MODEL_FREE, SENSOR_MODEL_OCCUPIED
+    from .. import probability
+    from ..ops.raycast import depth_image_to_point_cloud, projective_free_space
+    from ..geometry import transforms
+
+    dx, dy, dz = dims
+    nz = mesh.shape["z"]
+    if dz % nz:
+        raise ValueError("dimz must divide the z mesh")
+    zl = dz // nz
+    t = float_to_probability(coll_threshold)
+
+    def _shard_fn(depth, pose, env_local):
+        zi = jax.lax.axis_index("z")
+        z0 = zi * zl
+        # endpoints (replicated compute: cheap vs the grid work)
+        pts = depth_image_to_point_cloud(depth, fx, fy, cx, cy)
+        world = transforms.transform_points(pose, pts)
+        local_dims = (dx, dy, zl)
+        finite = jnp.all(jnp.isfinite(world), axis=-1)
+        coords = map_to_voxels(jnp.where(finite[:, None], world, -1.0), side_length)
+        inside = (
+            finite
+            & (coords[:, 0] >= 0) & (coords[:, 0] < dx)
+            & (coords[:, 1] >= 0) & (coords[:, 1] < dy)
+            & (coords[:, 2] >= z0) & (coords[:, 2] < z0 + zl)
+        )
+        lidx = (coords[:, 2] - z0) * (dx * dy) + coords[:, 1] * dx + coords[:, 0]
+        lidx = jnp.where(inside, lidx, zl * dx * dy)
+        hits = jnp.zeros((zl * dy * dx,), jnp.int32).at[lidx].add(1, mode="drop")
+
+        # per-slab projective carve: shift the pose into slab coordinates by
+        # moving the sensor origin (grid z starts at z0 * side)
+        slab_pose = pose.at[2, 3].add(-z0 * jnp.float32(side_length))
+        free = projective_free_space(
+            depth, slab_pose, fx, fy, cx, cy, side_length, local_dims
+        )
+        delta = hits * SENSOR_MODEL_OCCUPIED + jnp.where(
+            free & (hits == 0), SENSOR_MODEL_FREE, 0
+        )
+        local = jnp.full((zl * dy * dx,), jnp.int8(UNKNOWN_PROBABILITY))
+        local = jnp.where(delta != 0, probability.update_occupancy(local, delta), local)
+
+        hit = (local.astype(jnp.int32) >= t) & (env_local.astype(jnp.int32) >= t)
+        return jax.lax.psum(jnp.sum(hit, dtype=jnp.uint32), "z")
+
+    fn = jax.shard_map(
+        _shard_fn, mesh=mesh, in_specs=(P(), P(), P("z")), out_specs=P()
+    )
+    return jax.jit(fn)
+
+
 def sharded_collide_count(mesh: Mesh, data_a: jnp.ndarray, data_b: jnp.ndarray, t1: int, t2: int):
     """Collide two already-sharded flat prob grids (z-major) -> scalar count."""
 

@@ -67,3 +67,36 @@ def test_sharded_edt_matches_single_device():
     d_sh = np.asarray(edt.squared_distance_grid(sharded, dims))
     d_si = np.asarray(edt.squared_distance_grid(single, dims))
     np.testing.assert_array_equal(d_sh, d_si)
+
+
+def test_sharded_sensor_cycle_matches_single_device():
+    import jax.numpy as jnp
+    from gpu_voxels_tpu.maps.voxelmap import ProbVoxelMap
+    from gpu_voxels_tpu.ops import raycast
+    from gpu_voxels_tpu.parallel.sharded import build_sharded_sensor_cycle
+
+    dims = (32, 32, 32)
+    rng = np.random.default_rng(7)
+    depth = rng.uniform(5.0, 25.0, (12, 16)).astype(np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], np.float32)
+    pose[:3, 3] = [0.5, 16.0, 16.0]
+    env = ProbVoxelMap.create(dims).insert_point_cloud(
+        rng.uniform(0, 32, (500, 3)).astype(np.float32)
+    )
+
+    # single device reference
+    sensor_map = ProbVoxelMap.create(dims)
+    new = raycast.insert_depth_image(
+        sensor_map.data, jnp.asarray(depth), jnp.asarray(pose),
+        8.0, 8.0, 8.0, 6.0, 1.0, dims,
+    )
+    from gpu_voxels_tpu.constants import float_to_probability
+    t = float_to_probability(0.25)
+    expect = int(((np.asarray(new).astype(int) >= t) & (np.asarray(env.data).astype(int) >= t)).sum())
+
+    mesh = make_grid_mesh(8, world=1)
+    fn = build_sharded_sensor_cycle(mesh, dims, 1.0, 8.0, 8.0, 8.0, 6.0, 0.25)
+    got = int(fn(jnp.asarray(depth), jnp.asarray(pose), env.data))
+    assert got == expect
+    assert got > 0
