@@ -24,7 +24,7 @@ from .geometry.pointcloud import MetaPointCloud, PointCloud
 from .maps.distance_map import DistanceVoxelMap
 from .maps.hierarchical import HierarchicalProbMap  # noqa: F401  (factory)
 from .maps.voxellist import VoxelList
-from .maps.voxelmap import BitVectorVoxelMap, CountingVoxelMap, ProbVoxelMap
+from .maps.voxelmap import BitVectorVoxelMap, ProbVoxelMap
 from .primitive_array import PrimitiveArray, PrimitiveType
 from .robot.robot import JointValueMap, RobotInterface
 from .utils.logging import Gpu_voxels as LOG

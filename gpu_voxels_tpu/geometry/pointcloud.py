@@ -14,7 +14,7 @@ XLA op instead of one kernel launch per link (MetaPointCloud.cu:624).
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

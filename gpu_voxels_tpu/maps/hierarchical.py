@@ -32,8 +32,6 @@ import numpy as np
 
 from .. import probability
 from ..constants import (
-    SENSOR_MODEL_FREE,
-    SENSOR_MODEL_OCCUPIED,
     THRESHOLD_OCCUPANCY,
     UNKNOWN_PROBABILITY,
     BitVoxelMeaning,

@@ -24,7 +24,6 @@ import numpy as np
 
 from .. import bitops, probability
 from ..constants import (
-    MAX_PROBABILITY,
     UNKNOWN_PROBABILITY,
     BitVoxelMeaning,
     MapType,

@@ -15,8 +15,6 @@ either side is out of range contribute nothing.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 
 from .. import bitops

@@ -16,7 +16,6 @@ data-parallel over the remaining chips.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

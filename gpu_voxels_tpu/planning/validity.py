@@ -12,7 +12,7 @@ one-insert-one-collide-per-state loop.
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

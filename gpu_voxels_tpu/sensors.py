@@ -8,7 +8,7 @@ contract the Kinect grabber fills (a host buffer of the latest frame).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Iterator, Optional
+from typing import Optional
 
 import numpy as np
 

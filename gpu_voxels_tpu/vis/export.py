@@ -4,8 +4,6 @@ three.js HTML viewer (the reference's OpenGL viewer equivalent, offline).
 from __future__ import annotations
 
 import json
-from typing import Optional
-
 import numpy as np
 
 from .extract import extract_cubes

@@ -10,10 +10,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
-
-from .. import bitops
 
 
 def occupied_coords(m, threshold: float = 0.5, max_cubes: Optional[int] = None) -> np.ndarray:
