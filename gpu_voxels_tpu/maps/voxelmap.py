@@ -192,6 +192,13 @@ class ProbVoxelMap(_DenseMap):
             return collide_ops.count_prob_bit(self.data, t, other.data, self.dims, off)
         raise TypeError(f"cannot collide ProbVoxelMap with {type(other)}")
 
+    def collides_with(self, other, coll_threshold: float = 1.0, offset=(0, 0, 0)):
+        """Boolean early-out collisionCheck (TemplateVoxelMap.hpp:329-414).
+
+        XLA has no early exit, but the fused any() sweep is already at
+        bandwidth; returns a device bool."""
+        return collide_ops.any_collision(self.collide_with(other, coll_threshold, offset))
+
     def collide_with_marking(self, other, coll_threshold: float = 1.0, offset=(0, 0, 0)):
         """Exact kernelCollideVoxelMapsDebug semantics: returns (count, map
         with eBVM_COLLISION inserted into colliding voxels)."""

@@ -66,3 +66,7 @@ def test_distance_kinect_demo():
 
 def test_octree_bench():
     assert _run("octree_bench") >= 0
+
+
+def test_full_pipeline_demo():
+    assert _run("full_pipeline_demo")
