@@ -280,6 +280,10 @@ class BitVectorVoxelMap(_DenseMap):
             return collide_ops.count_prob_bit(other.data, t, self.data, self.dims, tuple(-v for v in off))
         raise TypeError(f"cannot collide BitVectorVoxelMap with {type(other)}")
 
+    def collides_with(self, other, coll_threshold: float = 1.0, offset=(0, 0, 0)):
+        """Boolean early-out collisionCheck (TemplateVoxelMap.hpp:329-414)."""
+        return collide_ops.any_collision(self.collide_with(other, coll_threshold, offset))
+
     def collide_with_types(self, other, coll_threshold: float = 1.0, sv_window: int = 0, sv_offset: int = 0):
         """collideWithTypes (BitVoxelMap.hpp:195-210): SVCollider collision
         collecting colliding meanings. Returns (count, meanings[8] uint32,
