@@ -220,6 +220,41 @@ class HierarchicalProbMap:
             jnp.sum(unk & valid, dtype=jnp.uint32),
         )
 
+    def collide_with_hierarchical(self, other: "HierarchicalProbMap", min_level: int = 0):
+        """NTree x NTree intersection (intersect_load_balance,
+        NTree.hpp:1139): count voxels occupied in both hierarchies.
+
+        The reference's simultaneous DFS with a work-stealing balancer
+        reduces to a fused dense AND at the fine level on TPU (uniform work);
+        min_level > 0 counts coarse-node pairs instead, mirroring the
+        resolution-limited traversal."""
+        if other.padded_dims != self.padded_dims:
+            raise ValueError("hierarchies must share dimensions")
+        a = self.pyramid[min_level]
+        b = other.pyramid[min_level]
+        hit = ((a & U8(NS_OCCUPIED)) != 0) & ((b & U8(NS_OCCUPIED)) != 0)
+        return jnp.sum(hit, dtype=jnp.uint32)
+
+    def insert_depth_image(self, depth, sensor) -> "HierarchicalProbMap":
+        """Projective sensor fusion (fast path): hits + visibility-carved
+        free space on the fine grid, then one propagate pass."""
+        from ..ops import raycast
+
+        pd = self.padded_dims
+        flat = raycast.insert_depth_image(
+            self.occupancy.reshape(-1),
+            jnp.asarray(depth, jnp.float32),
+            sensor.pose(),
+            sensor.fx,
+            sensor.fy,
+            sensor.cx,
+            sensor.cy,
+            self.side_length,
+            pd,
+            invalid_value=sensor.invalid_value,
+        )
+        return self._rebuilt(flat.reshape(self.occupancy.shape))
+
     # -- maintenance -------------------------------------------------------------
     def propagate(self) -> "HierarchicalProbMap":
         """Re-establish the tree invariant (NTree::propagate). The pyramid is

@@ -111,3 +111,32 @@ def test_min_level_coarse_probe():
     assert bool(occ[0])
     occ, _, _ = h.probe(jnp.asarray([[15, 15, 15]], jnp.int32), min_level=0)
     assert not bool(occ[0])
+
+
+def test_hierarchical_x_hierarchical_collide():
+    a_pts = np.array([[4.5, 4.5, 4.5], [9.5, 9.5, 9.5]], np.float32)
+    b_pts = np.array([[4.5, 4.5, 4.5], [20.5, 20.5, 20.5]], np.float32)
+    ha = HierarchicalProbMap.create(DIMS).insert_point_cloud(a_pts)
+    hb = HierarchicalProbMap.create(DIMS).insert_point_cloud(b_pts)
+    assert int(ha.collide_with_hierarchical(hb)) == 1
+    # coarse-level pairs: both have an occupied child inside node (0,0,0)@L3
+    assert int(ha.collide_with_hierarchical(hb, min_level=3)) >= 1
+
+
+def test_hierarchical_projective_sensor():
+    from gpu_voxels_tpu.sensors import Sensor
+
+    sensor = Sensor(
+        position=np.array([0.5, 16.0, 16.0], np.float32),
+        orientation_rpy=np.array([0.0, np.pi / 2, 0.0], np.float32),  # +z -> +x? checked below
+        data_width=8, data_height=8, fx=6.0, fy=6.0, cx=4.0, cy=4.0,
+    )
+    # simpler: identity orientation looking along +z of world
+    sensor = Sensor(position=np.array([16.0, 16.0, 0.5], np.float32),
+                    data_width=8, data_height=8, fx=6.0, fy=6.0, cx=4.0, cy=4.0)
+    depth = np.full((8, 8), 10.0, np.float32)
+    h = HierarchicalProbMap.create(DIMS)
+    for _ in range(2):  # push hits over the occupancy threshold
+        h = h.insert_depth_image(depth, sensor)
+    occ, unk, free = h.probe(jnp.asarray([[16, 16, 10], [16, 16, 5]], jnp.int32))
+    assert bool(occ[0]) and bool(free[1])
