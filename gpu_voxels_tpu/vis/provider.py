@@ -33,4 +33,8 @@ class VisProvider:
         self.out_dir.mkdir(parents=True, exist_ok=True)
         export.write_ply(self.out_dir / f"{self.name}.ply", m, threshold)
         export.write_html(self.out_dir / f"{self.name}.html", {self.name: m}, threshold)
+        # feed the live viewer process (vis/serve.py) as well
+        from .serve import publish_cubes
+
+        publish_cubes(self.out_dir, self.name, m, threshold)
         return True

@@ -152,3 +152,45 @@ def test_facade_save_load(tmp_path):
     gvl.add_map(MapType.MT_PROBAB_VOXELMAP, "env2")
     gvl.load_map("env2", tmp_path / "env.bin")
     assert int(gvl.get_map("env2").collide_with(gvl.get_map("env"), 0.5)) == 1
+
+
+def test_live_viewer_publish_and_serve(tmp_path):
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import HTTPServer, SimpleHTTPRequestHandler
+
+    from gpu_voxels_tpu.vis.provider import VisProvider
+    from gpu_voxels_tpu.vis.serve import INDEX, publish_cubes
+
+    m = ProbVoxelMap.create((8, 8, 8)).insert_point_cloud(
+        np.array([[1.5, 1.5, 1.5]], np.float32)
+    )
+    vp = VisProvider("env", tmp_path)
+    vp.visualize(m)
+    manifest = _json.loads((tmp_path / "manifest.json").read_text())
+    assert manifest["maps"] == ["env"]
+    cubes = _json.loads((tmp_path / "env.cubes.json").read_text())
+    assert cubes["centers"] == [[1.5, 1.5, 1.5]]
+
+    # serve and fetch over HTTP (ephemeral port)
+    (tmp_path / "index.html").write_text(INDEX)
+
+    class Handler(SimpleHTTPRequestHandler):
+        def __init__(self, *a, **k):
+            super().__init__(*a, directory=str(tmp_path), **k)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        body = urllib.request.urlopen(f"http://127.0.0.1:{port}/env.cubes.json").read()
+        assert _json.loads(body)["side"] == 1.0
+        page = urllib.request.urlopen(f"http://127.0.0.1:{port}/index.html").read()
+        assert b"InstancedMesh" in page
+    finally:
+        srv.shutdown()
