@@ -269,15 +269,15 @@ def jump_flood_multires(
     d2 = squared_distance_grid(packed_flat, dims)
 
     # --- coarsen: per c^3 block keep the site closest to the block center ---
-    gb = grid.reshape(dz // c, c, dy // c, c, dx // c, c)
-    db = d2.reshape(dz // c, c, dy // c, c, dx // c, c)
-    # distance of each stored site to its block's center, in fine coords
-    cxg, cyg, czg = unpack(gb)
+    # (pairwise strided min-merges, one axis at a time: 6D reshapes force
+    # catastrophically padded tiled layouts on TPU at >=512^3)
+    cxg, cyg, czg = unpack(grid)
     # doubled coordinates keep the half-integer block center exact:
-    # 2*center = 2*block_index*c + (c-1)
-    bx = jax.lax.broadcasted_iota(I32, gb.shape, 4) * (2 * c) + (c - 1)
-    by = jax.lax.broadcasted_iota(I32, gb.shape, 2) * (2 * c) + (c - 1)
-    bz = jax.lax.broadcasted_iota(I32, gb.shape, 0) * (2 * c) + (c - 1)
+    # 2*center = 2*(voxel//c)*c + (c-1)
+    px, py, pz = _position_grids(dims)
+    bx = (px // c) * (2 * c) + (c - 1)
+    by = (py // c) * (2 * c) + (c - 1)
+    bz = (pz // c) * (2 * c) + (c - 1)
     uninit = (cxg == PBA_UNINITIALISED_COORD) | (cyg == PBA_UNINITIALISED_COORD) | (czg == PBA_UNINITIALISED_COORD)
     dd = (
         (2 * cxg.astype(I32) - bx) ** 2
@@ -285,11 +285,23 @@ def jump_flood_multires(
         + (2 * czg.astype(I32) - bz) ** 2
     )
     dd = jnp.where(uninit, I32(MAX_OBSTACLE_DISTANCE), dd)
-    # min over the c^3 block
-    ddf = dd.transpose(0, 2, 4, 1, 3, 5).reshape(dz // c, dy // c, dx // c, c ** 3)
-    gbf = gb.transpose(0, 2, 4, 1, 3, 5).reshape(dz // c, dy // c, dx // c, c ** 3)
-    k = jnp.argmin(ddf, axis=-1)
-    coarse_sites = jnp.take_along_axis(gbf, k[..., None], axis=-1)[..., 0]
+    coarse_sites, dd_c = grid, dd
+    halvings = 0
+    cc = c
+    while cc > 1:
+        cc //= 2
+        halvings += 1
+    for axis in (2, 1, 0):
+        for _ in range(halvings):
+            sl0 = [slice(None)] * 3
+            sl1 = [slice(None)] * 3
+            sl0[axis] = slice(0, None, 2)
+            sl1[axis] = slice(1, None, 2)
+            s0, s1 = coarse_sites[tuple(sl0)], coarse_sites[tuple(sl1)]
+            d0, d1 = dd_c[tuple(sl0)], dd_c[tuple(sl1)]
+            take = d1 < d0
+            coarse_sites = jnp.where(take, s1, s0)
+            dd_c = jnp.where(take, d1, d0)
 
     # --- coarse JFA: sites keep FINE coordinates; positions are block centers
     cdims = (dx // c, dy // c, dz // c)

@@ -118,12 +118,15 @@ def build_sharded_edt(
         zi = jax.lax.axis_index("z")
         z0 = zi * zl
 
-        # --- local coarsen (same representative rule as jump_flood_multires)
-        gb = local.reshape(zl // c, c, dy // c, c, dx // c, c)
-        cxg, cyg, czg = edt.unpack(gb)
-        bx = jax.lax.broadcasted_iota(I32, gb.shape, 4) * (2 * c) + (c - 1)
-        by = jax.lax.broadcasted_iota(I32, gb.shape, 2) * (2 * c) + (c - 1)
-        bz = (jax.lax.broadcasted_iota(I32, gb.shape, 0) + z0 // c) * (2 * c) + (c - 1)
+        # --- local coarsen (same representative rule as jump_flood_multires;
+        # strided pairwise merges avoid 6D-reshape layout blowups)
+        cxg, cyg, czg = edt.unpack(local)
+        lx = jax.lax.broadcasted_iota(I32, local.shape, 2)
+        ly = jax.lax.broadcasted_iota(I32, local.shape, 1)
+        lz = jax.lax.broadcasted_iota(I32, local.shape, 0) + z0
+        bx = (lx // c) * (2 * c) + (c - 1)
+        by = (ly // c) * (2 * c) + (c - 1)
+        bz = (lz // c) * (2 * c) + (c - 1)
         un = (
             (cxg == PBA_UNINITIALISED_COORD)
             | (cyg == PBA_UNINITIALISED_COORD)
@@ -135,10 +138,23 @@ def build_sharded_edt(
             + (2 * czg.astype(I32) - bz) ** 2
         )
         dd = jnp.where(un, I32(MAX_OBSTACLE_DISTANCE), dd)
-        ddf = dd.transpose(0, 2, 4, 1, 3, 5).reshape(zl // c, dy // c, dx // c, c ** 3)
-        gbf = gb.transpose(0, 2, 4, 1, 3, 5).reshape(zl // c, dy // c, dx // c, c ** 3)
-        k = jnp.argmin(ddf, axis=-1)
-        coarse_local = jnp.take_along_axis(gbf, k[..., None], axis=-1)[..., 0]
+        coarse_local, dd_c = local, dd
+        halvings = 0
+        cc = c
+        while cc > 1:
+            cc //= 2
+            halvings += 1
+        for axis in (2, 1, 0):
+            for _ in range(halvings):
+                sl0 = [slice(None)] * 3
+                sl1 = [slice(None)] * 3
+                sl0[axis] = slice(0, None, 2)
+                sl1[axis] = slice(1, None, 2)
+                s0, s1 = coarse_local[tuple(sl0)], coarse_local[tuple(sl1)]
+                d0, d1 = dd_c[tuple(sl0)], dd_c[tuple(sl1)]
+                take = d1 < d0
+                coarse_local = jnp.where(take, s1, s0)
+                dd_c = jnp.where(take, d1, d0)
 
         # --- gather the full coarse grid and flood it (replicated) ----------
         coarse_full = jax.lax.all_gather(coarse_local, "z", axis=0, tiled=True)

@@ -139,3 +139,34 @@ def test_or_reduce():
     stacked = a | b
     red = bitops.or_reduce(stacked, axis=0)
     assert bool(bitops.get_bit(red, 3)) and bool(bitops.get_bit(red, 77))
+
+
+@pytest.mark.parametrize("case", range(12))
+def test_bit_margin_fuzz_vs_byte_oracle(case):
+    """Broader fuzz of the margin check against the byte-level reference
+    transcription (margins and offsets across the supported envelope)."""
+    rng = np.random.default_rng(1000 + case)
+    margin = int(rng.integers(0, 7))
+    sv_offset = int(rng.integers(0, 60))
+    if (sv_offset // 8) + margin > 24:
+        sv_offset = 8 * (24 - margin)
+    n = 8
+    mk = lambda: (rng.integers(0, 2**32, (8, n), dtype=np.uint64)
+                  & rng.integers(0, 2**32, (8, n), dtype=np.uint64)).astype(np.uint32)
+    v1, v2, coll0 = mk(), mk(), mk()
+    hit, coll = bitops.bit_margin_collision_check(
+        jnp.asarray(v1), jnp.asarray(v2), jnp.asarray(coll0), margin, sv_offset
+    )
+    for i in range(n):
+        exp_hit, exp_bytes = bitops.bit_margin_collision_check_np(
+            np_bytes_from_planes(v1[:, i]),
+            np_bytes_from_planes(v2[:, i]),
+            np_bytes_from_planes(coll0[:, i]),
+            margin,
+            sv_offset,
+        )
+        np.testing.assert_array_equal(
+            np_bytes_from_planes(np.asarray(coll)[:, i]), exp_bytes,
+            err_msg=f"case {case} margin {margin} sv {sv_offset} voxel {i}",
+        )
+        assert bool(np.asarray(hit)[i]) == bool(exp_hit)
