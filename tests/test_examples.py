@@ -70,3 +70,7 @@ def test_octree_bench():
 
 def test_full_pipeline_demo():
     assert _run("full_pipeline_demo")
+
+
+def test_batch_worlds_demo():
+    assert _run("batch_worlds_demo") >= 1
