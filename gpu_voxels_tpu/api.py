@@ -284,3 +284,9 @@ class GpuVoxels:
         arr = self._prim_arrays[array_name]
         LOG.info("primitive array '%s': %d primitives ready for readback", array_name, arr.size)
         return True
+
+
+# reference-style camelCase method aliases (addMap, insertPointCloud, ...)
+from . import compat as _compat  # noqa: E402
+
+_compat.install()

@@ -250,3 +250,21 @@ def test_hierarchical_validity_checker():
     assert ok
     bad, _ = mv.check_motion([-0.5], [0.5])
     assert not bad
+
+
+def test_camelcase_compat_aliases():
+    """Reference-spelled API names resolve (migration compatibility)."""
+    gvl = fresh_gvl()
+    gvl.addMap(MapType.MT_PROBAB_VOXELMAP, "camelA")
+    gvl.addMap(MapType.MT_PROBAB_VOXELMAP, "camelB")
+    gvl.insertBoxIntoMap((0.4,) * 3, (0.8,) * 3, "camelA", BitVoxelMeaning.eBVM_OCCUPIED, 1)
+    gvl.insertBoxIntoMap((0.2,) * 3, (0.6,) * 3, "camelB", BitVoxelMeaning.eBVM_OCCUPIED, 1)
+    assert int(gvl.getMap("camelA").collideWith(gvl.getMap("camelB"))) == 8000
+    m = ProbVoxelMap.create((8, 8, 8)).insertPointCloud(
+        np.array([[1.5, 1.5, 1.5]], np.float32)
+    )
+    assert bool(m.collisionCheck(m, 0.5))
+    d = DistanceVoxelMap.create((8, 8, 8)).insertPointCloud(
+        np.array([[1.5, 1.5, 1.5]], np.float32)
+    ).parallelBanding3D()
+    assert int(d.getSquaredObstacleDistance(1, 1, 3)) == 4
