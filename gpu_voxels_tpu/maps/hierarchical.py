@@ -46,6 +46,12 @@ Dims = Tuple[int, int, int]
 NS_FREE = 1
 NS_UNKNOWN = 2
 NS_OCCUPIED = 4
+NS_PART = 8  # implicit here: a multi-bit occupancy status (Nodes.h:50-57)
+NS_LAST_LEVEL = 16
+NS_COLLISION = 32
+NS_STATIC_MAP = 64
+NS_DYNAMIC_MAP = 128
+STATUS_OCCUPANCY_MASK = NS_FREE | NS_UNKNOWN | NS_OCCUPIED
 
 U8 = jnp.uint8
 
@@ -88,13 +94,117 @@ def _build_pyramid(status0_3d: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
 
 
 def _is_uniform(status: jnp.ndarray) -> jnp.ndarray:
-    s = status.astype(jnp.int32)
-    return (s & (s - 1)) == 0  # exactly one bit (0 never occurs in-range)
+    """Exactly one occupancy bit set — the reference's non-PART condition
+    (getNewStatus, Nodes.h:64-84); map flags (STATIC/DYNAMIC) are ignored."""
+    s = status.astype(jnp.int32) & STATUS_OCCUPANCY_MASK
+    return (s & (s - 1)) == 0  # 0 never occurs in-range
+
+
+class _PyramidQueries:
+    """Probe/collide machinery shared by the hierarchical tiers. Operates on
+    self.pyramid / self.levels / self.dims only."""
+
+    def probe_status(self, coords: jnp.ndarray, min_level: int = 0) -> jnp.ndarray:
+        """Raw status byte per voxel coordinate: descend from the top, stop at
+        the first occupancy-uniform node (kernel_Octree.h:383-423). Map flags
+        (ns_STATIC_MAP/ns_DYNAMIC_MAP) ride along with the decided node."""
+        coords = jnp.asarray(coords, jnp.int32)
+        x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+        decided = jnp.zeros(x.shape, bool)
+        status = jnp.zeros(x.shape, U8)
+        for l in range(self.levels, min_level - 1, -1):
+            s = self.pyramid[l][z >> l, y >> l, x >> l]
+            uni = _is_uniform(s) | (l == min_level)
+            take = uni & ~decided
+            status = jnp.where(take, s, status)
+            decided = decided | uni
+        return status
+
+    def probe(self, coords: jnp.ndarray, min_level: int = 0):
+        """Tri-state query per voxel coordinate (the intersect_sparse descent,
+        NTree.hpp:817-1004). Returns (occupied, unknown, free) bool arrays.
+
+        The descent starts at the top level and stops at the first uniform
+        node; `min_level` stops early (coarser), matching the reference's
+        min_level/resolution checks."""
+        status = self.probe_status(coords, min_level)
+        occupied = (status & U8(NS_OCCUPIED)) != 0
+        unknown = ((status & U8(NS_UNKNOWN)) != 0) & ~occupied
+        free = (status & U8(STATUS_OCCUPANCY_MASK)) == U8(NS_FREE)
+        return occupied, unknown, free
+
+    def _query_coords_of(self, other):
+        from .voxellist import VoxelList
+        from .voxelmap import BitVectorVoxelMap, ProbVoxelMap
+
+        if isinstance(other, VoxelList):
+            coords = other.coords_from_ids(other.ids)
+            valid = other.ids != jnp.uint32(0xFFFFFFFF)
+            return coords, valid & other._entry_occupied()
+        if isinstance(other, ProbVoxelMap):
+            # octree probe occupancy: occ >= 50 hardcoded (kernel_common.h:172-183)
+            mask = other.data.astype(jnp.int32) >= 50
+        elif isinstance(other, BitVectorVoxelMap):
+            from .. import bitops
+
+            mask = ~bitops.is_zero(other.data)  # !isZero, NOT noneButEmpty
+        else:
+            raise TypeError(type(other))
+        dx, dy, _ = other.dims
+        n = other.voxelmap_size
+        lin = jnp.arange(n, dtype=jnp.int32)
+        zz = lin // (dx * dy)
+        rem = lin - zz * dx * dy
+        coords = jnp.stack([rem - (rem // dx) * dx, rem // dx, zz], axis=-1)
+        return coords, mask
+
+    def collide_with(self, other, min_level: int = 0):
+        """intersect_sparse: count occupied-vs-occupied hits."""
+        coords, valid = self._query_coords_of(other)
+        occ, _, _ = self.probe(coords, min_level)
+        return jnp.sum(occ & valid, dtype=jnp.uint32)
+
+    def collide_with_counting_unknown(self, other, min_level: int = 0):
+        """collideWithTypesConsideringUnknownCells (GvlNTree.h:120-129):
+        returns (collisions, unknown-cell hits)."""
+        coords, valid = self._query_coords_of(other)
+        occ, unk, _ = self.probe(coords, min_level)
+        return (
+            jnp.sum(occ & valid, dtype=jnp.uint32),
+            jnp.sum(unk & valid, dtype=jnp.uint32),
+        )
+
+    def collide_with_hierarchical(self, other, min_level: int = 0):
+        """NTree x NTree intersection (intersect_load_balance,
+        NTree.hpp:1139): count voxels occupied in both hierarchies.
+
+        The reference's simultaneous DFS with a work-stealing balancer
+        reduces to a fused dense AND at the fine level on TPU (uniform work);
+        min_level > 0 counts coarse-node pairs instead, mirroring the
+        resolution-limited traversal."""
+        if other.padded_dims != self.padded_dims:
+            raise ValueError("hierarchies must share dimensions")
+        a = self.pyramid[min_level]
+        b = other.pyramid[min_level]
+        hit = ((a & U8(NS_OCCUPIED)) != 0) & ((b & U8(NS_OCCUPIED)) != 0)
+        return jnp.sum(hit, dtype=jnp.uint32)
+
+    def extract_occupied_coords(self) -> np.ndarray:
+        s0 = np.asarray(self.pyramid[0])
+        z, y, x = np.nonzero((s0 & STATUS_OCCUPANCY_MASK) == NS_OCCUPIED)
+        keep = (x < self.dims[0]) & (y < self.dims[1]) & (z < self.dims[2])
+        return np.stack([x[keep], y[keep], z[keep]], axis=1).astype(np.int32)
+
+    def memory_usage(self) -> int:
+        total = 0
+        for leaf in jax.tree_util.tree_leaves(self):
+            total += leaf.size * leaf.dtype.itemsize
+        return int(total)
 
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
-class HierarchicalProbMap:
+class HierarchicalProbMap(_PyramidQueries):
     """Probabilistic hierarchical map (MT_PROBAB_OCTREE equivalent)."""
 
     occupancy: jnp.ndarray  # int8[Zp, Yp, Xp] (padded)
@@ -153,88 +263,6 @@ class HierarchicalProbMap:
         )
         return self._rebuilt(flat.reshape(self.occupancy.shape))
 
-    # -- probing --------------------------------------------------------------
-    def probe(self, coords: jnp.ndarray, min_level: int = 0):
-        """Tri-state query per voxel coordinate (the intersect_sparse descent,
-        NTree.hpp:817-1004). Returns (occupied, unknown, free) bool arrays.
-
-        The descent starts at the top level and stops at the first uniform
-        node; `min_level` stops early (coarser), matching the reference's
-        min_level/resolution checks."""
-        coords = jnp.asarray(coords, jnp.int32)
-        x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
-        # start at the top: everything PART until a uniform node decides
-        decided = jnp.zeros(x.shape, bool)
-        status = jnp.zeros(x.shape, U8)
-        for l in range(self.levels, min_level - 1, -1):
-            s = self.pyramid[l][z >> l, y >> l, x >> l]
-            uni = _is_uniform(s) | (l == min_level)
-            take = uni & ~decided
-            status = jnp.where(take, s, status)
-            decided = decided | uni
-        occupied = (status & U8(NS_OCCUPIED)) != 0
-        unknown = ((status & U8(NS_UNKNOWN)) != 0) & ~occupied
-        free = status == U8(NS_FREE)
-        return occupied, unknown, free
-
-    def _query_coords_of(self, other):
-        from ..vis.extract import occupied_coords  # host path for plain maps
-
-        from .voxellist import VoxelList
-        from .voxelmap import BitVectorVoxelMap, ProbVoxelMap
-
-        if isinstance(other, VoxelList):
-            coords = other.coords_from_ids(other.ids)
-            valid = other.ids != jnp.uint32(0xFFFFFFFF)
-            return coords, valid & other._entry_occupied()
-        if isinstance(other, ProbVoxelMap):
-            # octree probe occupancy: occ >= 50 hardcoded (kernel_common.h:172-183)
-            mask = other.data.astype(jnp.int32) >= 50
-        elif isinstance(other, BitVectorVoxelMap):
-            from .. import bitops
-
-            mask = ~bitops.is_zero(other.data)  # !isZero, NOT noneButEmpty
-        else:
-            raise TypeError(type(other))
-        dx, dy, _ = other.dims
-        n = other.voxelmap_size
-        lin = jnp.arange(n, dtype=jnp.int32)
-        zz = lin // (dx * dy)
-        rem = lin - zz * dx * dy
-        coords = jnp.stack([rem - (rem // dx) * dx, rem // dx, zz], axis=-1)
-        return coords, mask
-
-    def collide_with(self, other, min_level: int = 0):
-        """intersect_sparse: count occupied-vs-occupied hits."""
-        coords, valid = self._query_coords_of(other)
-        occ, _, _ = self.probe(coords, min_level)
-        return jnp.sum(occ & valid, dtype=jnp.uint32)
-
-    def collide_with_counting_unknown(self, other, min_level: int = 0):
-        """collideWithTypesConsideringUnknownCells (GvlNTree.h:120-129):
-        returns (collisions, unknown-cell hits)."""
-        coords, valid = self._query_coords_of(other)
-        occ, unk, _ = self.probe(coords, min_level)
-        return (
-            jnp.sum(occ & valid, dtype=jnp.uint32),
-            jnp.sum(unk & valid, dtype=jnp.uint32),
-        )
-
-    def collide_with_hierarchical(self, other: "HierarchicalProbMap", min_level: int = 0):
-        """NTree x NTree intersection (intersect_load_balance,
-        NTree.hpp:1139): count voxels occupied in both hierarchies.
-
-        The reference's simultaneous DFS with a work-stealing balancer
-        reduces to a fused dense AND at the fine level on TPU (uniform work);
-        min_level > 0 counts coarse-node pairs instead, mirroring the
-        resolution-limited traversal."""
-        if other.padded_dims != self.padded_dims:
-            raise ValueError("hierarchies must share dimensions")
-        a = self.pyramid[min_level]
-        b = other.pyramid[min_level]
-        hit = ((a & U8(NS_OCCUPIED)) != 0) & ((b & U8(NS_OCCUPIED)) != 0)
-        return jnp.sum(hit, dtype=jnp.uint32)
-
     def insert_depth_image(self, depth, sensor) -> "HierarchicalProbMap":
         """Projective sensor fusion (fast path): hits + visibility-carved
         free space on the fine grid, then one propagate pass."""
@@ -261,36 +289,115 @@ class HierarchicalProbMap:
         rebuilt after every insert already; exposed for API parity."""
         return self._rebuilt(self.occupancy)
 
-    def extract_occupied_coords(self) -> np.ndarray:
-        s0 = np.asarray(self.pyramid[0])
-        z, y, x = np.nonzero(s0 == NS_OCCUPIED)
-        keep = (x < self.dims[0]) & (y < self.dims[1]) & (z < self.dims[2])
-        return np.stack([x[keep], y[keep], z[keep]], axis=1).astype(np.int32)
-
-    def memory_usage(self) -> int:
-        total = self.occupancy.size
-        for p in self.pyramid:
-            total += p.size
-        return int(total)
-
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
-class HierarchicalBitMap(HierarchicalProbMap):
+class HierarchicalBitMap(_PyramidQueries):
     """Deterministic hierarchical map (MT_BITVECTOR_OCTREE / NTreeDet
-    equivalent): same status pyramid, but inserts write hard
-    occupied/free statuses instead of probabilistic updates
-    (Environment::LeafNode, EnvironmentNodes.h:225-290)."""
+    equivalent): the ground truth IS the status byte per voxel, and inserts
+    write hard statuses instead of probabilistic updates:
 
+      * occupied insert: status = (old & ~OCC_MASK) | ns_OCCUPIED
+        (setOccupied, kernel_common.h:219-223 / EnvironmentNodes.h:225-290)
+      * free-space insert: status = (old & ~OCC_MASK) | ns_FREE
+      * environment inserts tag ns_STATIC_MAP, sensor inserts ns_DYNAMIC_MAP
+        (clearNode/insertNode, kernel_common.h:186-245); the flags OR up the
+        pyramid like getNewStatus does (Nodes.h:78)
+
+    pyramid[0] is the status grid itself; coarser levels are 2x2x2 ORs.
+    """
+
+    pyramid: Tuple[jnp.ndarray, ...]  # status bytes per level; [0] = ground truth
+    dims: Dims = field(metadata=dict(static=True))  # logical dims (x, y, z)
+    side_length: float = field(metadata=dict(static=True))
+    levels: int = field(metadata=dict(static=True))
     map_type: MapType = field(default=MapType.MT_BITVECTOR_OCTREE, metadata=dict(static=True))
 
     @staticmethod
     def create(dims: Dims, side_length: float = 1.0, levels: int | None = None) -> "HierarchicalBitMap":
-        base = HierarchicalProbMap.create(dims, side_length, levels)
-        return HierarchicalBitMap(
-            base.occupancy, base.pyramid, base.dims, base.side_length, base.levels
-        )
+        levels = levels if levels is not None else _num_levels(dims)
+        pd = _pad_dims(dims, levels)
+        s0 = jnp.full((pd[2], pd[1], pd[0]), U8(NS_UNKNOWN))
+        pyr = _build_pyramid(s0, levels)
+        return HierarchicalBitMap(tuple(pyr), tuple(dims), float(side_length), levels)
 
-    def _rebuilt(self, occ: jnp.ndarray) -> "HierarchicalBitMap":
-        pyr = _build_pyramid(_status_from_occupancy(occ), self.levels)
-        return replace(self, occupancy=occ, pyramid=tuple(pyr))
+    @property
+    def status(self) -> jnp.ndarray:
+        return self.pyramid[0]
+
+    @property
+    def padded_dims(self) -> Dims:
+        z, y, x = self.pyramid[0].shape
+        return (x, y, z)
+
+    def _rebuilt(self, status0: jnp.ndarray) -> "HierarchicalBitMap":
+        return replace(self, pyramid=tuple(_build_pyramid(status0, self.levels)))
+
+    def clear_map(self) -> "HierarchicalBitMap":
+        return self._rebuilt(jnp.full_like(self.pyramid[0], U8(NS_UNKNOWN)))
+
+    def _hard_set(self, mask_flat: jnp.ndarray, occ_bit: int, map_flag: int) -> "HierarchicalBitMap":
+        s = self.pyramid[0].reshape(-1)
+        new = (s & U8(0xFF ^ STATUS_OCCUPANCY_MASK)) | U8(occ_bit | map_flag)
+        return self._rebuilt(jnp.where(mask_flat, new, s).reshape(self.pyramid[0].shape))
+
+    def insert_point_cloud(
+        self,
+        points,
+        meaning=BitVoxelMeaning.eBVM_OCCUPIED,
+        static_map: bool = True,
+    ) -> "HierarchicalBitMap":
+        """Hard status insert. eBVM_FREE marks cells free, everything else
+        occupied; static_map selects the ns_STATIC_MAP vs ns_DYNAMIC_MAP tag
+        (build-from-pointcloud uses STATIC, insertVoxel uses DYNAMIC)."""
+        pd = self.padded_dims
+        n = pd[0] * pd[1] * pd[2]
+        idx, _ = insert_ops.voxelize(jnp.asarray(points, jnp.float32), self.side_length, pd)
+        mask = jnp.zeros((n,), bool).at[idx].set(True, mode="drop")
+        occ_bit = NS_FREE if int(meaning) == int(BitVoxelMeaning.eBVM_FREE) else NS_OCCUPIED
+        return self._hard_set(mask, occ_bit, NS_STATIC_MAP if static_map else NS_DYNAMIC_MAP)
+
+    def insert_point_cloud_with_free_space(
+        self, points, sensor_origin=(0.0, 0.0, 0.0), max_steps: int = 256
+    ) -> "HierarchicalBitMap":
+        """Deterministic sensor insert (GvlNTree.hpp:108-130 with the
+        deterministic node specialization): hits become hard OCCUPIED, ray
+        cells hard FREE (hits win), both tagged ns_DYNAMIC_MAP."""
+        pd = self.padded_dims
+        n = pd[0] * pd[1] * pd[2]
+        pts = jnp.asarray(points, jnp.float32)
+        idx, _ = insert_ops.voxelize(pts, self.side_length, pd)
+        hits = jnp.zeros((n,), bool).at[idx].set(True, mode="drop")
+        free_counts = raycast_ops.ray_crossing_counts(
+            sensor_origin, pts, self.side_length, pd, max_steps
+        )
+        out = self._hard_set(free_counts > 0, NS_FREE, NS_DYNAMIC_MAP)
+        return out._hard_set(hits, NS_OCCUPIED, NS_DYNAMIC_MAP)
+
+    def insert_depth_image(self, depth, sensor) -> "HierarchicalBitMap":
+        """Projective deterministic sensor fusion: visibility-carved cells
+        hard FREE, measurement cells hard OCCUPIED (ns_DYNAMIC_MAP)."""
+        pd = self.padded_dims
+        n = pd[0] * pd[1] * pd[2]
+        depth = jnp.asarray(depth, jnp.float32)
+        pts = raycast_ops.depth_image_to_point_cloud(
+            depth, sensor.fx, sensor.fy, sensor.cx, sensor.cy, sensor.invalid_value
+        )
+        from ..geometry import transforms
+
+        world = transforms.transform_points(sensor.pose(), pts)
+        finite = jnp.all(jnp.isfinite(world), axis=-1)
+        idx, _ = insert_ops.voxelize(
+            jnp.where(finite[:, None], world, -1.0), self.side_length, pd
+        )
+        hits = jnp.zeros((n,), bool).at[idx].set(True, mode="drop")
+        free = raycast_ops.projective_free_space(
+            depth, sensor.pose(), sensor.fx, sensor.fy, sensor.cx, sensor.cy,
+            self.side_length, pd, sensor.invalid_value,
+        )
+        out = self._hard_set(free & ~hits, NS_FREE, NS_DYNAMIC_MAP)
+        return out._hard_set(hits, NS_OCCUPIED, NS_DYNAMIC_MAP)
+
+    def propagate(self) -> "HierarchicalBitMap":
+        """Re-establish the tree invariant (NTree::propagate)."""
+        return self._rebuilt(self.pyramid[0])

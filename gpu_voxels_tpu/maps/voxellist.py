@@ -4,7 +4,8 @@ The reference keeps three parallel thrust::device_vectors (id, coord, voxel)
 and maintains them sorted+unique after every insert
 (TemplateVoxelList.hpp:142-209). Here a list is a fixed-capacity pytree:
 
-    ids:   uint32[C]    sorted; EMPTY (0xFFFFFFFF) pads the tail
+    ids:    uint32[C]   sort key (low word); EMPTY (0xFFFFFFFF) pads the tail
+    ids_hi: uint32[C]   sort key (high word); 0 for linear/short ids
     <payload>           per voxel kind (bit planes / occupancy / count)
     count: int32        number of valid entries (traced)
 
@@ -17,11 +18,16 @@ becomes argsort + a segmented associative scan that merges duplicate-id
 payloads (bitwise OR / saturating add), then a prefix-sum compaction —
 all fixed-shape, all on device.
 
-IDs: "linear" mode uses the dense map linear index (MapVoxelID); "morton"
-mode uses 30-bit Morton codes (octree-compatible, BitVectorMortonVoxelList).
+IDs: "linear" mode uses the dense map linear index (MapVoxelID, uint32);
+"morton" mode uses the reference's 60-bit Morton codes — the reference's
+BitVectorMortonVoxelList carries uint64 ids (common_defines.h:175-182,
+octree/Morton.h:80-160). JAX disables 64-bit ints, so the code is carried as
+the (hi30, lo30) uint32 pair with lexicographic ordering: a two-pass stable
+argsort replaces sort_by_key, and a branchless pair binary search replaces
+thrust::binary_search. Coordinates up to 2^20 per axis round-trip exactly.
 Like the reference's list insert kernels, points are NOT bounds-checked
 (VoxelListOperations.hpp:41-59) — out-of-range points produce out-of-range
-ids (uint32 wraparound).
+ids (uint32 wraparound in linear mode).
 """
 from __future__ import annotations
 
@@ -66,10 +72,31 @@ def _where_payload(kind: str, mask, a, b):
     return jnp.where(mask, a, b)
 
 
+def _pair_searchsorted(hi_arr, lo_arr, hi_q, lo_q):
+    """Lower-bound positions of (hi_q, lo_q) in the lexicographically sorted
+    pair arrays (branchless binary search; the thrust::binary_search
+    replacement for 60-bit Morton ids)."""
+    n = hi_arr.shape[0]
+    pos = jnp.zeros(lo_q.shape, jnp.int32)
+    step = 1
+    while step < n:
+        step <<= 1
+    step >>= 1
+    while step >= 1:
+        cand = pos + step
+        idx = jnp.minimum(cand - 1, n - 1)
+        ha, la = hi_arr[idx], lo_arr[idx]
+        less = (ha < hi_q) | ((ha == hi_q) & (la < lo_q))
+        pos = jnp.where((cand <= n) & less, cand, pos)
+        step >>= 1
+    return pos
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class VoxelList:
-    ids: jnp.ndarray  # uint32[C], sorted, EMPTY-padded
+    ids: jnp.ndarray  # uint32[C] low word, sorted (lexicographic with ids_hi)
+    ids_hi: jnp.ndarray  # uint32[C] high word (0 in linear mode)
     payload: jnp.ndarray
     count: jnp.ndarray  # int32 scalar
     dims: Dims = field(metadata=dict(static=True))
@@ -98,6 +125,7 @@ class VoxelList:
             }[(kind, id_mode)]
         return VoxelList(
             ids=jnp.full((capacity,), EMPTY_ID),
+            ids_hi=jnp.full((capacity,), EMPTY_ID),
             payload=_payload_init(kind, capacity),
             count=jnp.int32(0),
             dims=tuple(dims),
@@ -112,24 +140,29 @@ class VoxelList:
         return self.ids.shape[0]
 
     # -- id <-> coordinate maps ----------------------------------------------
-    def _ids_from_coords(self, coords: jnp.ndarray) -> jnp.ndarray:
+    def _ids_from_coords(self, coords: jnp.ndarray):
+        """Returns (hi, lo) id words. Linear mode: hi = 0."""
         if self.id_mode == "morton":
-            return morton.morton_code30(
+            return morton.morton_code60(
                 coords[..., 0].astype(jnp.uint32),
                 coords[..., 1].astype(jnp.uint32),
                 coords[..., 2].astype(jnp.uint32),
             )
         dx, dy, _ = self.dims
         # uint32 wraparound for out-of-range points, like the reference
-        return (
+        lo = (
             coords[..., 2].astype(jnp.uint32) * jnp.uint32(dx * dy)
             + coords[..., 1].astype(jnp.uint32) * jnp.uint32(dx)
             + coords[..., 0].astype(jnp.uint32)
         )
+        return jnp.zeros_like(lo), lo
 
-    def coords_from_ids(self, ids: jnp.ndarray) -> jnp.ndarray:
+    def coords_from_ids(self, ids: jnp.ndarray, ids_hi=None) -> jnp.ndarray:
         if self.id_mode == "morton":
-            x, y, z = morton.inv_morton_code30(ids)
+            if ids_hi is None:
+                ids_hi = jnp.zeros_like(ids)
+            hi = jnp.where(ids_hi == EMPTY_ID, jnp.uint32(0), ids_hi)
+            x, y, z = morton.inv_morton_code60(hi, ids)
         else:
             dx, dy, _ = self.dims
             z = ids // jnp.uint32(dx * dy)
@@ -138,15 +171,29 @@ class VoxelList:
             x = rem - y * jnp.uint32(dx)
         return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
 
+    def entry_coords(self) -> jnp.ndarray:
+        """int32[C, 3] coordinates of the stored entries."""
+        return self.coords_from_ids(self.ids, self.ids_hi)
+
+    def _sort_order(self, hi, lo):
+        """Stable lexicographic argsort of (hi, lo). EMPTY pairs sort last."""
+        if self.id_mode != "morton":
+            return jnp.argsort(lo)
+        order1 = jnp.argsort(lo, stable=True)
+        order2 = jnp.argsort(hi[order1], stable=True)
+        return order1[order2]
+
     # -- make_unique ----------------------------------------------------------
-    def _make_unique(self, ids, payload):
+    def _make_unique(self, hi, lo, payload):
         """sort_by_key + unique_by_key(reduce_op) + compaction, fixed shape."""
-        c = ids.shape[0]
-        order = jnp.argsort(ids)
-        ids = ids[order]
+        c = lo.shape[0]
+        order = self._sort_order(hi, lo)
+        hi = hi[order]
+        lo = lo[order]
         payload = _gather_payload(self.kind, payload, order)
 
-        starts = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
+        diff = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        starts = jnp.concatenate([jnp.ones((1,), bool), diff])
 
         if self.kind == KIND_BIT:
             # segmented inclusive OR-scan: a run-start flag resets the merge
@@ -173,27 +220,28 @@ class VoxelList:
             raise ValueError(self.kind)
 
         # last element of each run = fully merged payload
-        is_last = jnp.concatenate([ids[1:] != ids[:-1], jnp.ones((1,), bool)])
-        valid = is_last & (ids != EMPTY_ID)
+        is_last = jnp.concatenate([diff, jnp.ones((1,), bool)])
+        valid = is_last & (lo != EMPTY_ID)
         # compaction: position = exclusive prefix sum of valid
         pos = jnp.cumsum(valid) - 1
         dest = jnp.where(valid, pos, c)  # dropped otherwise
-        new_ids = jnp.full((c,), EMPTY_ID).at[dest].set(ids, mode="drop")
+        new_lo = jnp.full((c,), EMPTY_ID).at[dest].set(lo, mode="drop")
+        new_hi = jnp.full((c,), EMPTY_ID).at[dest].set(hi, mode="drop")
         if self.kind == KIND_BIT:
             newp = jnp.zeros_like(merged).at[:, dest].set(merged, mode="drop")
         else:
             init = _payload_init(self.kind, c)
             newp = init.at[dest].set(merged, mode="drop")
         new_count = jnp.sum(valid).astype(jnp.int32)
-        return new_ids, newp, new_count
+        return new_hi, new_lo, newp, new_count
 
     # -- insertion --------------------------------------------------------
     def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "VoxelList":
         """Append + make_unique (TemplateVoxelList.hpp:142-209)."""
         points = jnp.asarray(points, jnp.float32)
         coords = map_to_voxels(points, self.side_length)
-        new_ids = self._ids_from_coords(coords)
-        m = new_ids.shape[0]
+        new_hi, new_lo = self._ids_from_coords(coords)
+        m = new_lo.shape[0]
         if self.kind == KIND_BIT:
             p = bitops.bit_plane(int(meaning))
             w = bitops.UINT32(bitops.bit_word(int(meaning)))
@@ -204,10 +252,11 @@ class VoxelList:
             newp = jnp.full((m,), jnp.int8(meaning_to_probability(meaning)))
         else:
             newp = jnp.ones((m,), jnp.int8)
-        ids = jnp.concatenate([self.ids, new_ids])
+        hi = jnp.concatenate([self.ids_hi, new_hi])
+        lo = jnp.concatenate([self.ids, new_lo])
         payload = jnp.concatenate([self.payload, newp], axis=-1)
-        u_ids, u_payload, count = self._make_unique(ids, payload)
-        return replace(self, ids=u_ids, payload=u_payload, count=count)
+        u_hi, u_lo, u_payload, count = self._make_unique(hi, lo, payload)
+        return replace(self, ids=u_lo, ids_hi=u_hi, payload=u_payload, count=count)
 
     def insert_coordinates(self, coords, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "VoxelList":
         pts = (jnp.asarray(coords, jnp.float32) + 0.5) * self.side_length
@@ -227,28 +276,45 @@ class VoxelList:
         if capacity == c:
             return self
         if capacity > c:
-            ids = jnp.concatenate([self.ids, jnp.full((capacity - c,), EMPTY_ID)])
+            pad_ids = jnp.full((capacity - c,), EMPTY_ID)
+            ids = jnp.concatenate([self.ids, pad_ids])
+            ids_hi = jnp.concatenate([self.ids_hi, pad_ids])
             pad = _payload_init(self.kind, capacity - c)
             payload = jnp.concatenate([self.payload, pad], axis=-1)
-            return replace(self, ids=ids, payload=payload)
+            return replace(self, ids=ids, ids_hi=ids_hi, payload=payload)
         return replace(
             self,
             ids=self.ids[..., :capacity],
+            ids_hi=self.ids_hi[..., :capacity],
             payload=self.payload[..., :capacity],
             count=jnp.minimum(self.count, capacity),
         )
 
     # -- membership / collision -------------------------------------------
+    def _find_positions(self, other: "VoxelList", hi_q, lo_q):
+        """Lower-bound positions + found mask of (hi_q, lo_q) in other."""
+        if other.capacity == 0:
+            return jnp.zeros(lo_q.shape, jnp.int32), jnp.zeros(lo_q.shape, bool)
+        if self.id_mode == "morton" or other.id_mode == "morton":
+            pos = _pair_searchsorted(other.ids_hi, other.ids, hi_q, lo_q)
+        else:
+            pos = jnp.searchsorted(other.ids, lo_q).astype(jnp.int32)
+        pos = jnp.clip(pos, 0, other.capacity - 1)
+        found = (
+            (other.ids[pos] == lo_q)
+            & (other.ids_hi[pos] == hi_q)
+            & (lo_q != EMPTY_ID)
+        )
+        return pos, found
+
     def _membership(self, other: "VoxelList", offset=(0, 0, 0)) -> jnp.ndarray:
         """bool[C]: my id present in other (thrust::binary_search stencil)."""
-        my = self.ids
+        my_hi, my_lo = self.ids_hi, self.ids
         if tuple(offset) != (0, 0, 0):
             if self.id_mode == "morton":
                 raise ValueError("offset not supported for morton lists")
-            my = my + jnp.uint32(np.uint32(linear_offset(offset, self.dims)))
-        pos = jnp.searchsorted(other.ids, my)
-        pos = jnp.clip(pos, 0, other.capacity - 1) if other.capacity > 0 else pos
-        found = (other.ids[pos] == my) & (my != EMPTY_ID) if other.capacity > 0 else jnp.zeros_like(my, bool)
+            my_lo = my_lo + jnp.uint32(np.uint32(linear_offset(offset, self.dims)))
+        _, found = self._find_positions(other, my_hi, my_lo)
         return found
 
     def collide_with(self, other: "VoxelList", offset=(0, 0, 0)) -> jnp.ndarray:
@@ -259,9 +325,7 @@ class VoxelList:
     def find_matching(self, other: "VoxelList"):
         """findMatchingVoxels (BitVoxelList.hpp:397-476): gather payload pairs
         at shared ids. Returns (mask[C], other_payload gathered to my frame)."""
-        pos = jnp.searchsorted(other.ids, self.ids)
-        pos = jnp.clip(pos, 0, max(other.capacity - 1, 0))
-        mask = (other.ids[pos] == self.ids) & (self.ids != EMPTY_ID)
+        pos, mask = self._find_positions(other, self.ids_hi, self.ids)
         other_payload = _gather_payload(other.kind, other.payload, pos)
         return mask, other_payload
 
@@ -297,22 +361,25 @@ class VoxelList:
         bits = bitops.unpack(anded)  # [C, 256]
         return jnp.sum(bits, axis=0, dtype=jnp.int32)
 
+    def _linear_ids_for(self, dense_dims) -> jnp.ndarray:
+        """Entry ids as dense linear indices of a map with dense_dims."""
+        if self.id_mode == "morton":
+            coords = self.entry_coords()
+            dx, dy, _ = dense_dims
+            return (
+                coords[:, 2].astype(jnp.uint32) * jnp.uint32(dx * dy)
+                + coords[:, 1].astype(jnp.uint32) * jnp.uint32(dx)
+                + coords[:, 0].astype(jnp.uint32)
+            )
+        return self.ids
+
     def collide_with_dense(self, dense_map, coll_threshold: float = 1.0, offset=(0, 0, 0)):
         """List x dense map lookup collide (kernelCollideWithVoxelMap,
         voxellist/kernels/VoxelListOperations.h:90-160)."""
         from ..constants import float_to_probability
         from .voxelmap import BitVectorVoxelMap, ProbVoxelMap
 
-        if self.id_mode == "morton":
-            coords = self.coords_from_ids(self.ids)
-            dx, dy, _ = dense_map.dims
-            lin = (
-                coords[:, 2].astype(jnp.uint32) * jnp.uint32(dx * dy)
-                + coords[:, 1].astype(jnp.uint32) * jnp.uint32(dx)
-                + coords[:, 0].astype(jnp.uint32)
-            )
-        else:
-            lin = self.ids
+        lin = self._linear_ids_for(dense_map.dims)
         if tuple(offset) != (0, 0, 0):
             lin = lin + jnp.uint32(np.uint32(linear_offset(offset, dense_map.dims)))
         n = dense_map.voxelmap_size
@@ -342,7 +409,7 @@ class VoxelList:
         from ..constants import float_to_probability
         from .voxelmap import BitVectorVoxelMap, ProbVoxelMap
 
-        lin = self.ids
+        lin = self._linear_ids_for(dense_map.dims)
         if tuple(offset) != (0, 0, 0):
             lin = lin + jnp.uint32(np.uint32(linear_offset(offset, dense_map.dims)))
         n = dense_map.voxelmap_size
@@ -368,10 +435,11 @@ class VoxelList:
     def merge(self, other: "VoxelList") -> "VoxelList":
         """Append + make_unique (TemplateVoxelList.hpp:537-607)."""
         assert self.kind == other.kind
-        ids = jnp.concatenate([self.ids, other.ids])
+        hi = jnp.concatenate([self.ids_hi, other.ids_hi])
+        lo = jnp.concatenate([self.ids, other.ids])
         payload = jnp.concatenate([self.payload, other.payload], axis=-1)
-        u_ids, u_payload, count = self._make_unique(ids, payload)
-        merged = replace(self, ids=u_ids, payload=u_payload, count=count)
+        u_hi, u_lo, u_payload, count = self._make_unique(hi, lo, payload)
+        merged = replace(self, ids=u_lo, ids_hi=u_hi, payload=u_payload, count=count)
         return merged.with_capacity(self.capacity + other.capacity)
 
     def subtract(self, other: "VoxelList", offset=(0, 0, 0)) -> "VoxelList":
@@ -390,18 +458,22 @@ class VoxelList:
         pos = jnp.cumsum(keep) - 1
         dest = jnp.where(keep, pos, c)
         new_ids = jnp.full((c,), EMPTY_ID).at[dest].set(self.ids, mode="drop")
+        new_hi = jnp.full((c,), EMPTY_ID).at[dest].set(self.ids_hi, mode="drop")
         if self.kind == KIND_BIT:
             newp = jnp.zeros_like(self.payload).at[:, dest].set(self.payload, mode="drop")
         else:
             newp = _payload_init(self.kind, c).at[dest].set(self.payload, mode="drop")
-        return replace(self, ids=new_ids, payload=newp, count=jnp.sum(keep).astype(jnp.int32))
+        return replace(
+            self, ids=new_ids, ids_hi=new_hi, payload=newp,
+            count=jnp.sum(keep).astype(jnp.int32),
+        )
 
     def equals(self, other: "VoxelList") -> jnp.ndarray:
         if self.capacity != other.capacity:
             common = min(self.capacity, other.capacity)
             a, b = self.with_capacity(common), other.with_capacity(common)
             return a.equals(b)
-        same_ids = jnp.all(self.ids == other.ids)
+        same_ids = jnp.all((self.ids == other.ids) & (self.ids_hi == other.ids_hi))
         same_payload = jnp.all(self.payload == other.payload)
         return same_ids & same_payload & (self.count == other.count)
 
@@ -410,6 +482,7 @@ class VoxelList:
         return replace(
             self,
             ids=jnp.full((self.capacity,), EMPTY_ID),
+            ids_hi=jnp.full((self.capacity,), EMPTY_ID),
             payload=_payload_init(self.kind, self.capacity),
             count=jnp.int32(0),
         )
@@ -420,7 +493,9 @@ class VoxelList:
 
     def screendump(self, max_entries: int = 32) -> str:
         n = int(self.count)
-        coords = np.asarray(self.coords_from_ids(self.ids[:max_entries]))
+        coords = np.asarray(
+            self.coords_from_ids(self.ids[:max_entries], self.ids_hi[:max_entries])
+        )
         lines = [f"VoxelList(kind={self.kind}, count={n}, capacity={self.capacity})"]
         for i in range(min(n, max_entries)):
             lines.append(f"  id={int(np.asarray(self.ids[i]))} xyz={coords[i].tolist()}")

@@ -197,24 +197,31 @@ def _jfa_round(grid: jnp.ndarray, best_d2: jnp.ndarray, s: int, dims: Dims):
     return grid, best_d2
 
 
-def _converge_step1(grid, best_d2, dims):
+def _converge_step1(grid, best_d2, dims, max_iters: int = 64):
     """Iterate step-1 rounds to a fixpoint: every cell's result becomes a
     local optimum w.r.t. its 26 neighbors' sites. Repairs the rare isolated
     errors both JFA and its multiresolution variant can leave (the correct
     site always reaches an erroneous cell through its neighbors because
-    Voronoi cells of point sites are connected)."""
+    Voronoi cells of point sites are connected).
+
+    The loop is capped at max_iters (worst-case scenes would otherwise give
+    unpredictable latency); returns (grid, d2, iterations_used). Callers can
+    surface iterations_used == max_iters as "did not converge" telemetry —
+    see jump_flood_with_stats."""
 
     def cond(state):
-        _, _, changed = state
-        return changed
+        _, _, changed, it = state
+        return changed & (it < max_iters)
 
     def body(state):
-        g, d, _ = state
+        g, d, _, it = state
         g2, d2 = _jfa_round(g, d, 1, dims)
-        return g2, d2, jnp.any(d2 != d)
+        return g2, d2, jnp.any(d2 != d), it + 1
 
-    grid, best_d2, _ = jax.lax.while_loop(cond, body, (grid, best_d2, jnp.bool_(True)))
-    return grid, best_d2
+    grid, best_d2, _, iters = jax.lax.while_loop(
+        cond, body, (grid, best_d2, jnp.bool_(True), jnp.int32(0))
+    )
+    return grid, best_d2, iters
 
 
 def jump_flood(
@@ -241,8 +248,33 @@ def jump_flood(
     for s in steps:
         grid, best_d2 = _jfa_round(grid, best_d2, s, dims)
     if converge:
-        grid, best_d2 = _converge_step1(grid, best_d2, dims)
+        grid, best_d2, _ = _converge_step1(grid, best_d2, dims)
     return grid.reshape(-1)
+
+
+def jump_flood_with_stats(
+    packed_flat: jnp.ndarray, dims: Dims, extra_rounds: int = 1, max_iters: int = 64
+):
+    """jump_flood + fixpoint-repair telemetry: returns (packed, repair_iters).
+
+    repair_iters == max_iters means the repair loop hit its cap without
+    converging (result may be inexact) — surface it in perf monitoring."""
+    dx, dy, dz = dims
+    grid = packed_flat.reshape(dz, dy, dx)
+    best_d2 = squared_distance_grid(packed_flat, dims)
+    step = 1
+    while step * 2 < max(dims):
+        step *= 2
+    steps = []
+    s = step
+    while s >= 1:
+        steps.append(s)
+        s //= 2
+    steps.extend([1] * int(extra_rounds))
+    for s in steps:
+        grid, best_d2 = _jfa_round(grid, best_d2, s, dims)
+    grid, best_d2, iters = _converge_step1(grid, best_d2, dims, max_iters)
+    return grid.reshape(-1), iters
 
 
 def jump_flood_multires(
@@ -341,7 +373,7 @@ def jump_flood_multires(
     # --- short-range fine refinement + fixpoint repair -----------------------
     for s in fine_steps:
         grid, d2 = _jfa_round(grid, d2, s, dims)
-    grid, d2 = _converge_step1(grid, d2, dims)
+    grid, d2, _ = _converge_step1(grid, d2, dims)
     return grid.reshape(-1)
 
 

@@ -1,0 +1,376 @@
+"""Exact EDT via Pallas min-plus envelope sweeps (the PBA replacement).
+
+The reference's parallelBanding3D (voxelmap/DistanceVoxelMap.hpp:251-345,
+kernels VoxelMapOperationsPBA.h:61-107) computes the exact 3D EDT as a Z
+flood followed by two per-axis lower-envelope phases with banded merges.
+Banded stack merges are hostile to the VPU, so each envelope phase is
+re-derived as a dense min-plus sweep:
+
+    out[y, x] = min_q ((y - q)^2 + g[q, x])        (one pass per axis)
+
+The kernel computes 32-row output tiles, scanning candidate rows in 8-row
+chunks ring-ordered by distance from the tile. How many rings each tile
+needs is *precomputed* from a coarse (1/8-resolution) EDT upper bound and
+fed in via scalar prefetch, so the kernel is straight-line fori-loop VPU
+work — no data-dependent while loops, no per-chunk reductions (measured 4-5x
+faster than an adaptive in-kernel exit on v5e). Each chunk merge is a
+broadcast add + compare + two selects per candidate row; the winning site's
+packed coordinates ride along through the selects; there are zero gathers.
+
+Bound correctness: a candidate row q can only improve a tile cell whose
+final value is v if (y-q)^2 <= v, so any upper bound on the pass's *output*
+bounds the rings to scan. Pass-specific candidate sets matter: the Y pass
+only sees sites in the same x-plane, so its bound comes from a per-fine-x
+semi-coarse EDT; the X pass sees all sites, so a full coarse 3D EDT bounds
+it. Cells whose output is MISS (no candidate at all) are correct at any ring
+count and contribute nothing to the tile bound.
+
+All distance math runs in f32: finite squared distances are <= 4*1023^2
+< 2^24, so every value and comparison is exact. MISS (no site) is 2^27,
+also exactly representable; INF marks "no site found yet".
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import (
+    MAX_OBSTACLE_DISTANCE,
+    PBA_UNINITIALISED_COORD,
+    PBA_UNINITIALISED_PACKED,
+)
+
+Dims = Tuple[int, int, int]
+I32 = jnp.int32
+U32 = jnp.uint32
+F32 = jnp.float32
+
+MISS = 1 << 27  # internal "no site" squared distance (int32/f32-exact)
+_INF = 3.0e8  # > MISS + any in-grid offset; python float so kernels don't capture tracers
+TILE_Y = 32  # output rows per tile (4 scan chunks)
+_CHUNK = 8  # candidate-row scan granularity (sublane tile)
+_C = 8  # coarsening factor for the bound grids
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def _use_pallas() -> bool:
+    """Pallas on TPU; on CPU the interpreter is too slow for tests, so a
+    pure-XLA full-scan envelope stands in (set GVTPU_EDT_INTERPRET=1 to force
+    the interpreted kernel, e.g. for kernel-logic tests)."""
+    import os
+
+    if os.environ.get("GVTPU_EDT_INTERPRET") == "1":
+        return True
+    return not _interpret()
+
+
+def _envelope_xla(
+    g2: jnp.ndarray, payload: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference XLA envelope along axis 1 (full scan over candidate rows).
+    Semantically identical to the Pallas kernel; used off-TPU."""
+    dz, dy, dx = g2.shape
+    yrow = jax.lax.broadcasted_iota(I32, (1, dy, 1), 1).astype(F32)
+    inf_f = jnp.float32(_INF)
+    miss_f = jnp.float32(MISS)
+
+    def body(q, carry):
+        bd, bp = carry
+        grow = jax.lax.dynamic_slice_in_dim(g2, q, 1, axis=1).astype(F32)
+        grow = jnp.where(grow >= miss_f, inf_f, grow)
+        prow = jax.lax.dynamic_slice_in_dim(payload, q, 1, axis=1)
+        dy_q = yrow - q.astype(F32)
+        cand = dy_q * dy_q + grow
+        take = cand < bd
+        return jnp.where(take, cand, bd), jnp.where(take, prow, bp)
+
+    bd0 = jnp.full((dz, dy, dx), inf_f)
+    bp0 = jnp.full((dz, dy, dx), jnp.uint32(PBA_UNINITIALISED_PACKED))
+    bd, bp = jax.lax.fori_loop(0, dy, body, (bd0, bp0))
+    valid = bd < miss_f
+    return (
+        jnp.where(valid, bd.astype(I32), I32(MISS)),
+        jnp.where(valid, bp, jnp.uint32(PBA_UNINITIALISED_PACKED)),
+    )
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _ring_order(C: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Tile-relative chunk offsets sorted by their minimum possible squared
+    row distance to a TILE_Y-row tile (monotone floors enable tight ring
+    counts). Offset o maps tile k to chunk k*TC + o."""
+    TC = TILE_Y // _CHUNK
+
+    def floor_d(o: int) -> int:
+        if 0 <= o < TC:
+            return 0
+        if o >= TC:
+            return (_CHUNK * (o - TC) + 1) ** 2
+        return (-_CHUNK * o - 7) ** 2
+
+    offs = sorted(range(-(C - 1), C), key=lambda o: (floor_d(o), abs(o)))
+    return (
+        np.asarray(offs, np.int32),
+        np.asarray([floor_d(o) for o in offs], np.int64),
+    )
+
+
+def _envelope_kernel(n_yt: int, rings_ref, order_ref, g_ref, p_ref, od_ref, op_ref):
+    """One z-slice x-strip: envelope along the sublane (y) axis for all
+    n_yt output tiles. g_ref int32[1, dyp, TX] (>= MISS marks "no site"),
+    p_ref uint32[1, dyp, TX] packed site payloads."""
+    dyp = g_ref.shape[1]
+    tx = g_ref.shape[2]
+    C = dyp // _CHUNK
+    TC = TILE_Y // _CHUNK
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nxb = pl.num_programs(1)
+    miss_f = jnp.float32(MISS)
+    inf_f = jnp.float32(_INF)
+
+    for k in range(n_yt):
+        tb = k * TC
+        rings = rings_ref[(i * nxb + j) * n_yt + k]
+        ycol = (
+            jax.lax.broadcasted_iota(I32, (TILE_Y, 1), 0) + k * TILE_Y
+        ).astype(F32)
+
+        def body(r, carry, tb=tb, ycol=ycol):
+            bd, bp = carry
+            cidx = tb + order_ref[r]
+            cc = jnp.clip(cidx, 0, C - 1)
+            dead = (cidx < 0) | (cidx >= C)
+            q0 = pl.multiple_of(cc * _CHUNK, _CHUNK)
+            gch = g_ref[0, pl.ds(q0, _CHUNK), :].astype(F32)  # [8, TX]
+            gch = jnp.where(dead | (gch >= miss_f), inf_f, gch)
+            pch = p_ref[0, pl.ds(q0, _CHUNK), :]
+            q0f = q0.astype(F32)
+            for jj in range(_CHUNK):
+                dy_q = ycol - (q0f + jnp.float32(jj))
+                cand = dy_q * dy_q + gch[jj : jj + 1, :]  # [T,1]+[1,TX]
+                take = cand < bd
+                bd = jnp.where(take, cand, bd)
+                bp = jnp.where(take, pch[jj : jj + 1, :], bp)
+            return bd, bp
+
+        bd0 = jnp.full((TILE_Y, tx), inf_f)
+        bp0 = jnp.full((TILE_Y, tx), jnp.uint32(PBA_UNINITIALISED_PACKED))
+        bd, bp = jax.lax.fori_loop(0, rings, body, (bd0, bp0))
+        valid = bd < miss_f
+        sl = slice(k * TILE_Y, (k + 1) * TILE_Y)
+        od_ref[0, sl, :] = jnp.where(valid, bd.astype(I32), I32(MISS))
+        op_ref[0, sl, :] = jnp.where(
+            valid, bp, jnp.uint32(PBA_UNINITIALISED_PACKED)
+        )
+
+
+def envelope_pass(
+    g2: jnp.ndarray,
+    payload: jnp.ndarray,
+    bound: jnp.ndarray | None = None,
+    tx_max: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lower envelope along axis 1 of [dz, dy, dx] grids.
+
+    g2 int32 (MISS convention), payload uint32. `bound` is an optional int32
+    upper bound on this pass's *output* at 1/8 resolution in every axis
+    ([cdiv(dz,8), cdiv(dy,8), cdiv(dx,8)]), with -1 meaning "output there is
+    MISS" (contributes nothing). Without it every tile scans all rings.
+    Returns (d2 int32 [dz,dy,dx], payload uint32 [dz,dy,dx]).
+    """
+    dz, dy, dx = g2.shape
+    if not _use_pallas():
+        return _envelope_xla(g2, payload)
+    dyp = _round_up(dy, TILE_Y)
+    dxp = _round_up(dx, 128)
+    tx = min(dxp, tx_max)
+    while dxp % tx:
+        tx //= 2
+
+    if dyp != dy or dxp != dx:
+        g2 = jnp.pad(g2, ((0, 0), (0, dyp - dy), (0, dxp - dx)), constant_values=MISS)
+        payload = jnp.pad(
+            payload,
+            ((0, 0), (0, dyp - dy), (0, dxp - dx)),
+            constant_values=int(PBA_UNINITIALISED_PACKED),
+        )
+
+    C = dyp // _CHUNK
+    n_yt = dyp // TILE_Y
+    nxb = dxp // tx
+    order, floors = _ring_order(C)
+    L = len(order)
+
+    if bound is None:
+        rings = jnp.full((dz * nxb * n_yt,), I32(L))
+    else:
+        # per-tile max of the bound over the tile's coarse footprint, then
+        # ring count = #floors <= bound (floors ascending)
+        cz, cyc, cxc = bound.shape
+        ty_c = TILE_Y // _C  # coarse cells per y tile
+        tx_c = tx // _C  # coarse cells per x strip
+        pyc = _round_up(max(cyc, n_yt * ty_c), ty_c)
+        pxc = _round_up(max(cxc, nxb * tx_c), tx_c)
+        b = jnp.full((cz, pyc, pxc), I32(-1)).at[:, :cyc, :cxc].set(bound)
+        b = b.reshape(cz, pyc // ty_c, ty_c, pxc // tx_c, tx_c)
+        b = jnp.max(jnp.max(b, axis=4), axis=2)[:, :n_yt, :nxb]
+        # expand coarse z rows to fine z slices
+        b = jnp.repeat(b, _C, axis=0)[:dz]  # [dz, n_yt, nxb]
+        rcount = jnp.searchsorted(
+            jnp.asarray(floors, np.int32), b.reshape(-1), side="right"
+        ).astype(I32)
+        rcount = jnp.where(b.reshape(-1) < 0, I32(0), rcount)
+        rings = rcount.reshape(dz, n_yt, nxb).transpose(0, 2, 1).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(dz, nxb),
+        in_specs=[
+            pl.BlockSpec((1, dyp, tx), lambda i, j, *_: (i, 0, j)),
+            pl.BlockSpec((1, dyp, tx), lambda i, j, *_: (i, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, dyp, tx), lambda i, j, *_: (i, 0, j)),
+            pl.BlockSpec((1, dyp, tx), lambda i, j, *_: (i, 0, j)),
+        ],
+    )
+    od, op = pl.pallas_call(
+        functools.partial(_envelope_kernel, n_yt),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((dz, dyp, dxp), jnp.int32),
+            jax.ShapeDtypeStruct((dz, dyp, dxp), jnp.uint32),
+        ),
+        interpret=_interpret(),
+    )(rings, jnp.asarray(order), g2, payload)
+    return od[:, :dy, :dx], op[:, :dy, :dx]
+
+
+def _nearest_scan(flag: jnp.ndarray, axis0_size: int):
+    """For a [S, ...] bool array: per position s, squared distance along axis
+    0 to the nearest True (MISS if none) plus its index. Two lax.scans —
+    PBA phase 1 (kernelPBAphase1FloodZ analogue)."""
+    S = flag.shape[0]
+    BIG = jnp.int32(2**30)
+    sidx = jax.lax.broadcasted_iota(I32, flag.shape, 0)
+    marked = jnp.where(flag, sidx, BIG)
+
+    def fwd(carry, row):
+        best = jnp.where(row < BIG, row, carry)
+        return best, best
+
+    init = jnp.full(flag.shape[1:], BIG)
+    _, down = jax.lax.scan(fwd, init, marked)
+    _, up = jax.lax.scan(fwd, init, marked[::-1])
+    up = up[::-1]
+    dd = jnp.where(down < BIG, (sidx - down) ** 2, MISS)
+    du = jnp.where(up < BIG, (up - sidx) ** 2, MISS)
+    take_down = dd <= du
+    near = jnp.where(take_down, down, up)
+    d2 = jnp.minimum(jnp.minimum(dd, du), MISS).astype(I32)
+    return d2, near
+
+
+def _block_any(mask: jnp.ndarray, axes=(0, 1, 2)) -> jnp.ndarray:
+    """OR-reduce an [A,B,C] bool mask by factor 8 along the given axes
+    (strided pairwise ORs; 6D reshapes force catastrophic TPU layouts)."""
+    m = mask
+    for ax in axes:
+        pad = (-m.shape[ax]) % _C
+        if pad:
+            padding = [(0, 0)] * 3
+            padding[ax] = (0, pad)
+            m = jnp.pad(m, padding, constant_values=False)
+        for _ in range(3):  # 8 = 2^3
+            sl0 = [slice(None)] * 3
+            sl1 = [slice(None)] * 3
+            sl0[ax] = slice(0, None, 2)
+            sl1[ax] = slice(1, None, 2)
+            m = m[tuple(sl0)] | m[tuple(sl1)]
+    return m
+
+
+def _bound_from_d2(d2c: jnp.ndarray, n_axes: int) -> jnp.ndarray:
+    """Upper bound on the fine squared distance given the coarse squared
+    index distance d2c over n_axes axes: each axis offset a satisfies
+    sum a_i^2 = d2c, fine offset per axis <= 8*a_i + 7, so
+    fine_d2 <= 64*d2c + 112*sum(a_i) + 49*n <= 64*d2c + 112*sqrt(n*d2c) + 49n.
+    MISS coarse cells map to -1 ("output is MISS, constrains nothing")."""
+    miss = (d2c >= MISS) | (d2c < 0)
+    d = jnp.maximum(d2c, 0).astype(jnp.float32)
+    bound = 64.0 * d + 112.0 * jnp.ceil(jnp.sqrt(jnp.float32(n_axes) * d)) + 49.0 * n_axes
+    return jnp.where(miss, I32(-1), bound.astype(I32))
+
+
+def parallel_banding(packed_flat: jnp.ndarray, dims: Dims) -> jnp.ndarray:
+    """Exact 3D EDT: PBA phase 1 as Z scans, phases 2/3 as Pallas min-plus
+    envelope sweeps with coarse-EDT ring bounds (replaces parallelBanding3D,
+    DistanceVoxelMap.hpp:279, with identical results — tests cross-check vs
+    the brute oracle)."""
+    dx, dy, dz = dims
+    grid = packed_flat.reshape(dz, dy, dx).astype(U32)
+    ox, oy, oz = grid & U32(0x3FF), (grid >> U32(10)) & U32(0x3FF), grid >> U32(20)
+    pz = jax.lax.broadcasted_iota(I32, (dz, dy, dx), 0)
+    py = jax.lax.broadcasted_iota(I32, (dz, dy, dx), 1)
+    px = jax.lax.broadcasted_iota(I32, (dz, dy, dx), 2)
+    is_site = (
+        (ox.astype(I32) == px) & (oy.astype(I32) == py) & (oz.astype(I32) == pz)
+    ) & (ox != U32(PBA_UNINITIALISED_COORD))
+
+    # --- phase 1: nearest site along Z per (y, x) column (two scans) -------
+    g1, near_z = _nearest_scan(is_site, dz)
+    near_z_c = jnp.clip(near_z, 0, PBA_UNINITIALISED_COORD).astype(U32)
+    pay1 = px.astype(U32) | (py.astype(U32) << U32(10)) | (near_z_c << U32(20))
+
+    # --- ring bounds for the Y pass (per-fine-x semi-coarse 2D EDT: the Y
+    # pass only sees sites sharing the query's x) ----------------------------
+    semi = _block_any(is_site, axes=(0, 1))  # [cz, cy, dx]
+    d1s, _ = _nearest_scan(semi, semi.shape[0])  # along cz
+    dummy_pay = jnp.zeros(semi.shape, U32)
+    d2s, _ = envelope_pass(d1s, dummy_pay)  # along cy (full scan; tiny grid)
+    boundY = _bound_from_d2(_max_x_blocks(d2s), 2)  # [cz, cy, cx]
+
+    # --- phase 2: envelope along Y ------------------------------------------
+    d2, pay2 = envelope_pass(g1, pay1, boundY)
+
+    # --- ring bounds for the X pass (full coarse 3D EDT) ---------------------
+    cmask = _block_any(is_site, axes=(0, 1, 2))  # [cz, cy, cx]
+    c1, _ = _nearest_scan(cmask, cmask.shape[0])
+    zero_pay = jnp.zeros(cmask.shape, U32)
+    c2, _ = envelope_pass(c1, zero_pay)  # along cy
+    c2t = jnp.transpose(c2, (0, 2, 1))
+    c3t, _ = envelope_pass(c2t, jnp.transpose(zero_pay, (0, 2, 1)))  # along cx
+    # bounds live on the X pass's transposed layout [dz, dx, dy]:
+    boundX = _bound_from_d2(c3t, 3)  # [cz, cx, cy]
+
+    # --- phase 3: envelope along X (transpose y<->x, same kernel) ------------
+    d2t = jnp.transpose(d2, (0, 2, 1))
+    pay2t = jnp.transpose(pay2, (0, 2, 1))
+    d3t, pay3t = envelope_pass(d2t, pay2t, boundX)
+    outt = jnp.where(d3t >= MISS, jnp.uint32(PBA_UNINITIALISED_PACKED), pay3t)
+    return jnp.transpose(outt, (0, 2, 1)).reshape(-1)
+
+
+def _max_x_blocks(d2s: jnp.ndarray) -> jnp.ndarray:
+    """[cz, cy, dx] per-fine-x values -> [cz, cy, cdiv(dx,8)] per-block max
+    with MISS treated as -inf (a MISS output constrains no rings)."""
+    v = jnp.where(d2s >= MISS, I32(-1), d2s)
+    pad = (-v.shape[2]) % _C
+    if pad:
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad)), constant_values=-1)
+    for _ in range(3):
+        v = jnp.maximum(v[:, :, 0::2], v[:, :, 1::2])
+    return v

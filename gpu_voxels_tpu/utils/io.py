@@ -83,8 +83,14 @@ def read_voxel_map(path):
 
 def write_hierarchical_map(h, path) -> None:
     """NTree::serialize equivalent (NTree.hpp:3283-3400): persist the fine
-    occupancy grid + metadata; the pyramid is an invariant rebuilt on load."""
-    occ = np.asarray(h.occupancy, np.int8)
+    ground-truth grid + metadata; the pyramid is an invariant rebuilt on
+    load. The probabilistic tier's ground truth is the int8 occupancy grid,
+    the deterministic tier's the uint8 status grid."""
+    from ..maps.hierarchical import HierarchicalBitMap
+
+    fine = np.asarray(
+        h.status if isinstance(h, HierarchicalBitMap) else h.occupancy
+    )
     header = np.zeros((), dtype=_HEADER)
     header["map_type"] = int(h.map_type)
     header["side_length"] = h.side_length
@@ -92,8 +98,8 @@ def write_hierarchical_map(h, path) -> None:
     with open(path, "wb") as f:
         f.write(header.tobytes())
         f.write(np.int32(h.levels).tobytes())
-        f.write(np.asarray(occ.shape, "<i4").tobytes())
-        f.write(occ.tobytes())
+        f.write(np.asarray(fine.shape, "<i4").tobytes())
+        f.write(fine.tobytes())
 
 
 def read_hierarchical_map(path):
@@ -110,21 +116,34 @@ def read_hierarchical_map(path):
         header = np.frombuffer(f.read(_HEADER.itemsize), dtype=_HEADER)[0]
         levels = int(np.frombuffer(f.read(4), "<i4")[0])
         shape = tuple(np.frombuffer(f.read(12), "<i4"))
-        occ = np.frombuffer(f.read(), np.int8).reshape(shape)
+        raw = f.read()
     map_type = MapType(int(header["map_type"]))
     dims = tuple(int(v) for v in header["dims"])
-    cls = HierarchicalBitMap if map_type == MapType.MT_BITVECTOR_OCTREE else HierarchicalProbMap
-    occ_j = jnp.asarray(occ)
+    side = float(header["side_length"])
+    if map_type == MapType.MT_BITVECTOR_OCTREE:
+        s0 = jnp.asarray(np.frombuffer(raw, np.uint8).reshape(shape))
+        pyr = tuple(_build_pyramid(s0, levels))
+        return HierarchicalBitMap(pyr, dims, side, levels)
+    occ_j = jnp.asarray(np.frombuffer(raw, np.int8).reshape(shape))
     pyr = tuple(_build_pyramid(_status_from_occupancy(occ_j), levels))
-    return cls(occ_j, pyr, dims, float(header["side_length"]), levels)
+    return HierarchicalProbMap(occ_j, pyr, dims, side, levels)
 
 
 def write_voxel_list(lst, path) -> None:
     from ..maps.voxellist import KIND_BIT
 
     n = int(lst.count)
-    ids = np.asarray(lst.ids[:n]).astype("<u4")
-    coords = np.asarray(lst.coords_from_ids(lst.ids[:n])).astype("<u4")
+    if lst.id_mode == "morton":
+        # the reference's MortonVoxelList ids are uint64 (morton_code60):
+        # recombine the (hi30, lo30) pair on the host
+        hi = np.asarray(lst.ids_hi[:n]).astype("<u8")
+        lo = np.asarray(lst.ids[:n]).astype("<u8")
+        ids = ((hi << 30) | lo).astype("<u8")
+    else:
+        ids = np.asarray(lst.ids[:n]).astype("<u4")
+    coords = np.asarray(
+        lst.coords_from_ids(lst.ids[:n], lst.ids_hi[:n])
+    ).astype("<u4")
     if lst.kind == KIND_BIT:
         payload = _planes_to_voxel_bytes(np.asarray(lst.payload[:, :n]))
     else:
@@ -149,7 +168,17 @@ def read_voxel_list(path):
         dims = tuple(int(v) for v in np.frombuffer(f.read(12), "<u4"))
         side = float(np.frombuffer(f.read(4), "<f4")[0])
         n = int(np.frombuffer(f.read(4), "<u4")[0])
-        ids = np.frombuffer(f.read(4 * n), "<u4")
+        morton_ids = map_type in (
+            MapType.MT_BITVECTOR_MORTON_VOXELLIST,
+            MapType.MT_PROBAB_MORTON_VOXELLIST,
+        )
+        if morton_ids:
+            ids64 = np.frombuffer(f.read(8 * n), "<u8")
+            ids = (ids64 & np.uint64((1 << 30) - 1)).astype("<u4")
+            ids_hi = (ids64 >> np.uint64(30)).astype("<u4")
+        else:
+            ids = np.frombuffer(f.read(4 * n), "<u4")
+            ids_hi = np.zeros(n, "<u4")
         _coords = np.frombuffer(f.read(12 * n), "<u4").reshape(n, 3)
         rest = f.read()
     kind = {
@@ -172,4 +201,10 @@ def read_voxel_list(path):
         payload = jnp.asarray(np.frombuffer(rest, np.int8, n))
     from dataclasses import replace
 
-    return replace(lst, ids=jnp.asarray(ids), payload=payload, count=jnp.int32(n))
+    return replace(
+        lst,
+        ids=jnp.asarray(ids),
+        ids_hi=jnp.asarray(ids_hi),
+        payload=payload,
+        count=jnp.int32(n),
+    )

@@ -207,7 +207,10 @@ def test_hierarchical_disk_roundtrip(tmp_path):
         back = map_io.read_hierarchical_map(f)
         assert type(back) is type(h)
         assert back.dims == h.dims and back.levels == h.levels
-        np.testing.assert_array_equal(np.asarray(back.occupancy), np.asarray(h.occupancy))
+        if cls is HierarchicalBitMap:
+            np.testing.assert_array_equal(np.asarray(back.status), np.asarray(h.status))
+        else:
+            np.testing.assert_array_equal(np.asarray(back.occupancy), np.asarray(h.occupancy))
         for a, b in zip(back.pyramid, h.pyramid):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -268,3 +271,20 @@ def test_camelcase_compat_aliases():
         np.array([[1.5, 1.5, 1.5]], np.float32)
     ).parallelBanding3D()
     assert int(d.getSquaredObstacleDistance(1, 1, 3)) == 4
+
+
+def test_morton_voxel_list_disk_roundtrip(tmp_path):
+    """Morton lists persist 64-bit ids (the reference's MortonVoxelList id
+    type); membership must survive a disk round trip, incl. coords >= 1024."""
+    from gpu_voxels_tpu.maps.voxellist import bit_vector_morton_voxel_list
+
+    pts = np.array([[2000.5, 1500.5, 1030.5], [3.5, 4.5, 5.5]], np.float32)
+    lst = bit_vector_morton_voxel_list((4096, 4096, 4096)).insert_point_cloud(pts, 50)
+    f = tmp_path / "morton.bin"
+    map_io.write_voxel_list(lst, f)
+    back = map_io.read_voxel_list(f)
+    assert int(back.count) == 2
+    np.testing.assert_array_equal(
+        np.asarray(back.entry_coords()[:2]), np.asarray(lst.entry_coords()[:2])
+    )
+    assert int(back.collide_with(lst)) == 2

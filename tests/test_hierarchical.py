@@ -140,3 +140,57 @@ def test_hierarchical_projective_sensor():
         h = h.insert_depth_image(depth, sensor)
     occ, unk, free = h.probe(jnp.asarray([[16, 16, 10], [16, 16, 5]], jnp.int32))
     assert bool(occ[0]) and bool(free[1])
+
+
+def test_deterministic_hard_statuses_diverge_from_probabilistic():
+    """The deterministic tier writes hard statuses (kernel_common.h:219-223):
+    carving through an occupied cell frees it outright, while the
+    probabilistic tier's log-odds keep it occupied (+72 - 10 = 62 >= 10)."""
+    hit = np.array([[10.5, 10.5, 10.5]], np.float32)
+    beyond = np.array([[20.5, 10.5, 10.5]], np.float32)
+    origin = (0.5, 10.5, 10.5)
+
+    hp = HierarchicalProbMap.create(DIMS)
+    for _ in range(3):  # -128 + 3*72 = 88 >= THRESHOLD_OCCUPANCY
+        hp = hp.insert_point_cloud_with_free_space(hit, origin)
+    hp = hp.insert_point_cloud_with_free_space(beyond, origin)  # ray crosses (10,10,10)
+    occ_p, _, free_p = hp.probe(jnp.asarray([[10, 10, 10]], jnp.int32))
+    assert bool(occ_p[0]) and not bool(free_p[0])  # log-odds stay occupied (78)
+
+    hd = HierarchicalBitMap.create(DIMS)
+    for _ in range(3):
+        hd = hd.insert_point_cloud_with_free_space(hit, origin)
+    hd = hd.insert_point_cloud_with_free_space(beyond, origin)
+    occ_d, _, free_d = hd.probe(jnp.asarray([[10, 10, 10]], jnp.int32))
+    assert not bool(occ_d[0]) and bool(free_d[0])  # hard FREE overwrote OCCUPIED
+
+
+def test_deterministic_static_dynamic_flags_propagate():
+    """ns_STATIC_MAP/ns_DYNAMIC_MAP tags (Nodes.h:50-57) OR up the pyramid
+    (getNewStatus, Nodes.h:78) and ride along with probed statuses."""
+    from gpu_voxels_tpu.maps.hierarchical import NS_DYNAMIC_MAP, NS_STATIC_MAP
+
+    env = np.array([[4.5, 4.5, 4.5]], np.float32)
+    sensor_pt = np.array([[20.5, 20.5, 20.5]], np.float32)
+    h = HierarchicalBitMap.create(DIMS).insert_point_cloud(env, static_map=True)
+    h = h.insert_point_cloud(sensor_pt, static_map=False)
+
+    s_env = np.asarray(h.probe_status(jnp.asarray([[4, 4, 4]], jnp.int32)))[0]
+    s_dyn = np.asarray(h.probe_status(jnp.asarray([[20, 20, 20]], jnp.int32)))[0]
+    assert s_env & NS_STATIC_MAP and not s_env & NS_DYNAMIC_MAP
+    assert s_dyn & NS_DYNAMIC_MAP and not s_dyn & NS_STATIC_MAP
+    # both flags reach the root by OR-propagation
+    top = int(np.asarray(h.pyramid[-1]).reshape(-1)[0])
+    assert top & NS_STATIC_MAP and top & NS_DYNAMIC_MAP
+
+
+def test_deterministic_free_insert_and_reoccupy():
+    """eBVM_FREE inserts mark cells hard-free; a later occupied insert flips
+    them back in one shot (no accumulation)."""
+    pts = np.array([[6.5, 6.5, 6.5]], np.float32)
+    h = HierarchicalBitMap.create(DIMS).insert_point_cloud(pts, meaning=0)  # eBVM_FREE
+    _, _, free = h.probe(jnp.asarray([[6, 6, 6]], jnp.int32))
+    assert bool(free[0])
+    h = h.insert_point_cloud(pts)  # one occupied insert suffices
+    occ, _, _ = h.probe(jnp.asarray([[6, 6, 6]], jnp.int32))
+    assert bool(occ[0])

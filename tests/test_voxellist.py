@@ -153,3 +153,27 @@ def test_clear_and_capacity():
     assert int(shrunk.count) == 27
     grown = a.with_capacity(100)
     assert int(grown.count) == 27 and grown.capacity == 100
+
+
+def test_morton60_coords_beyond_1024():
+    """BitVectorMortonVoxelList carries 64-bit Morton ids in the reference
+    (common_defines.h:175-182); the (hi,lo) pair must keep coords >= 1024
+    distinct and round-trippable (round 1 aliased them to the low 30 bits)."""
+    dims = (4096, 4096, 4096)
+    pts = np.array(
+        [[2000.5, 1500.5, 1030.5], [2000.5, 1500.5, 1030.5], [5.5, 6.5, 7.5],
+         # low-word collision candidates: same coords mod 1024
+         [976.5, 476.5, 6.5], [976.5 + 1024, 476.5, 6.5]],
+        np.float32,
+    )
+    lst = bit_vector_morton_voxel_list(dims).insert_point_cloud(pts, 50)
+    assert int(lst.count) == 4  # one duplicate merged, mod-1024 pair distinct
+    coords = sorted(np.asarray(lst.entry_coords())[:4].tolist())
+    assert coords == [[5, 6, 7], [976, 476, 6], [2000, 476, 6], [2000, 1500, 1030]]
+    # membership respects the high word
+    probe = bit_vector_morton_voxel_list(dims).insert_point_cloud(pts[3:4], 60)
+    assert int(lst.collide_with(probe)) == 1
+    other = bit_vector_morton_voxel_list(dims).insert_point_cloud(
+        np.array([[976.5, 1500.5, 6.5]], np.float32), 60
+    )
+    assert int(lst.collide_with(other)) == 0
