@@ -90,9 +90,16 @@ class GpuVoxels:
         elif mt == MapType.MT_PROBAB_OCTREE:
             m = HierarchicalProbMap.create(d, s)
         elif mt == MapType.MT_BITVECTOR_OCTREE:
-            from .maps.hierarchical import HierarchicalBitMap
+            if max(d) > 1024 and all(v % 64 == 0 for v in d):
+                # past the dense pyramid's memory wall the paged sparse tier
+                # provides the NTree's octree-scale addressability
+                from .maps.paged import PagedHierarchicalMap
 
-            m = HierarchicalBitMap.create(d, s)
+                m = PagedHierarchicalMap(d, s)
+            else:
+                from .maps.hierarchical import HierarchicalBitMap
+
+                m = HierarchicalBitMap.create(d, s)
         else:
             raise NotImplementedError(f"map type {mt}")
         self._maps[map_name] = m

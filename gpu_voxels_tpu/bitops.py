@@ -165,14 +165,93 @@ def bit_margin_collision_check_packed(
     """
     if margin > 24:
         # beyond 24 the reference's 64-bit sliding buffer drops matches for
-        # high in-byte bit positions; keep the faithful (unpacked) path there
-        raise ValueError("margin must be <= 24 (reference buffer limit)")
+        # high in-byte bit positions; the full-domain path reproduces that
+        _, collisions = bit_margin_collision_check_packed_full(
+            v1, v2, zeros(v1.shape[1:]), margin, 0
+        )
+        return ~is_zero(collisions), collisions
     v2m = v2.at[0].set(v2[0] & UINT32(0xFFFFFFF0))  # mask non-SV nibble
     window = v2m
     for s in range(1, margin + 1):
         window = window | shift_bits(v2m, s) | shift_bits(v2m, -s)
     collisions = v1 & window
     return ~is_zero(collisions), collisions
+
+
+def _bitpos_mask(predicate) -> np.ndarray:
+    """uint32[8] constant with bit b set iff predicate(b)."""
+    words = np.zeros(NUM_BIT_PLANES, np.uint32)
+    for b in range(NUM_BIT_PLANES * 32):
+        if predicate(b):
+            words[b >> 5] |= np.uint32(1) << np.uint32(b & 31)
+    return words
+
+
+def bit_margin_collision_check_packed_full(
+    v1: jnp.ndarray,
+    v2: jnp.ndarray,
+    collisions: jnp.ndarray,
+    margin: int,
+    sv_offset: int,
+):
+    """Packed bitMarginCollisionCheck (BitVector.h:415-471) over the full
+    reference domain: any margin < 32, any sv_offset — never unpacks to
+    bool[..., 256], so it is safe on dense 512^3 grids.
+
+    Faithful to every 64-bit-buffer quirk of the reference:
+      * v1 byte B is buffered at bit p = 32 - margin + sv_offset//8; window
+        shift s matches v2 at buffer position p + s + j (j = in-byte bit).
+        Positions > 63 overflow the uint64 and the match is DROPPED — that is
+        exactly "j > 31 + margin - sv_offset//8 - s", a per-s constant mask.
+      * the 4 initially buffered v2 bytes sit one byte higher than refilled
+        ones when the scan starts at byte 1 (sv_offset%8 >= 4), and v2 byte 4
+        then never enters the buffer (regions A/B with shifts DA/DB).
+      * records land at bit + sv_offset//8, truncated to the byte; only bytes
+        touched by the scan overwrite `collisions`.
+
+    Returns (any_collision bool[...], collisions uint32[8, ...]).
+    """
+    if margin >= 32:
+        raise ValueError("margin must be < 32 (BitVector.h:428-432)")
+    sv_offset = int(sv_offset)
+    byte_off = sv_offset % 8
+    bit_off = sv_offset // 8
+    first_bit = SV_START + byte_off
+    first_byte = first_bit >> 3
+
+    v2m = v2.at[0].set(v2[0] & UINT32(0xFFFFFFF0))  # mask non-SV nibble
+    nbits = NUM_BIT_PLANES * 32
+    shape = (NUM_BIT_PLANES,) + (1,) * (v1.ndim - 1)
+    region_a = jnp.asarray(_bitpos_mask(lambda b: b < 32)).reshape(shape)
+    region_b = jnp.asarray(
+        _bitpos_mask(lambda b: b >= 8 * (4 + first_byte))
+    ).reshape(shape)
+    v2a = v2m & region_a
+    v2b = v2m & region_b
+    DA = bit_off - margin - 8 * first_byte
+    DB = bit_off - margin
+
+    matched = jnp.zeros_like(v1)
+    for s in range(2 * margin + 1):
+        j_max = 31 + margin - bit_off - s  # uint64 overflow cutoff
+        if j_max < 0:
+            continue
+        win = shift_bits(v2a, DA + s) | shift_bits(v2b, DB + s)
+        hit = v1 & win
+        if j_max < 7:
+            jm = jnp.asarray(_bitpos_mask(lambda b: (b & 7) <= j_max)).reshape(shape)
+            hit = hit & jm
+        matched = matched | hit
+
+    # record at bit + bit_off, only if it stays inside the bit's byte
+    stays = jnp.asarray(_bitpos_mask(lambda b: (b & 7) + bit_off < 8)).reshape(shape)
+    recorded = shift_bits(matched & stays, -bit_off)
+    written_bytes = {i >> 3 for i in range(first_bit, SV_END, 8)}
+    written = jnp.asarray(
+        _bitpos_mask(lambda b: (b >> 3) in written_bytes)
+    ).reshape(shape)
+    out = (recorded & written) | (collisions & ~written)
+    return ~is_zero(out), out
 
 
 # ---------------------------------------------------------------------------
@@ -321,11 +400,14 @@ def bit_margin_collision_check_np(v1_bytes, v2_bytes, coll_bytes, margin, sv_off
     i = SV_START + byte_offset
     while i < SV_END:
         byte = 0
-        byte_1 = np.uint64(int(v1_bytes[i >> 3]) << (buffer_half - margin + bit_offset))
+        m64 = (1 << 64) - 1  # C++ uint64 wraparound (shifts past bit 63 drop)
+        byte_1 = np.uint64(
+            (int(v1_bytes[i >> 3]) << (buffer_half - margin + bit_offset)) & m64
+        )
         for _ in range(2 * margin + 1):
             shift_back = buffer_half - margin + (_)
             byte |= int((int(byte_1) & int(buf)) >> shift_back) & 0xFF
-            byte_1 = np.uint64(int(byte_1) << 1)
+            byte_1 = np.uint64((int(byte_1) << 1) & m64)
         coll[i >> 3] = byte
         buf = np.uint64(int(buf) >> 8)
         if i < num_bits - buffer_half:

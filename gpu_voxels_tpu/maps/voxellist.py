@@ -347,7 +347,7 @@ class VoxelList:
         if sv_offset == 0:
             hit, _ = bitops.bit_margin_collision_check_packed(self.payload, otherp, margin)
         else:
-            hit, _ = bitops.bit_margin_collision_check(
+            hit, _ = bitops.bit_margin_collision_check_packed_full(
                 self.payload, otherp, bitops.zeros((self.capacity,)), margin, sv_offset
             )
         return jnp.sum(hit & mask, dtype=jnp.uint32)

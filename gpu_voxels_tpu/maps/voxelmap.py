@@ -304,7 +304,9 @@ class BitVectorVoxelMap(_DenseMap):
         if sv_offset == 0:
             hit, _ = bitops.bit_margin_collision_check_packed(self.data, other.data, margin)
         else:
-            hit, _ = bitops.bit_margin_collision_check(
+            # packed full-domain path: never unpacks to bool[..., 256], so
+            # dense swept-volume checks are safe at 512^3 (and margin < 32)
+            hit, _ = bitops.bit_margin_collision_check_packed_full(
                 self.data, other.data, bitops.zeros((self.voxelmap_size,)), margin, sv_offset
             )
         return jnp.sum(hit, dtype=jnp.uint32)

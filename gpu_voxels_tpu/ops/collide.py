@@ -113,11 +113,15 @@ def collide_with_types_bit_bit(
     order-independent).
     """
     n = a_planes.shape[-1]
-    if sv_offset == 0:
+    if sv_offset == 0 and margin <= 24:
         hit, records = bitops.bit_margin_collision_check_packed(a_planes, b_planes, margin)
     else:
+        # full-domain packed path: stays in uint32 planes (never unpacks to
+        # bool[..., 256]), so dense swept-volume collides work at 512^3
         zero = bitops.zeros((n,))
-        hit, records = bitops.bit_margin_collision_check(a_planes, b_planes, zero, margin, sv_offset)
+        hit, records = bitops.bit_margin_collision_check_packed_full(
+            a_planes, b_planes, zero, margin, sv_offset
+        )
     records = jnp.where(hit[None, :], records, jnp.zeros_like(records))
     meanings = jnp.bitwise_or.reduce(records, axis=1)
     count = jnp.sum(hit, dtype=jnp.uint32)

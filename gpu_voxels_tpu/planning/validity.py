@@ -43,6 +43,9 @@ class GvlValidityChecker:
         self.t = float_to_probability(coll_threshold)
         self.max_colliding = int(max_colliding_voxels)
         self._check = jax.jit(self._build_check())
+        # built ONCE: re-wrapping vmap in jit per call would recompile the
+        # whole batch program every call (jit caches on callable identity)
+        self._batch_check = jax.jit(jax.vmap(self._build_check(), in_axes=(0, None)))
 
     def _build_check(self):
         env = self.env
@@ -75,8 +78,7 @@ class GvlValidityChecker:
         return self.colliding_voxels(cfg) <= self.max_colliding
 
     def batch_colliding_voxels(self, cfgs) -> np.ndarray:
-        f = jax.jit(jax.vmap(self._check, in_axes=(0, None)))
-        return np.asarray(f(jnp.asarray(cfgs, jnp.float32), self.env.data))
+        return np.asarray(self._batch_check(jnp.asarray(cfgs, jnp.float32), self.env.data))
 
 
 class HierarchicalValidityChecker(GvlValidityChecker):
@@ -91,6 +93,7 @@ class HierarchicalValidityChecker(GvlValidityChecker):
         self.max_colliding = int(max_colliding_voxels)
         self.min_level = int(min_level)
         self._check = jax.jit(self._build_check())
+        self._batch_check = jax.jit(jax.vmap(self._build_check(), in_axes=(0, None)))
 
     def _build_check(self):
         # NOTE: the env map is a jit ARGUMENT (a pytree), never a closure —
@@ -128,8 +131,7 @@ class HierarchicalValidityChecker(GvlValidityChecker):
         return int(self._check(jnp.asarray(cfg, jnp.float32), self.env))
 
     def batch_colliding_voxels(self, cfgs) -> np.ndarray:
-        f = jax.jit(jax.vmap(self._check, in_axes=(0, None)))
-        return np.asarray(f(jnp.asarray(cfgs, jnp.float32), self.env))
+        return np.asarray(self._batch_check(jnp.asarray(cfgs, jnp.float32), self.env))
 
 
 class MotionValidator:
@@ -148,8 +150,18 @@ class MotionValidator:
         return s1[None, :] * (1 - ratios[:, None]) + s2[None, :] * ratios[:, None]
 
     def check_motion(self, s1, s2) -> Tuple[bool, int]:
-        """Returns (valid, number of checked states)."""
+        """Returns (valid, number of checked states).
+
+        The state batch is padded to the next power of two (repeating the
+        endpoint) so arbitrary segment lengths reuse a handful of compiled
+        batch programs instead of recompiling per length."""
         states = self.segment_states(s1, s2)
-        counts = self.checker.batch_colliding_voxels(states)
+        n = len(states)
+        m = 1
+        while m < n:
+            m <<= 1
+        if m != n:
+            states = np.concatenate([states, np.repeat(states[-1:], m - n, axis=0)])
+        counts = self.checker.batch_colliding_voxels(states)[:n]
         valid = bool((counts <= self.checker.max_colliding).all())
-        return valid, len(states)
+        return valid, n

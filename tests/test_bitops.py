@@ -170,3 +170,54 @@ def test_bit_margin_fuzz_vs_byte_oracle(case):
             err_msg=f"case {case} margin {margin} sv {sv_offset} voxel {i}",
         )
         assert bool(np.asarray(hit)[i]) == bool(exp_hit)
+
+
+def test_packed_full_margin_check_entire_domain():
+    """bit_margin_collision_check_packed_full must match the byte-level
+    reference oracle over the FULL domain (any margin < 32, any sv_offset),
+    including the uint64-buffer truncation the reference exhibits for
+    margin + sv_offset//8 > 24 (BitVector.h:415-471)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gpu_voxels_tpu import bitops
+
+    rng = np.random.default_rng(42)
+
+    def to_planes(b):
+        return jnp.asarray(np.frombuffer(b.tobytes(), np.uint32).copy()).reshape(8, 1)
+
+    def to_bytes(p):
+        return np.frombuffer(np.asarray(p[:, 0]).tobytes(), np.uint8)
+
+    for margin in [0, 2, 5, 24, 25, 28, 31]:
+        for sv_offset in [0, 3, 4, 7, 8, 12, 16, 31, 40, 56]:
+            v1 = rng.integers(0, 256, 32, dtype=np.uint8)
+            v2 = rng.integers(0, 256, 32, dtype=np.uint8)
+            c0 = rng.integers(0, 256, 32, dtype=np.uint8)
+            _, expect = bitops.bit_margin_collision_check_np(v1, v2, c0, margin, sv_offset)
+            _, got = bitops.bit_margin_collision_check_packed_full(
+                to_planes(v1), to_planes(v2), to_planes(c0), margin, sv_offset
+            )
+            np.testing.assert_array_equal(
+                to_bytes(got), expect, err_msg=f"margin={margin} sv_offset={sv_offset}"
+            )
+
+
+def test_packed_fastpath_delegates_beyond_24():
+    """margin > 24 on the sv_offset==0 fast path must reproduce the
+    reference's buffer truncation instead of raising."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gpu_voxels_tpu import bitops
+
+    rng = np.random.default_rng(7)
+    v1 = rng.integers(0, 256, 32, dtype=np.uint8)
+    v2 = rng.integers(0, 256, 32, dtype=np.uint8)
+    zero = np.zeros(32, np.uint8)
+
+    def to_planes(b):
+        return jnp.asarray(np.frombuffer(b.tobytes(), np.uint32).copy()).reshape(8, 1)
+
+    any_np, _ = bitops.bit_margin_collision_check_np(v1, v2, zero, 28, 0)
+    any_packed, _ = bitops.bit_margin_collision_check_packed(to_planes(v1), to_planes(v2), 28)
+    assert bool(any_packed[0]) == bool(any_np)

@@ -1,0 +1,93 @@
+"""Paged hierarchical map (octree-scale sparse tier) tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_voxels_tpu.maps.hierarchical import NS_DYNAMIC_MAP, NS_STATIC_MAP
+from gpu_voxels_tpu.maps.paged import PagedHierarchicalMap
+from gpu_voxels_tpu.maps.voxellist import bit_vector_morton_voxel_list
+
+DIMS = (4096, 4096, 4096)
+
+
+def scattered_points(n=2000, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0, 4096, (n, 3)).astype(np.float32)
+
+
+def test_insert_probe_scales_past_dense_wall():
+    m = PagedHierarchicalMap(DIMS, 1.0)
+    pts = scattered_points()
+    m.insert_point_cloud(pts)
+    coords = np.floor(pts).astype(np.int32)
+    occ, unk, free = m.probe(jnp.asarray(coords))
+    assert int(np.asarray(occ).sum()) == len(pts)
+    # memory scales with surface, not volume (4096^3 dense int8 = 69 GB)
+    assert m.memory_usage() < 600 * 1024 * 1024
+    assert m.n_tiles() <= len(pts)
+
+    empty = np.array([[1, 1, 1], [4000, 12, 7]], np.int32)
+    occ2, unk2, _ = m.probe(jnp.asarray(empty))
+    assert not bool(occ2.any()) and bool(unk2.all())
+
+
+def test_hard_status_semantics_and_flags():
+    m = PagedHierarchicalMap(DIMS, 1.0)
+    p = np.array([[100.5, 100.5, 100.5]], np.float32)
+    m.insert_point_cloud(p, meaning=0, static_map=False)  # eBVM_FREE, dynamic
+    q = jnp.asarray([[100, 100, 100]], jnp.int32)
+    o, u, f = m.probe(q)
+    assert bool(f[0]) and not bool(o[0])
+    assert int(np.asarray(m.probe_status(q))[0]) & NS_DYNAMIC_MAP
+    m.insert_point_cloud(p, static_map=True)  # hard re-occupy
+    o, _, f = m.probe(q)
+    assert bool(o[0]) and not bool(f[0])
+    assert int(np.asarray(m.probe_status(q))[0]) & NS_STATIC_MAP
+
+
+def test_min_level_probes():
+    m = PagedHierarchicalMap(DIMS, 1.0)
+    m.insert_point_cloud(np.array([[100.5, 100.5, 100.5]], np.float32))
+    # same 2-cube at min_level=1, same 4-cube at 2, same block at 3
+    assert bool(m.probe(jnp.asarray([[100, 100, 101]], jnp.int32), min_level=1)[0][0])
+    assert bool(m.probe(jnp.asarray([[103, 103, 103]], jnp.int32), min_level=2)[0][0])
+    assert bool(m.probe(jnp.asarray([[97, 98, 99]], jnp.int32), min_level=3)[0][0])
+    # exact neighbor voxel is NOT occupied at level 0
+    assert not bool(m.probe(jnp.asarray([[100, 100, 101]], jnp.int32))[0][0])
+
+
+def test_collide_with_morton_list():
+    m = PagedHierarchicalMap(DIMS, 1.0)
+    pts = scattered_points(300, seed=3)
+    m.insert_point_cloud(pts)
+    lst = bit_vector_morton_voxel_list(DIMS).insert_point_cloud(pts[:40], 50)
+    assert int(m.collide_with(lst)) == 40
+    far = bit_vector_morton_voxel_list(DIMS).insert_point_cloud(
+        np.array([[2.5, 2.5, 2.5]], np.float32), 50
+    )
+    assert int(m.collide_with(far)) == 0
+
+
+def test_extract_and_reinsert():
+    m = PagedHierarchicalMap(DIMS, 1.0)
+    pts = scattered_points(500, seed=5)
+    m.insert_point_cloud(pts)
+    tiles0 = m.n_tiles()
+    m.insert_point_cloud(pts)  # same voxels: no new tiles
+    assert m.n_tiles() == tiles0
+    ex = m.extract_occupied_coords()
+    got = set(map(tuple, ex.tolist()))
+    expect = set(map(tuple, np.floor(pts).astype(np.int32).tolist()))
+    assert got == expect
+
+
+def test_factory_routes_large_worlds_to_paged():
+    from gpu_voxels_tpu.api import GpuVoxels
+    from gpu_voxels_tpu.constants import MapType
+
+    GpuVoxels._instance = None
+    gvl = GpuVoxels.get_instance()
+    gvl.initialize(2048, 2048, 2048, 1.0)
+    m = gvl.add_map(MapType.MT_BITVECTOR_OCTREE, "bigworld")
+    assert isinstance(m, PagedHierarchicalMap)
+    GpuVoxels._instance = None
