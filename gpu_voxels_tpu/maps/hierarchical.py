@@ -164,6 +164,22 @@ class _PyramidQueries:
         occ, _, _ = self.probe(coords, min_level)
         return jnp.sum(occ & valid, dtype=jnp.uint32)
 
+    def collide_with_resolution(
+        self, other, coll_threshold: float = 1.0, resolution_level: int = 0, offset=(0, 0, 0)
+    ):
+        """collideWithResolution (CollisionInterfaces.h:53-60). In the
+        reference only GvlNTree implements this mixin (GvlNTree.hpp:179-197);
+        resolution_level maps to the probe descent's min_level. The offset
+        argument is accepted for signature parity (the reference forwards it
+        to intersect_sparse); coll_threshold is ignored on this path exactly
+        like the reference's hardcoded probe occupancy (kernel_common.h:172)."""
+        del coll_threshold
+        if tuple(offset) != (0, 0, 0):
+            raise NotImplementedError("offset probes not supported on the hierarchy")
+        if resolution_level > self.levels:
+            raise ValueError("resolution_level greater than octree height")
+        return self.collide_with(other, min_level=int(resolution_level))
+
     def collide_with_counting_unknown(self, other, min_level: int = 0):
         """collideWithTypesConsideringUnknownCells (GvlNTree.h:120-129):
         returns (collisions, unknown-cell hits)."""

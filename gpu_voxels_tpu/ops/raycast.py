@@ -180,11 +180,18 @@ def insert_depth_image(
     invalid_value: float = 0.0,
     cut_real_robot: bool = False,
     robot_occupied_mask=None,
+    carve_pool: int = 8,
 ) -> jnp.ndarray:
     """Full projective sensor update: occupied hits (+72 per measurement) and
     visibility-carved free space (-10) in one fused program. The fast path
     for dense depth cameras; insert_sensor_data's DDA walk remains for
-    sparse/arbitrary point sets."""
+    sparse/arbitrary point sets.
+
+    carve_pool > 1 carves against the PxP min-pooled depth image through the
+    Pallas tile kernel (ops/raycast_pallas.py) — conservative (never frees a
+    voxel the exact carve keeps, under-carves near depth edges) and removes
+    the 16.7M-voxel depth gather that dominated the exact carve (195 ms at
+    256^3). carve_pool <= 1 keeps the exact per-pixel carve."""
     pts = depth_image_to_point_cloud(depth, fx, fy, cx, cy, invalid_value)
     from ..geometry import transforms
 
@@ -198,9 +205,17 @@ def insert_depth_image(
     hit_counts = jnp.zeros((n,), jnp.int32).at[idx].add(1, mode="drop")
     if cut_real_robot and robot_occupied_mask is not None:
         hit_counts = jnp.where(robot_occupied_mask, 0, hit_counts)
-    free = projective_free_space(
-        depth, pose, fx, fy, cx, cy, side_length, dims, invalid_value
-    )
+    if carve_pool > 1:
+        from .raycast_pallas import projective_free_space_tpu
+
+        free = projective_free_space_tpu(
+            depth, pose, fx, fy, cx, cy, side_length, dims, invalid_value,
+            pool=carve_pool,
+        )
+    else:
+        free = projective_free_space(
+            depth, pose, fx, fy, cx, cy, side_length, dims, invalid_value
+        )
     delta = hit_counts * SENSOR_MODEL_OCCUPIED + jnp.where(
         free & (hit_counts == 0), SENSOR_MODEL_FREE, 0
     )

@@ -19,8 +19,16 @@ from pathlib import Path
 INDEX = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>gpu_voxels_tpu live</title>
 <style>body{margin:0;background:#111;color:#eee;font-family:sans-serif}
-#hud{position:absolute;top:8px;left:8px;z-index:2}</style></head>
-<body><div id="hud">gpu_voxels_tpu live viewer — <span id="status">loading</span></div>
+#hud{position:absolute;top:8px;left:8px;z-index:2;background:#000a;padding:8px;border-radius:6px;max-width:320px}
+#hud label{display:block;font-size:12px} #hud input[type=range]{width:120px;vertical-align:middle}
+#maps label{display:inline-block;margin-right:8px}</style></head>
+<body><div id="hud">gpu_voxels_tpu live — <span id="status">loading</span>
+  <div id="maps"></div>
+  <div>slice <select id="axis"><option>none</option><option>x</option><option>y</option><option>z</option></select>
+    min <input type="range" id="smin" min="0" max="1024" value="0">
+    max <input type="range" id="smax" min="0" max="1024" value="1024"></div>
+  <div>camera <span id="cams"></span></div>
+</div>
 <canvas id="c"></canvas>
 <script type="module">
 import * as THREE from 'https://unpkg.com/three@0.160.0/build/three.module.js';
@@ -30,34 +38,79 @@ renderer.setSize(window.innerWidth, window.innerHeight);
 const scene = new THREE.Scene();
 const camera = new THREE.PerspectiveCamera(60, innerWidth/innerHeight, 0.01, 10000);
 camera.position.set(40, 40, 40);
-new OrbitControls(camera, renderer.domElement);
+const controls = new OrbitControls(camera, renderer.domElement);
 scene.add(new THREE.AmbientLight(0xffffff, 0.7));
 const dl = new THREE.DirectionalLight(0xffffff, 1.2); dl.position.set(1,2,3); scene.add(dl);
-let meshes = [];
+let meshes = [], layersCache = [], cfg = {}, mapVisible = {};
+const axisSel = document.getElementById('axis');
+const smin = document.getElementById('smin'), smax = document.getElementById('smax');
+function applyCfg() {
+  // visconfig.json = the XMLInterpreter equivalent: colors per meaning,
+  // visibility, slicing, camera presets, background
+  if (cfg.background) renderer.setClearColor(new THREE.Color(...cfg.background.map(v=>v/255)));
+  const cams = document.getElementById('cams'); cams.innerHTML = '';
+  (cfg.cameras || []).forEach(c => {
+    const b = document.createElement('button'); b.textContent = c.name;
+    b.onclick = () => { camera.position.set(...c.position); controls.target.set(...c.target); controls.update(); };
+    cams.appendChild(b);
+  });
+  if (cfg.slice && cfg.slice.axis) {
+    axisSel.value = cfg.slice.axis;
+    if (cfg.slice.min > -1e29) smin.value = cfg.slice.min;
+    if (cfg.slice.max < 1e29) smax.value = cfg.slice.max;
+  }
+}
+function rebuild() {
+  meshes.forEach(m => scene.remove(m)); meshes = [];
+  let total = 0;
+  const ax = {x: 0, y: 1, z: 2}[axisSel.value];
+  const lo = +smin.value, hi = +smax.value;
+  const colors = (cfg.meaning_colors || {}), visible = (cfg.meaning_visible || {});
+  for (const layer of layersCache) {
+    if (mapVisible[layer.name] === false) continue;
+    const keep = [];
+    layer.centers.forEach((c, i) => {
+      const t = layer.types ? layer.types[i] : 0;
+      if (visible[String(t)] === false) return;
+      if (ax !== undefined && (c[ax] < lo || c[ax] > hi)) return;
+      keep.push(i);
+    });
+    const geo = new THREE.BoxGeometry(layer.side, layer.side, layer.side);
+    const mesh = new THREE.InstancedMesh(geo, new THREE.MeshLambertMaterial(), keep.length);
+    const mtx = new THREE.Matrix4();
+    keep.forEach((i, j) => {
+      const c = layer.centers[i];
+      mtx.setPosition(c[0], c[1], c[2]); mesh.setMatrixAt(j, mtx);
+      const t = layer.types ? String(layer.types[i]) : null;
+      const col = (t && colors[t]) ? colors[t] : layer.colors[i];
+      mesh.setColorAt(j, new THREE.Color(col[0]/255, col[1]/255, col[2]/255));
+    });
+    scene.add(mesh); meshes.push(mesh); total += keep.length;
+  }
+  document.getElementById('status').textContent = `${layersCache.length} maps, ${total} cubes`;
+}
+[axisSel, smin, smax].forEach(e => e.oninput = rebuild);
 async function refresh() {
   try {
+    try { cfg = await (await fetch('visconfig.json', {cache:'no-store'})).json(); applyCfg(); } catch (e) {}
     const manifest = await (await fetch('manifest.json', {cache: 'no-store'})).json();
     const layers = [];
     for (const name of manifest.maps) {
-      layers.push(await (await fetch(name + '.cubes.json', {cache: 'no-store'})).json());
+      const l = await (await fetch(name + '.cubes.json', {cache: 'no-store'})).json();
+      l.name = name; layers.push(l);
     }
-    meshes.forEach(m => scene.remove(m));
-    meshes = [];
-    let total = 0;
-    for (const layer of layers) {
-      const geo = new THREE.BoxGeometry(layer.side, layer.side, layer.side);
-      const mat = new THREE.MeshLambertMaterial();
-      const mesh = new THREE.InstancedMesh(geo, mat, layer.centers.length);
-      const mtx = new THREE.Matrix4();
-      layer.centers.forEach((c, i) => {
-        mtx.setPosition(c[0], c[1], c[2]); mesh.setMatrixAt(i, mtx);
-        const col = layer.colors[i];
-        mesh.setColorAt(i, new THREE.Color(col[0]/255, col[1]/255, col[2]/255));
-      });
-      scene.add(mesh); meshes.push(mesh); total += layer.centers.length;
-    }
-    document.getElementById('status').textContent =
-      `${manifest.maps.length} maps, ${total} cubes, t=${manifest.ts}`;
+    layersCache = layers;
+    const md = document.getElementById('maps');
+    md.innerHTML = '';
+    layers.forEach(l => {
+      const lab = document.createElement('label');
+      const cb = document.createElement('input'); cb.type = 'checkbox';
+      cb.checked = mapVisible[l.name] !== false;
+      cb.onchange = () => { mapVisible[l.name] = cb.checked; rebuild(); };
+      lab.appendChild(cb); lab.appendChild(document.createTextNode(l.name));
+      md.appendChild(lab);
+    });
+    rebuild();
   } catch (e) { document.getElementById('status').textContent = 'waiting for data'; }
 }
 setInterval(refresh, 1000); refresh();

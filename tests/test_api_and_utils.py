@@ -288,3 +288,33 @@ def test_morton_voxel_list_disk_roundtrip(tmp_path):
         np.asarray(back.entry_coords()[:2]), np.asarray(lst.entry_coords()[:2])
     )
     assert int(back.collide_with(lst)) == 2
+
+
+def test_vis_config_xml_roundtrip(tmp_path):
+    """VisConfig = the XMLInterpreter equivalent: per-meaning colors and
+    visibility, camera presets, slicing (gpu_visualization/XMLInterpreter.*)."""
+    from gpu_voxels_tpu.vis.config import VisConfig
+
+    xml = tmp_path / "vis.xml"
+    xml.write_text(
+        "<visconfig>"
+        "<camera name='top'><position>0 0 100</position><target>32 32 0</target></camera>"
+        "<meaning id='10'><color>255 0 0</color></meaning>"
+        "<meaning id='4'><visible>false</visible></meaning>"
+        "<slice axis='z' min='0' max='16'/>"
+        "<background>0 0 0</background>"
+        "</visconfig>"
+    )
+    cfg = VisConfig.from_xml(xml)
+    assert cfg.meaning_colors[10] == (255, 0, 0)
+    assert cfg.visible(4) is False and cfg.visible(10) is True
+    assert cfg.cameras[0].name == "top" and cfg.cameras[0].position == (0.0, 0.0, 100.0)
+    assert cfg.slice_keep((5, 5, 10)) and not cfg.slice_keep((5, 5, 20))
+    p = cfg.publish(tmp_path)
+    d = json.loads(p.read_text())
+    assert d["meaning_colors"]["10"] == [255, 0, 0]
+    assert d["slice"]["axis"] == "z" and d["slice"]["max"] == 16.0
+    # the served page consumes these fields
+    from gpu_voxels_tpu.vis import serve
+
+    assert "visconfig.json" in serve.INDEX and "slice" in serve.INDEX

@@ -177,3 +177,41 @@ def test_pallas_round_matches_xla_round(s):
     assert out is not None
     np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref_g))
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref_d))
+
+
+def test_parallel_banding_is_exact():
+    """The PBA replacement (Pallas envelope sweeps / XLA fallback) must match
+    the brute oracle through the public API."""
+    obs = random_scene(31, n_obs=40)
+    m = insert_obstacles(DistanceVoxelMap.create(DIMS), obs).parallel_banding()
+    np.testing.assert_array_equal(
+        np.asarray(m.squared_distances()), np_exact_sqdist(obs, DIMS)
+    )
+
+
+def test_envelope_kernel_interpret_mode(monkeypatch):
+    """Run the actual Pallas envelope kernel (interpreted) incl. the
+    coarse-bound ring counts — the fast path's kernel logic, off-TPU."""
+    monkeypatch.setenv("GVTPU_EDT_INTERPRET", "1")
+    from gpu_voxels_tpu.ops import edt, edt_envelope
+
+    dims = (16, 16, 16)
+    obs = np.array([[0, 0, 0], [15, 15, 15], [7, 3, 12]], np.int64)
+    mask = np.zeros(16 ** 3, bool)
+    mask[obs[:, 2] * 256 + obs[:, 1] * 16 + obs[:, 0]] = True
+    packed = edt.init_from_obstacle_mask(jnp.asarray(mask), dims)
+    out = edt_envelope.parallel_banding(packed, dims)
+    got = np.asarray(edt.squared_distance_grid(out, dims))
+    np.testing.assert_array_equal(got, np_exact_sqdist(obs, dims))
+
+
+def test_jump_flood_with_stats_telemetry():
+    obs = random_scene(5)
+    m = insert_obstacles(DistanceVoxelMap.create(DIMS), obs)
+    from gpu_voxels_tpu.ops import edt
+
+    out, iters = edt.jump_flood_with_stats(m.data, DIMS)
+    assert int(iters) < 64  # converged under the cap
+    np.testing.assert_array_equal(
+        np.asarray(edt.squared_distance_grid(out, DIMS)), np_exact_sqdist(obs, DIMS)
+    )

@@ -140,3 +140,33 @@ def test_projective_invalid_pixels_carve_nothing():
         rc.projective_free_space(jnp.asarray(depth), jnp.asarray(pose), 300.0, 300.0, 1.5, 1.5, 1.0, DIMS)
     )
     assert free.sum() == 0
+
+
+def test_pooled_carve_matches_spec_and_is_conservative():
+    """The Pallas pooled carve must equal its XLA spec bit-for-bit and never
+    free a voxel the exact per-pixel carve keeps."""
+    from gpu_voxels_tpu.ops import raycast as rc
+    from gpu_voxels_tpu.ops import raycast_pallas as rp
+
+    dims = (64, 64, 64)
+    rng = np.random.default_rng(3)
+    depth = rng.uniform(10, 50, (48, 64)).astype(np.float32)
+    depth[5:9, 10:20] = 0.0  # invalid patch
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [32, 32, 1]
+    exact = np.asarray(
+        rc.projective_free_space(jnp.asarray(depth), jnp.asarray(pose), 52.0, 52.0, 32.0, 24.0, 1.0, dims)
+    )
+    for pool in (1, 4, 8):
+        spec = np.asarray(
+            rp.projective_free_space_pooled(jnp.asarray(depth), jnp.asarray(pose), 52.0, 52.0, 32.0, 24.0, 1.0, dims, pool=pool)
+        )
+        got = np.asarray(
+            rp.projective_free_space_tpu(jnp.asarray(depth), jnp.asarray(pose), 52.0, 52.0, 32.0, 24.0, 1.0, dims, pool=pool)
+        )
+        np.testing.assert_array_equal(got, spec, err_msg=f"pool={pool}")
+        assert not (spec & ~exact).any()  # conservative
+    p1 = np.asarray(
+        rp.projective_free_space_pooled(jnp.asarray(depth), jnp.asarray(pose), 52.0, 52.0, 32.0, 24.0, 1.0, dims, pool=1)
+    )
+    np.testing.assert_array_equal(p1, exact)  # pool=1 == exact carve
