@@ -9,9 +9,11 @@ and maintains them sorted+unique after every insert
     <payload>           per voxel kind (bit planes / occupancy / count)
     count: int32        number of valid entries (traced)
 
-Capacity is static; inserts grow it by the (static) number of new points,
-and `with_capacity` re-fixes it for steady-state jit loops. Coordinates are
-derived from ids on demand instead of being stored (they are redundant).
+Capacity is static; by default inserts grow it by the (static) number of new
+points like the reference's thrust vectors, and `with_capacity` re-fixes it.
+Steady-state jit loops should pass ``grow=False`` to insert at constant
+capacity (one compilation per (C, M) shape; overflow saturates sorted-first).
+Coordinates are derived from ids on demand instead of being stored.
 
 The make_unique step (sort_by_key + unique_by_key with Voxel::reduce_op)
 becomes argsort + a segmented associative scan that merges duplicate-id
@@ -236,8 +238,19 @@ class VoxelList:
         return new_hi, new_lo, newp, new_count
 
     # -- insertion --------------------------------------------------------
-    def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "VoxelList":
-        """Append + make_unique (TemplateVoxelList.hpp:142-209)."""
+    def insert_point_cloud(
+        self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED, grow: bool = True
+    ) -> "VoxelList":
+        """Append + make_unique (TemplateVoxelList.hpp:142-209).
+
+        ``grow=True`` mirrors the reference's thrust vectors: capacity grows
+        by len(points) each call (every differently-sized result recompiles
+        downstream programs). ``grow=False`` keeps the list's capacity fixed —
+        the steady-state mode: a loop inserting M points into a capacity-C
+        list compiles exactly one program. If the deduplicated content
+        exceeds C, the largest ids are dropped and ``count`` saturates at C
+        (entries are kept in sorted order, so the smallest ids survive).
+        """
         points = jnp.asarray(points, jnp.float32)
         coords = map_to_voxels(points, self.side_length)
         new_hi, new_lo = self._ids_from_coords(coords)
@@ -256,18 +269,21 @@ class VoxelList:
         lo = jnp.concatenate([self.ids, new_lo])
         payload = jnp.concatenate([self.payload, newp], axis=-1)
         u_hi, u_lo, u_payload, count = self._make_unique(hi, lo, payload)
-        return replace(self, ids=u_lo, ids_hi=u_hi, payload=u_payload, count=count)
+        out = replace(self, ids=u_lo, ids_hi=u_hi, payload=u_payload, count=count)
+        return out if grow else out.with_capacity(self.capacity)
 
-    def insert_coordinates(self, coords, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "VoxelList":
+    def insert_coordinates(
+        self, coords, meaning=BitVoxelMeaning.eBVM_OCCUPIED, grow: bool = True
+    ) -> "VoxelList":
         pts = (jnp.asarray(coords, jnp.float32) + 0.5) * self.side_length
-        return self.insert_point_cloud(pts, meaning)
+        return self.insert_point_cloud(pts, meaning, grow=grow)
 
-    def insert_meta_point_cloud(self, meta, meanings=None) -> "VoxelList":
+    def insert_meta_point_cloud(self, meta, meanings=None, grow: bool = True) -> "VoxelList":
         if meanings is None:
-            return self.insert_point_cloud(meta.points)
+            return self.insert_point_cloud(meta.points, grow=grow)
         lst = self
         for i, meaning in enumerate(meanings):
-            lst = lst.insert_point_cloud(meta.get_cloud(i), meaning)
+            lst = lst.insert_point_cloud(meta.get_cloud(i), meaning, grow=grow)
         return lst
 
     def with_capacity(self, capacity: int) -> "VoxelList":
@@ -321,6 +337,91 @@ class VoxelList:
         """collideVoxellists: count of shared voxel ids
         (TemplateVoxelList.hpp:228-275)."""
         return jnp.sum(self._membership(other, offset), dtype=jnp.uint32)
+
+    def _coarse_pair_keys(self, coords: jnp.ndarray, level: int, valid: jnp.ndarray):
+        """(hi, lo) uint32 sort keys of 2^level-coarse cells; invalid -> EMPTY.
+
+        Coarse coords use 20 bits per axis (the morton60 coordinate domain):
+        lo = cy[0:12] << 20 | cx, hi = cz << 8 | cy[12:20].
+        """
+        c = coords.astype(jnp.int32) >> int(level)
+        in_range = valid & jnp.all((c >= 0) & (c < (1 << 20)), axis=-1)
+        cu = c.astype(jnp.uint32)
+        cx, cy, cz = cu[..., 0], cu[..., 1], cu[..., 2]
+        lo = ((cy & jnp.uint32(0xFFF)) << 20) | cx
+        hi = (cz << 8) | (cy >> 12)
+        lo = jnp.where(in_range, lo, EMPTY_ID)
+        hi = jnp.where(in_range, hi, EMPTY_ID)
+        return hi, lo
+
+    def collide_with_resolution(
+        self, other, coll_threshold: float = 1.0, resolution_level: int = 0, offset=(0, 0, 0)
+    ):
+        """collideWithResolution for lists (CollisionInterfaces.h:160-186).
+
+        The reference declares the mixin for BitVectorVoxelList but implements
+        it only in GvlNTree (where the level is validated then ignored,
+        GvlNTree.hpp:221-243); here the documented halve-per-level contract is
+        real: counts DISTINCT 2^level-coarse cells occupied by both sides.
+        Works against another VoxelList or a dense map. offset is in
+        fine-voxel units and translates self's occupied set by -offset
+        (left[i+off] vs right[i] semantics)."""
+        lvl = int(resolution_level)
+        n_a = self.capacity
+        if n_a == 0:
+            return jnp.uint32(0)
+        coords_a = self.entry_coords() - jnp.asarray(offset, jnp.int32)
+        valid_a = jnp.arange(n_a) < self.count
+        ha, la = self._coarse_pair_keys(coords_a, lvl, valid_a)
+        # dedup self's coarse cells (entries are fine-sorted; coarse keys are
+        # not, so sort the pair then mark first occurrences)
+        order1 = jnp.argsort(la, stable=True)
+        order2 = jnp.argsort(ha[order1], stable=True)
+        order = order1[order2]
+        ha, la = ha[order], la[order]
+        # valid keys always have hi < 2^28 (cz<<8 | cy>>12), so hi==EMPTY
+        # exactly identifies invalid/padded entries
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), (ha[1:] != ha[:-1]) | (la[1:] != la[:-1])]
+        ) & (ha != EMPTY_ID)
+
+        from .voxelmap import BitVectorVoxelMap, ProbVoxelMap
+        from ..constants import float_to_probability
+        from ..ops import collide as collide_ops
+
+        if isinstance(other, VoxelList):
+            n_b = other.capacity
+            valid_b = jnp.arange(n_b) < other.count
+            hb, lb = other._coarse_pair_keys(other.entry_coords(), lvl, valid_b)
+            o1 = jnp.argsort(lb, stable=True)
+            o2 = jnp.argsort(hb[o1], stable=True)
+            ob = o1[o2]
+            hb, lb = hb[ob], lb[ob]
+            if n_b == 0:
+                return jnp.uint32(0)
+            pos = jnp.clip(_pair_searchsorted(hb, lb, ha, la), 0, n_b - 1)
+            found = (hb[pos] == ha) & (lb[pos] == la)
+            return jnp.sum(first & found, dtype=jnp.uint32)
+        if isinstance(other, ProbVoxelMap):
+            mask = collide_ops.prob_occupied(other.data, float_to_probability(coll_threshold))
+        elif isinstance(other, BitVectorVoxelMap):
+            mask = bitops.occupied(other.data)
+        else:
+            raise TypeError(f"cannot collide VoxelList with {type(other)}")
+        dx, dy, dz = other.dims
+        pooled = collide_ops.or_pool(mask.reshape(dz, dy, dx), lvl)
+        cz_, cy_, cx_ = pooled.shape
+        c = (coords_a >> lvl).astype(jnp.int32)
+        in_map = (
+            valid_a
+            & jnp.all(c >= 0, axis=-1)
+            & (c[:, 0] < cx_) & (c[:, 1] < cy_) & (c[:, 2] < cz_)
+        )
+        flat = jnp.clip(c[:, 2] * (cy_ * cx_) + c[:, 1] * cx_ + c[:, 0], 0, cz_ * cy_ * cx_ - 1)
+        hit = pooled.reshape(-1)[flat] & in_map
+        # distinct coarse cells only: reuse the dedup mask computed above
+        hit = hit[order]
+        return jnp.sum(first & hit, dtype=jnp.uint32)
 
     def find_matching(self, other: "VoxelList"):
         """findMatchingVoxels (BitVoxelList.hpp:397-476): gather payload pairs

@@ -199,6 +199,25 @@ class ProbVoxelMap(_DenseMap):
         bandwidth; returns a device bool."""
         return collide_ops.any_collision(self.collide_with(other, coll_threshold, offset))
 
+    def collide_with_resolution(
+        self, other, coll_threshold: float = 1.0, resolution_level: int = 0, offset=(0, 0, 0)
+    ):
+        """collideWithResolution (CollisionInterfaces.h:107-127): collide at a
+        2^level-coarsened resolution. See ops.collide.count_with_resolution
+        for the contract (the reference declares this mixin for dense maps
+        but never implements it there)."""
+        t = float_to_probability(coll_threshold)
+        mine = collide_ops.prob_occupied(self.data, t)
+        if isinstance(other, ProbVoxelMap):
+            theirs = collide_ops.prob_occupied(other.data, t)
+        elif isinstance(other, BitVectorVoxelMap):
+            theirs = bitops.occupied(other.data)
+        else:
+            raise TypeError(f"cannot collide ProbVoxelMap with {type(other)}")
+        return collide_ops.count_with_resolution(
+            mine, theirs, resolution_level, self.dims, self._offset(offset)
+        )
+
     def collide_with_marking(self, other, coll_threshold: float = 1.0, offset=(0, 0, 0)):
         """Exact kernelCollideVoxelMapsDebug semantics: returns (count, map
         with eBVM_COLLISION inserted into colliding voxels)."""
@@ -283,6 +302,22 @@ class BitVectorVoxelMap(_DenseMap):
     def collides_with(self, other, coll_threshold: float = 1.0, offset=(0, 0, 0)):
         """Boolean early-out collisionCheck (TemplateVoxelMap.hpp:329-414)."""
         return collide_ops.any_collision(self.collide_with(other, coll_threshold, offset))
+
+    def collide_with_resolution(
+        self, other, coll_threshold: float = 1.0, resolution_level: int = 0, offset=(0, 0, 0)
+    ):
+        """collideWithResolution (CollisionInterfaces.h:37-60) at a
+        2^level-coarsened resolution (see ops.collide.count_with_resolution)."""
+        mine = bitops.occupied(self.data)
+        if isinstance(other, BitVectorVoxelMap):
+            theirs = bitops.occupied(other.data)
+        elif isinstance(other, ProbVoxelMap):
+            theirs = collide_ops.prob_occupied(other.data, float_to_probability(coll_threshold))
+        else:
+            raise TypeError(f"cannot collide BitVectorVoxelMap with {type(other)}")
+        return collide_ops.count_with_resolution(
+            mine, theirs, resolution_level, self.dims, self._offset(offset)
+        )
 
     def collide_with_types(self, other, coll_threshold: float = 1.0, sv_window: int = 0, sv_offset: int = 0):
         """collideWithTypes (BitVoxelMap.hpp:195-210): SVCollider collision

@@ -71,6 +71,59 @@ def any_collision(hit_count) -> jnp.ndarray:
     return hit_count > 0
 
 
+def _shift3d(mask: jnp.ndarray, offset) -> jnp.ndarray:
+    """Geometric offset: out[z,y,x] = mask[z+oz, y+oy, x+ox], False outside."""
+    ox, oy, oz = (int(v) for v in offset)
+    out = mask
+    for axis, o in ((0, oz), (1, oy), (2, ox)):
+        if o == 0:
+            continue
+        n = out.shape[axis]
+        sl = [slice(None)] * 3
+        pad = [(0, 0)] * 3
+        if o > 0:
+            sl[axis] = slice(min(o, n), n)
+            pad[axis] = (0, min(o, n))
+        else:
+            sl[axis] = slice(0, max(n + o, 0))
+            pad[axis] = (n - max(n + o, 0), 0)
+        out = jnp.pad(out[tuple(sl)], pad)
+    return out
+
+
+def or_pool(mask3d: jnp.ndarray, level: int) -> jnp.ndarray:
+    """OR-pool a [Z, Y, X] bool mask over 2^level cubes (pad with False)."""
+    s = 1 << int(level)
+    if s == 1:
+        return mask3d
+    pads = [(0, -d % s) for d in mask3d.shape]
+    m = jnp.pad(mask3d, pads)
+    zz, yy, xx = m.shape
+    return m.reshape(zz // s, s, yy // s, s, xx // s, s).any(axis=(1, 3, 5))
+
+
+def count_with_resolution(mask_a, mask_b, resolution_level: int, dims, offset=(0, 0, 0)):
+    """collideWithResolution for dense maps (CollisionInterfaces.h:37-127).
+
+    The reference declares this mixin for every map pairing but only GvlNTree
+    implements it — and those bodies bounds-check resolution_level and then
+    ignore it (GvlNTree.hpp:179-221 forward to intersect_sparse at full
+    resolution). Here the *documented* contract ("resolution_level = 0
+    delivers the highest accuracy whereas each increase halves the
+    resolution", CollisionInterfaces.h:56) is implemented for real: occupancy
+    is OR-pooled over 2^level cubes and collisions are counted between coarse
+    cells. The offset stays in fine-voxel units and is applied geometrically
+    to the left map before pooling (left[i+off] vs right[i]); unlike the
+    fine-level base-pointer shift (TemplateVoxelMap.hpp:486-519) it does not
+    bleed across axis boundaries.
+    """
+    x, y, z = dims
+    a = _shift3d(mask_a.reshape(z, y, x), offset)
+    b = mask_b.reshape(z, y, x)
+    lvl = int(resolution_level)
+    return jnp.sum(or_pool(a, lvl) & or_pool(b, lvl), dtype=jnp.uint32)
+
+
 def count_and_mark_prob(a, b, t1, t2, dims=None, offset=(0, 0, 0)):
     """kernelCollideVoxelMapsDebug semantics for prob maps: count collisions
     AND insert eBVM_COLLISION (occupancy=127) into the left map's colliding

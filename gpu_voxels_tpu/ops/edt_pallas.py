@@ -119,8 +119,8 @@ def jfa_round_pallas(grid: jnp.ndarray, best_d2: jnp.ndarray, s: int, dims: Dims
         grid=(dz // TILE_Z, dy // TILE_Y),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((TILE_Z, TILE_Y, dx), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),

@@ -74,3 +74,8 @@ def test_full_pipeline_demo():
 
 def test_batch_worlds_demo():
     assert _run("batch_worlds_demo") >= 1
+
+
+def test_swept_fitter():
+    # schedules conflict at delay 0; a conflict-free delay exists
+    assert _run("swept_fitter") >= 1

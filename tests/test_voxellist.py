@@ -177,3 +177,60 @@ def test_morton60_coords_beyond_1024():
         np.array([[976.5, 1500.5, 6.5]], np.float32), 60
     )
     assert int(lst.collide_with(other)) == 0
+
+
+def test_insert_fixed_capacity_steady_state():
+    """grow=False keeps capacity constant across inserts (one compiled
+    program per (C, M) shape) and saturates sorted-first on overflow."""
+    lst = bit_vector_voxel_list(DIMS, capacity=4)
+    a = lst.insert_point_cloud(np.array([[1.5, 0.5, 0.5], [2.5, 0.5, 0.5]], np.float32), grow=False)
+    assert a.capacity == 4 and int(a.count) == 2
+    # same-shape second insert reuses the same program; dedup still applies
+    b = a.insert_point_cloud(np.array([[2.5, 0.5, 0.5], [3.5, 0.5, 0.5]], np.float32), grow=False)
+    assert b.capacity == 4 and int(b.count) == 3
+    assert ids_of(b).tolist() == [1, 2, 3]
+    # overflow: 4 new unique ids on top of 3 -> smallest 4 survive, count==C
+    c = b.insert_point_cloud(
+        np.array([[5.5, 0.5, 0.5], [6.5, 0.5, 0.5], [7.5, 0.5, 0.5], [0.5, 0.5, 0.5]], np.float32),
+        grow=False,
+    )
+    assert c.capacity == 4 and int(c.count) == 4
+    assert ids_of(c).tolist() == [0, 1, 2, 3]
+    # payload merge still correct at fixed capacity
+    d = bit_vector_voxel_list(DIMS, capacity=2).insert_point_cloud(
+        np.array([[1.5, 0.5, 0.5]], np.float32), 50, grow=False
+    ).insert_point_cloud(np.array([[1.5, 0.5, 0.5]], np.float32), 60, grow=False)
+    assert int(d.count) == 1
+    planes = np.asarray(d.payload[:, 0])
+    assert planes[50 // 32] & (1 << (50 % 32))
+    assert planes[60 // 32] & (1 << (60 % 32))
+
+
+def test_collide_with_resolution_lists():
+    """List collideWithResolution: distinct coarse cells occupied by both."""
+    a = bit_vector_voxel_list(DIMS, capacity=0).insert_point_cloud(
+        np.array([[0.5, 0.5, 0.5], [1.5, 0.5, 0.5]], np.float32)  # both in coarse (0,0,0)@L1
+    )
+    b = bit_vector_voxel_list(DIMS, capacity=0).insert_point_cloud(
+        np.array([[1.5, 1.5, 1.5], [8.5, 8.5, 8.5]], np.float32)
+    )
+    assert int(a.collide_with_resolution(b, resolution_level=0)) == 0
+    assert int(a.collide_with_resolution(b, resolution_level=1)) == 1  # one shared coarse cell
+    # against a dense map
+    m = ProbVoxelMap.create(DIMS).insert_point_cloud(np.array([[1.5, 1.5, 1.5]], np.float32))
+    assert int(a.collide_with_resolution(m, resolution_level=0)) == 0
+    assert int(a.collide_with_resolution(m, resolution_level=1)) == 1
+    # level 0 vs list equals collideVoxellists on deduplicated ids
+    c = bit_vector_voxel_list(DIMS, capacity=0).insert_point_cloud(
+        np.array([[1.5, 0.5, 0.5], [9.5, 9.5, 9.5]], np.float32)
+    )
+    assert int(a.collide_with_resolution(c, resolution_level=0)) == int(a.collide_with(c))
+    # morton lists work too (60-bit ids decode to the same coords)
+    am = bit_vector_morton_voxel_list((4096,) * 3).insert_point_cloud(
+        np.array([[2000.5, 1500.5, 1030.5]], np.float32)
+    )
+    bm = bit_vector_morton_voxel_list((4096,) * 3).insert_point_cloud(
+        np.array([[2001.5, 1501.5, 1031.5]], np.float32)
+    )
+    assert int(am.collide_with_resolution(bm, resolution_level=0)) == 0
+    assert int(am.collide_with_resolution(bm, resolution_level=1)) == 1

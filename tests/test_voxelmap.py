@@ -193,3 +193,31 @@ def test_whole_cycle_is_jittable():
     p1 = generation.create_box_of_points((2.1,) * 3, (4.1,) * 3, 0.5)
     p2 = generation.create_box_of_points((3.1,) * 3, (5.1,) * 3, 0.5)
     assert int(cycle(jnp.asarray(p1), jnp.asarray(p2))) == 8
+
+
+def test_collide_with_resolution_dense():
+    """collideWithResolution (CollisionInterfaces.h:37-127): OR-pooled coarse
+    collide; level 0 equals the fine count, each level halves resolution."""
+    dims = (16, 16, 16)
+    a = ProbVoxelMap.create(dims)
+    b = ProbVoxelMap.create(dims)
+    # a occupies voxel (0,0,0); b occupies voxel (1,1,1): disjoint at level 0,
+    # same 2^1 coarse cell at level 1
+    a = a.insert_point_cloud(np.array([[0.5, 0.5, 0.5]], np.float32))
+    b = b.insert_point_cloud(np.array([[1.5, 1.5, 1.5]], np.float32))
+    assert int(a.collide_with_resolution(b, resolution_level=0)) == 0
+    assert int(a.collide_with_resolution(b, resolution_level=1)) == 1
+    assert int(a.collide_with_resolution(b, resolution_level=4)) == 1
+    # level 0 count matches collide_with for an overlapping block
+    pts = generation.create_box_of_points((2, 2, 2), (8, 8, 8), 0.9)
+    a2 = ProbVoxelMap.create(dims).insert_point_cloud(pts)
+    b2 = ProbVoxelMap.create(dims).insert_point_cloud(pts)
+    assert int(a2.collide_with_resolution(b2, resolution_level=0)) == int(a2.collide_with(b2))
+    # offset samples left[i+off]: off=(-1,-1,-1) aligns a's (0,0,0) with b's (1,1,1)
+    assert int(a.collide_with_resolution(b, resolution_level=0, offset=(-1, -1, -1))) == 1
+    # bit x prob and bit x bit variants agree
+    ab = BitVectorVoxelMap.create(dims).insert_point_cloud(np.array([[0.5, 0.5, 0.5]], np.float32))
+    bb = BitVectorVoxelMap.create(dims).insert_point_cloud(np.array([[1.5, 1.5, 1.5]], np.float32))
+    assert int(ab.collide_with_resolution(bb, resolution_level=1)) == 1
+    assert int(ab.collide_with_resolution(b, resolution_level=1)) == 1
+    assert int(a.collide_with_resolution(bb, resolution_level=1)) == 1

@@ -1,0 +1,132 @@
+"""Exact-count contracts re-run on the real TPU chip.
+
+The CPU suite (tests/) proves these semantics on the virtual mesh; this tier
+proves the same *bit-exact* numbers on shipping hardware, where bf16 matmul
+defaults, int8 tiling and the Pallas (not interpreted) kernels actually run.
+Contracts mirror the reference's exactness oracles: linkage scene count
+(example_how_to_link/gvl_linkage_test_lib.cpp:20-38), differences3D == 0
+(test/testing_distance.cu:79-119), bitMarginCollisionCheck byte oracle
+(helpers/BitVector.h:415-471).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_voxels_tpu import bitops
+from gpu_voxels_tpu.api import GpuVoxels, MapType
+from gpu_voxels_tpu.constants import BitVoxelMeaning
+from gpu_voxels_tpu.maps.distance_map import DistanceVoxelMap
+from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap, ProbVoxelMap
+from gpu_voxels_tpu.maps.voxellist import VoxelList
+from gpu_voxels_tpu.ops import collide_pallas
+
+
+def fresh_gvl():
+    GpuVoxels._instance = None
+    gvl = GpuVoxels.get_instance()
+    gvl.initialize(150, 150, 150, 0.01)
+    return gvl
+
+
+def test_linkage_scene_exact_count_on_tpu():
+    """BASELINE config #1: the gvl_linkage_test overlap must be exactly 8000
+    on hardware (float32 voxelization + int8 thresholds, no bf16 drift)."""
+    gvl = fresh_gvl()
+    gvl.add_map(MapType.MT_PROBAB_VOXELMAP, "a")
+    gvl.add_map(MapType.MT_PROBAB_VOXELMAP, "b")
+    center, box, overlap = np.array([0.5] * 3), np.array([0.4] * 3), np.array([0.1] * 3)
+    c1 = center - overlap
+    c2 = c1 + box
+    c3 = center + overlap
+    c4 = c3 - box
+    gvl.insert_box_into_map(c1, c2, "a", BitVoxelMeaning.eBVM_OCCUPIED, 1)
+    gvl.insert_box_into_map(c4, c3, "b", BitVoxelMeaning.eBVM_OCCUPIED, 1)
+    assert int(gvl.get_map("a").collide_with(gvl.get_map("b"))) == 8000
+
+
+def test_pallas_collide_count_matches_xla_on_tpu():
+    """The compiled (non-interpreted) Pallas sweep returns the identical
+    count as the fused XLA reduction on random int8 occupancy."""
+    rng = np.random.default_rng(7)
+    n = 257 * 1024 + 13  # force tail padding
+    a = rng.integers(-128, 128, n, dtype=np.int8)
+    b = rng.integers(-128, 128, n, dtype=np.int8)
+    t = 100
+    want = int(np.sum((a.astype(np.int32) >= t) & (b.astype(np.int32) >= t)))
+    got = int(collide_pallas.count_prob_prob(jnp.asarray(a), jnp.asarray(b), t, t))
+    assert got == want
+
+
+def test_bit_margin_packed_full_vs_byte_oracle_on_tpu():
+    """bitMarginCollisionCheck (BitVector.h:415-471) over margin/offset
+    combos including the uint64-truncation regime, on hardware."""
+    rng = np.random.default_rng(3)
+    n = 513
+    v1 = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+    v2 = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+    v1[:, 0] &= 0xF0  # ids live in bits 4..253
+    v2[:, 0] &= 0xF0
+    p1 = jnp.asarray(v1.reshape(n, 8, 4).astype(np.uint32) @ (256 ** np.arange(4)).astype(np.uint32)).T
+    p2 = jnp.asarray(v2.reshape(n, 8, 4).astype(np.uint32) @ (256 ** np.arange(4)).astype(np.uint32)).T
+    for margin, sv_offset in [(1, 0), (5, 6), (24, 40), (31, 0), (31, 17)]:
+        want = np.array([
+            bitops.bit_margin_collision_check_np(v1[i], v2[i], np.zeros(32, np.uint8), margin, sv_offset)[0]
+            for i in range(n)
+        ])
+        got, _ = bitops.bit_margin_collision_check_packed_full(
+            p1, p2, bitops.zeros((n,)), margin, sv_offset
+        )
+        np.testing.assert_array_equal(np.asarray(got), want, err_msg=f"margin={margin} off={sv_offset}")
+
+
+def test_edt_parallel_banding_exact_on_tpu():
+    """differences3D(parallel_banding, brute) == 0 with the compiled Pallas
+    envelope kernel (testing_distance.cu:79-119 oracle)."""
+    dims = (96, 80, 64)
+    rng = np.random.default_rng(11)
+    obs = np.stack([
+        rng.integers(0, dims[0], 500),
+        rng.integers(0, dims[1], 500),
+        rng.integers(0, dims[2], 500),
+    ], -1).astype(np.float32)
+    m = DistanceVoxelMap.create(dims).insert_point_cloud(obs + 0.5)
+    pba = m.parallel_banding()
+    brute = m.exact_distances(np.unique(np.floor(obs), axis=0))
+    assert int(pba.differences(brute)) == 0
+
+
+def test_voxellist_morton60_membership_on_tpu():
+    """60-bit Morton ids: coords past 1024 must not alias (octree/Morton.h)."""
+    dims = (4096, 4096, 4096)
+    coords = np.array([[1, 2, 3], [1025, 9, 3000], [4095, 4095, 4095], [1, 2, 3]], np.float32)
+    lst = VoxelList.create(dims, 1.0, kind="bit", capacity=8, id_mode="morton")
+    lst = lst.insert_point_cloud(coords + 0.5)
+    assert int(lst.count) == 3  # duplicate folded, no aliasing between rows
+    other = VoxelList.create(dims, 1.0, kind="bit", capacity=8, id_mode="morton")
+    other = other.insert_point_cloud(np.array([[4095, 4095, 4095]], np.float32) + 0.5)
+    assert int(lst.collide_with(other)) == 1
+
+
+def test_bitvector_swept_volume_window_on_tpu():
+    """Windowed SV collide: exact hit count through the packed margin path."""
+    dims = (32, 32, 32)
+    a = BitVectorVoxelMap.create(dims)
+    b = BitVectorVoxelMap.create(dims)
+    pts = np.array([[4.5, 4.5, 4.5], [10.5, 4.5, 4.5]], np.float32)
+    sv0 = int(BitVoxelMeaning.eBVM_SWEPT_VOLUME_START)  # ids are ints 4..253
+    a = a.insert_point_cloud(pts, sv0)
+    b = b.insert_point_cloud(pts[:1], sv0 + 3)
+    # margin 2 misses (steps 3 apart), margin 3 hits exactly one voxel
+    assert int(a.collide_with_bitcheck(b, margin=2)) == 0
+    assert int(a.collide_with_bitcheck(b, margin=3)) == 1
+
+
+def test_prob_bit_cross_collide_on_tpu():
+    """Mixed-type dense collide (DefaultCollider thresholds) exact count."""
+    dims = (64, 64, 64)
+    prob = ProbVoxelMap.create(dims)
+    bitm = BitVectorVoxelMap.create(dims)
+    pts = np.stack(np.meshgrid(*[np.arange(8)] * 3, indexing="ij"), -1).reshape(-1, 3) + 0.5
+    prob = prob.insert_point_cloud(pts.astype(np.float32))
+    bitm = bitm.insert_point_cloud((pts + [4, 0, 0]).astype(np.float32))
+    assert int(prob.collide_with(bitm)) == 4 * 8 * 8
