@@ -38,6 +38,7 @@ _MAP_ALIASES = {
     "insertMetaPointCloud": "insert_meta_point_cloud",
     "insertSensorData": "insert_sensor_data",
     "collideWith": "collide_with",
+    "collideWithResolution": "collide_with_resolution",
     "collideWithTypes": "collide_with_types",
     "collideWithBitcheck": "collide_with_bitcheck",
     "clearMap": "clear_map",
@@ -50,6 +51,7 @@ _MAP_ALIASES = {
 _LIST_ALIASES = {
     "insertPointCloud": "insert_point_cloud",
     "collideWith": "collide_with",
+    "collideWithResolution": "collide_with_resolution",
     "collideWithTypes": "collide_with_types",
     "collideWithBitcheck": "collide_with_bitcheck",
     "collideCountingPerMeaning": "collide_counting_per_meaning",

@@ -3,31 +3,36 @@
 The reference NTree spans 15 levels = 32768^3 virtual voxels with sparse
 node allocation (octree/DataTypes.h, common_defines.h:189-191). The dense
 status pyramid (maps/hierarchical.py) hits a memory wall near 1024^3, so
-this tier splits the world VDB-style into dense-coarse + sparse-fine:
+this tier splits the world VDB-style into dense-coarse + two sparse-fine
+levels:
 
-  * an 8^3-block coarse grid carries a dense status pyramid (the
-    HierarchicalBitMap machinery at 1/8 resolution — 134 MB of statuses for
-    a 4096^3 world, padded-pow2 pyramid on top), answering every query that
-    a uniform block can decide;
-  * mixed blocks own an 8^3 tile of per-voxel status bytes in a fixed pool,
-    reached through a two-level page table (super-block -> page -> slot),
-    so fine storage scales with occupied surface, not volume.
+  * a 64^3-page coarse grid carries a dense status pyramid (a 32768^3 world
+    is a 512^3 page grid = 134 MB of statuses; a 4096^3 world is 64^3 =
+    262 KB), answering every query a uniform page can decide;
+  * allocated pages own a 512-entry block-summary byte row and a 512-entry
+    block->tile-slot row (sparse over pages, dense within a page);
+  * mixed 8^3 blocks own an 8^3 tile of per-voxel status bytes in a fixed
+    pool. Fine storage scales with occupied surface, not volume.
 
-Tiles are allocated by the host (inserts are host API calls already); all
-bulk work — voxelizing, scattering statuses, rebuilding tile summaries and
-the coarse pyramid, probing — runs on device. Probes are pure gathers:
-coarse pyramid descent, then page_table -> pages -> pool for undecided
-points. Status bytes are the deterministic tier's (hard FREE/UNKNOWN/
-OCCUPIED + ns_STATIC_MAP/ns_DYNAMIC_MAP flags, EnvironmentNodes.h:225-290);
-byte 0 = never-written = UNKNOWN.
+Tiles/pages are allocated by the host (inserts are host API calls already);
+all bulk work — voxelizing, scattering statuses, rebuilding block/page
+summaries and the coarse pyramid, probing — runs on device. Probes are pure
+gathers: coarse pyramid descent, then a sorted-page-key binary search ->
+block summary -> tile for undecided points. Status bytes are the
+deterministic tier's (hard FREE/UNKNOWN/OCCUPIED + ns_STATIC_MAP/
+ns_DYNAMIC_MAP flags, EnvironmentNodes.h:225-290); byte 0 = never-written =
+UNKNOWN.
 
-Capacity: virtual dims up to 8192^3 (coarse block keys must fit int32 for
-the device-side searchsorted; beyond that the 60-bit Morton pair machinery
-in morton.py is the extension path). A 4096^3 world with ~50M surface
-voxels costs ~160 MB base + ~1 KB per mixed block.
+Capacity: virtual dims to 65536^3 (page keys must fit int32; the dense page
+pyramid at 65536^3 is 1 GiB — 32768^3 and below is the practical envelope),
+meeting and exceeding the reference's 15-level / 32768^3 NTree. min_level
+probes resolve exactly at every level: >= 6 on the dense pyramid, 3-5 by
+OR-ing block summaries, 0-2 inside tiles (kernel_Octree.h:383-423
+semantics).
 """
 from __future__ import annotations
 
+from dataclasses import dataclass, field
 from typing import Tuple
 
 import jax
@@ -52,50 +57,167 @@ from .hierarchical import (
 
 Dims = Tuple[int, int, int]
 B = 8  # tile edge (fine voxels per block axis)
-SB = 8  # super-block edge (blocks per page axis)
+SB = 8  # page edge (blocks per page axis); page covers (B*SB)^3 = 64^3 voxels
 PAGE = SB * SB * SB
 TILE = B * B * B
+PAGE_EDGE = B * SB
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PagedSnapshot:
+    """Immutable pytree view of a PagedHierarchicalMap's device state.
+
+    This is what jitted consumers take as an ARGUMENT (the map itself is not
+    a pytree because the host grows its arrays between steps). E.g. the
+    motion-validity checkers probe a snapshot of a 32768^3 world inside one
+    compiled batch program. All probe machinery lives here; the map
+    delegates."""
+
+    pyramid: Tuple[jnp.ndarray, ...]
+    skeys: jnp.ndarray
+    srows: jnp.ndarray
+    pages: jnp.ndarray
+    block_summaries: jnp.ndarray
+    pool: jnp.ndarray
+    dims: Dims = field(metadata=dict(static=True))
+    sdims: Dims = field(metadata=dict(static=True))
+    levels: int = field(metadata=dict(static=True))
+    side_length: float = field(metadata=dict(static=True))
+
+    def _page_rows_of(self, coords: jnp.ndarray):
+        """(page_row, found) for fine coords via the sorted page-key table."""
+        sx, sy, _ = self.sdims
+        pc = coords // PAGE_EDGE
+        skey = (pc[..., 2] * sy + pc[..., 1]) * sx + pc[..., 0]
+        pos = jnp.clip(jnp.searchsorted(self.skeys, skey), 0, self.skeys.shape[0] - 1)
+        found = self.skeys[pos] == skey
+        return jnp.where(found, self.srows[pos], 0), found
+
+    def probe_status(self, coords: jnp.ndarray, min_level: int = 0) -> jnp.ndarray:
+        """Status byte per fine voxel coordinate. Levels >= 6 descend the
+        dense page pyramid only; levels 3-5 refine through block summaries
+        (OR over the 2^(l-3) block cube); levels 0-2 refine through the tile
+        pool (0 = exact voxel, 1/2 = OR over the 2^l cube — the NTree
+        min_level semantics, kernel_Octree.h:383-423)."""
+        coords = jnp.asarray(coords, jnp.int32)
+        pc = coords // PAGE_EDGE
+        x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+        decided = jnp.zeros(x.shape, bool)
+        status = jnp.zeros(x.shape, U8)
+        stop = max(min_level - 6, 0)
+        for l in range(self.levels, stop - 1, -1):
+            s = self.pyramid[l][z >> l, y >> l, x >> l]
+            uni = _is_uniform(s) | (l == stop)
+            take = uni & ~decided
+            status = jnp.where(take, s, status)
+            decided = decided | uni
+        if min_level >= 6:
+            return status
+
+        # refine undecided (mixed-page) points through the block summaries
+        needs = ~_is_uniform(status)
+        page_row, found = self._page_rows_of(coords)
+        bc = coords // B
+        if min_level >= 3:
+            # OR over the aligned 2^(l-3) block cube (always within one page)
+            r = 1 << (min_level - 3)
+            wb = bc % SB
+            base = (wb // r) * r
+            blk = jnp.zeros(x.shape, U8)
+            for dz in range(r):
+                for dy in range(r):
+                    for dx in range(r):
+                        widx = (
+                            (base[..., 2] + dz) * (SB * SB)
+                            + (base[..., 1] + dy) * SB
+                            + (base[..., 0] + dx)
+                        )
+                        blk = blk | self.block_summaries[page_row, widx]
+            blk = jnp.where((blk & U8(STATUS_OCCUPANCY_MASK)) == 0, blk | U8(NS_UNKNOWN), blk)
+            return jnp.where(needs & found, blk, status)
+
+        within_s = ((bc[..., 2] % SB) * SB + (bc[..., 1] % SB)) * SB + bc[..., 0] % SB
+        blk = self.block_summaries[page_row, within_s]
+        blk = jnp.where((blk & U8(STATUS_OCCUPANCY_MASK)) == 0, blk | U8(NS_UNKNOWN), blk)
+        blk_uniform = _is_uniform(blk)
+
+        # refine undecided (mixed-block) points through the tile pool
+        slot = self.pages[page_row, within_s]
+        have_tile = found & (slot >= 0)
+        slot = jnp.maximum(slot, 0)
+        wc = coords % B
+        fine = jnp.zeros(x.shape, U8)
+        r = 1 << min_level
+        base = (wc // r) * r
+        for dz in range(r):
+            for dy in range(r):
+                for dx in range(r):
+                    widx = (
+                        (base[..., 2] + dz) * (B * B)
+                        + (base[..., 1] + dy) * B
+                        + (base[..., 0] + dx)
+                    )
+                    fine = fine | self.pool[slot, widx]
+        fine = jnp.where((fine & U8(STATUS_OCCUPANCY_MASK)) == 0, fine | U8(NS_UNKNOWN), fine)
+        refined = jnp.where(blk_uniform | ~have_tile, blk, fine)
+        return jnp.where(needs & found, refined, status)
+
+    def probe(self, coords: jnp.ndarray, min_level: int = 0):
+        status = self.probe_status(coords, min_level)
+        occupied = (status & U8(NS_OCCUPIED)) != 0
+        unknown = ((status & U8(NS_UNKNOWN)) != 0) & ~occupied
+        free = (status & U8(STATUS_OCCUPANCY_MASK)) == U8(NS_FREE)
+        return occupied, unknown, free
 
 
 class PagedHierarchicalMap:
     """Sparse deterministic hierarchical map (GvlNTree-scale worlds).
 
     Not a pytree: the host grows the pool/page arrays between jitted steps.
-    Device state: coarse status pyramid, page_table int32[SZ,SY,SX],
-    pages int32[P,512], pool uint8[T,512], slot_block int32[T,3].
+    Device state: coarse status pyramid over pages, sorted page-key table
+    (skeys/srows int32[NP]), per-page block->slot rows (pages int32[NP,512])
+    and block summaries (uint8[NP,512]), tile pool uint8[NT,512].
     """
 
     def __init__(self, dims: Dims, side_length: float = 1.0):
-        if any(d % (B * SB) for d in dims):
-            raise ValueError(f"dims must be multiples of {B * SB}")
-        if (dims[0] // B) * (dims[1] // B) * (dims[2] // B) >= 2**31:
-            raise ValueError("coarse block count must fit int32 (dims <= 8192^3)")
+        if any(d % PAGE_EDGE for d in dims):
+            raise ValueError(f"dims must be multiples of {PAGE_EDGE}")
+        if (dims[0] // PAGE_EDGE) * (dims[1] // PAGE_EDGE) * (dims[2] // PAGE_EDGE) >= 2**31:
+            raise ValueError("page count must fit int32 (dims <= 65536^3)")
         self.dims = tuple(int(d) for d in dims)
         self.side_length = float(side_length)
         self.map_type = MapType.MT_BITVECTOR_OCTREE
         self.cdims = tuple(d // B for d in self.dims)  # blocks per axis (x,y,z)
-        self.sdims = tuple(c // SB for c in self.cdims)
-        self.levels = _num_levels(self.cdims)
-        cz, cy, cx = self.cdims[2], self.cdims[1], self.cdims[0]
-        pd = _pad_dims(self.cdims, self.levels)
+        self.sdims = tuple(d // PAGE_EDGE for d in self.dims)  # pages per axis
+        # cap 16 (not the dense tier's 8): a 65536^3 world has a 1024^3 page
+        # grid and needs 10 pyramid levels to reach a single root cell
+        self.levels = _num_levels(self.sdims, cap=16)
+        pd = _pad_dims(self.sdims, self.levels)
         self._coarse_shape = (pd[2], pd[1], pd[0])
         coarse0 = jnp.full(self._coarse_shape, U8(NS_UNKNOWN))
         self.pyramid = tuple(_build_pyramid(coarse0, self.levels))
-        sz, sy, sx = self.sdims[2], self.sdims[1], self.sdims[0]
-        self.page_table = jnp.full((sz, sy, sx), jnp.int32(-1))
-        self.pages = jnp.full((1, PAGE), jnp.int32(-1))
+        # sparse page directory (sorted int32 keys for device binary search)
+        self.skeys = jnp.full((1,), jnp.int32(2**31 - 1))
+        self.srows = jnp.zeros((1,), jnp.int32)
+        self.pages = jnp.full((1, PAGE), jnp.int32(-1))  # block -> tile slot
+        self.block_summaries = jnp.zeros((1, PAGE), jnp.uint8)
+        self.page_coord = jnp.zeros((1, 3), jnp.int32)  # (px, py, pz) per page row
         self.pool = jnp.zeros((1, TILE), jnp.uint8)
         self.slot_block = jnp.zeros((1, 3), jnp.int32)  # (bx, by, bz) per slot
+        self.slot_page = jnp.zeros((1,), jnp.int32)  # page row per slot
+        self.slot_within = jnp.zeros((1,), jnp.int32)  # block index in page
         self._n_pages = 0
         self._n_slots = 0
-        self._page_of: dict[int, int] = {}  # super key -> page row
+        self._page_of: dict[int, int] = {}  # page key -> page row
         self._slot_of: dict[int, int] = {}  # block key -> pool row
 
-    # -- host-side allocation -------------------------------------------------
-    def _block_key(self, bx, by, bz) -> np.ndarray:
-        cx, cy, _ = self.cdims
-        return (bz.astype(np.int64) * cy + by) * cx + bx
+    @property
+    def fine_levels(self) -> int:
+        """Octree height in fine-voxel levels (reference level_count analogue)."""
+        return self.levels + 6
 
+    # -- host-side allocation -------------------------------------------------
     def _ensure_capacity(self, arr, n_needed, fill):
         cap = arr.shape[0]
         if n_needed <= cap:
@@ -108,39 +230,68 @@ class PagedHierarchicalMap:
         """Host: ensure a tile slot (and page) exists for every (bx,by,bz)."""
         cx, cy, _ = self.cdims
         sx, sy, _ = self.sdims
-        new_pages = []  # (sz, sy, sx, page_idx)
-        new_slots = []  # (page_idx, within, slot_idx, bx, by, bz)
+        new_pages = []  # (page_row, px, py, pz)
+        new_slots = []  # (page_row, within, slot, bx, by, bz)
         for bx, by, bz in blocks_np:
-            key = int((int(bz) * cy + int(by)) * cx + int(bx))
+            key = (int(bz) * cy + int(by)) * cx + int(bx)  # python int: no overflow
             if key in self._slot_of:
                 continue
-            px, py, pz = bx // SB, by // SB, bz // SB
-            skey = int((int(pz) * sy + int(py)) * sx + int(px))
+            px, py, pz = int(bx) // SB, int(by) // SB, int(bz) // SB
+            skey = (pz * sy + py) * sx + px  # < 2^30 by the dims check
             page = self._page_of.get(skey)
             if page is None:
                 page = self._n_pages
                 self._page_of[skey] = page
                 self._n_pages += 1
-                new_pages.append((int(pz), int(py), int(px), page))
+                new_pages.append((page, px, py, pz))
             slot = self._n_slots
             self._slot_of[key] = slot
             self._n_slots += 1
-            within = ((bz % SB) * SB + (by % SB)) * SB + (bx % SB)
-            new_slots.append((page, int(within), slot, int(bx), int(by), int(bz)))
+            within = ((int(bz) % SB) * SB + (int(by) % SB)) * SB + int(bx) % SB
+            new_slots.append((page, within, slot, int(bx), int(by), int(bz)))
         if new_pages:
             self.pages = self._ensure_capacity(self.pages, self._n_pages, jnp.int32(-1))
-            arr = np.asarray(new_pages, np.int32)
-            self.page_table = self.page_table.at[arr[:, 0], arr[:, 1], arr[:, 2]].set(
-                arr[:, 3]
+            self.block_summaries = self._ensure_capacity(
+                self.block_summaries, self._n_pages, jnp.uint8(0)
             )
+            self.page_coord = self._ensure_capacity(self.page_coord, self._n_pages, jnp.int32(0))
+            arr = np.asarray(new_pages, np.int32)
+            self.page_coord = self.page_coord.at[arr[:, 0]].set(arr[:, 1:4])
+            # re-sort the page key directory
+            keys = np.fromiter(self._page_of.keys(), np.int64, len(self._page_of))
+            rows = np.fromiter(self._page_of.values(), np.int32, len(self._page_of))
+            order = np.argsort(keys)
+            self.skeys = jnp.asarray(keys[order].astype(np.int32))
+            self.srows = jnp.asarray(rows[order])
         if new_slots:
             self.pool = self._ensure_capacity(self.pool, self._n_slots, jnp.uint8(0))
-            self.slot_block = self._ensure_capacity(
-                self.slot_block, self._n_slots, jnp.int32(0)
-            )
+            self.slot_block = self._ensure_capacity(self.slot_block, self._n_slots, jnp.int32(0))
+            self.slot_page = self._ensure_capacity(self.slot_page, self._n_slots, jnp.int32(0))
+            self.slot_within = self._ensure_capacity(self.slot_within, self._n_slots, jnp.int32(0))
             arr = np.asarray(new_slots, np.int32)
             self.pages = self.pages.at[arr[:, 0], arr[:, 1]].set(arr[:, 2])
+            self.slot_page = self.slot_page.at[arr[:, 2]].set(arr[:, 0])
+            self.slot_within = self.slot_within.at[arr[:, 2]].set(arr[:, 1])
             self.slot_block = self.slot_block.at[arr[:, 2]].set(arr[:, 3:6])
+
+    # -- device-side directory lookups ---------------------------------------
+    def snapshot(self) -> PagedSnapshot:
+        """Immutable pytree view for jitted consumers (arrays by reference)."""
+        return PagedSnapshot(
+            pyramid=self.pyramid,
+            skeys=self.skeys,
+            srows=self.srows,
+            pages=self.pages,
+            block_summaries=self.block_summaries,
+            pool=self.pool,
+            dims=self.dims,
+            sdims=self.sdims,
+            levels=self.levels,
+            side_length=self.side_length,
+        )
+
+    def _page_rows_of(self, coords: jnp.ndarray):
+        return self.snapshot()._page_rows_of(coords)
 
     # -- insertion --------------------------------------------------------------
     def insert_point_cloud(
@@ -164,26 +315,25 @@ class PagedHierarchicalMap:
         coords = jnp.clip(coords, 0, dims_arr - 1)
         blocks = coords // B
 
-        # host: allocate tiles for the touched blocks (device dedup first)
+        # host: allocate tiles for the touched blocks (dedup in int64 numpy —
+        # block keys exceed int32 past 8192^3 worlds)
         cx, cy, _ = self.cdims
-        bkey = (blocks[:, 2] * cy + blocks[:, 1]) * cx + blocks[:, 0]
-        bkey = jnp.where(inside, bkey, jnp.int32(-1))
-        ukeys = np.unique(np.asarray(bkey))
+        blk_np = np.asarray(blocks).astype(np.int64)
+        key64 = (blk_np[:, 2] * cy + blk_np[:, 1]) * cx + blk_np[:, 0]
+        key64 = np.where(np.asarray(inside), key64, -1)
+        ukeys = np.unique(key64)
         ukeys = ukeys[ukeys >= 0]
         ubx = ukeys % cx
         uby = (ukeys // cx) % cy
         ubz = ukeys // (cx * cy)
         self._allocate(np.stack([ubx, uby, ubz], axis=1))
 
-        # device: map each point's block key -> slot via the sorted key table
-        keys_sorted = np.fromiter(self._slot_of.keys(), np.int64, len(self._slot_of))
-        slots_np = np.fromiter(self._slot_of.values(), np.int32, len(self._slot_of))
-        order = np.argsort(keys_sorted)
-        keys_sorted = keys_sorted[order].astype(np.int32)
-        slots_np = slots_np[order]
-        pos = jnp.searchsorted(jnp.asarray(keys_sorted), bkey)
-        pos = jnp.clip(pos, 0, len(slots_np) - 1)
-        slot = jnp.asarray(slots_np)[pos]
+        # device: point -> page row -> tile slot (pure gathers)
+        page_row, found = self._page_rows_of(coords)
+        within_s = ((blocks[:, 2] % SB) * SB + (blocks[:, 1] % SB)) * SB + blocks[:, 0] % SB
+        slot = self.pages[page_row, within_s]
+        ok = inside & found & (slot >= 0)
+        slot = jnp.maximum(slot, 0)
         within = ((coords[:, 2] % B) * B + (coords[:, 1] % B)) * B + coords[:, 0] % B
 
         occ_bit = NS_FREE if int(meaning) == int(BitVoxelMeaning.eBVM_FREE) else NS_OCCUPIED
@@ -191,13 +341,13 @@ class PagedHierarchicalMap:
         # hard set: old flags survive, occupancy bits replaced
         old = self.pool[slot, within]
         new = (old & U8(0xFF ^ STATUS_OCCUPANCY_MASK)) | U8(occ_bit | flag)
-        slot = jnp.where(inside, slot, self.pool.shape[0])
+        slot = jnp.where(ok, slot, self.pool.shape[0])
         self.pool = self.pool.at[slot, within].set(new, mode="drop")
         self._rebuild_coarse()
         return self
 
     def _rebuild_coarse(self) -> None:
-        """Tile summaries -> coarse block statuses -> pyramid (propagate)."""
+        """Tile summaries -> block summaries -> page statuses -> pyramid."""
         n = self._n_slots
         if n == 0:
             return
@@ -205,65 +355,25 @@ class PagedHierarchicalMap:
         summary = jnp.bitwise_or.reduce(live, axis=1)
         any_unwritten = jnp.any(live == 0, axis=1)
         summary = summary | jnp.where(any_unwritten, U8(NS_UNKNOWN), U8(0))
-        sb = self.slot_block[:n]
+        npg = self._n_pages
+        bs = jnp.zeros((npg, PAGE), jnp.uint8)
+        bs = bs.at[self.slot_page[:n], self.slot_within[:n]].set(summary)
+        self.block_summaries = self.block_summaries.at[:npg].set(bs)
+        # page status: OR of block statuses; slot-less blocks (byte 0) are
+        # never-written space -> UNKNOWN contribution
+        page_status = jnp.bitwise_or.reduce(bs, axis=1)
+        page_status = page_status | jnp.where(jnp.any(bs == 0, axis=1), U8(NS_UNKNOWN), U8(0))
+        pcs = self.page_coord[:npg]
         coarse0 = jnp.full(self._coarse_shape, U8(NS_UNKNOWN))
-        coarse0 = coarse0.at[sb[:, 2], sb[:, 1], sb[:, 0]].set(summary)
+        coarse0 = coarse0.at[pcs[:, 2], pcs[:, 1], pcs[:, 0]].set(page_status)
         self.pyramid = tuple(_build_pyramid(coarse0, self.levels))
 
-    # -- probing ----------------------------------------------------------------
+    # -- probing (delegates to the snapshot pytree) ---------------------------
     def probe_status(self, coords: jnp.ndarray, min_level: int = 0) -> jnp.ndarray:
-        """Status byte per fine voxel coordinate. Levels >= 3 descend the
-        coarse pyramid only (block granularity and up); levels 0..2 refine
-        through the tile pool (0 = exact voxel, 1/2 = OR over the 2^l cube,
-        the NTree min_level semantics, kernel_Octree.h:383-423)."""
-        coords = jnp.asarray(coords, jnp.int32)
-        bc = coords // B
-        x, y, z = bc[..., 0], bc[..., 1], bc[..., 2]
-        decided = jnp.zeros(x.shape, bool)
-        status = jnp.zeros(x.shape, U8)
-        stop = max(min_level - 3, 0)
-        for l in range(self.levels, stop - 1, -1):
-            s = self.pyramid[l][z >> l, y >> l, x >> l]
-            uni = _is_uniform(s) | (l == stop)
-            take = uni & ~decided
-            status = jnp.where(take, s, status)
-            decided = decided | uni
-        if min_level >= 3:
-            return status
-
-        # refine undecided (mixed-block) points through the tile pool
-        needs = ~_is_uniform(status)
-        sxi, syi, szi = bc[..., 0] // SB, bc[..., 1] // SB, bc[..., 2] // SB
-        page = self.page_table[szi, syi, sxi]
-        within_s = ((bc[..., 2] % SB) * SB + (bc[..., 1] % SB)) * SB + bc[..., 0] % SB
-        slot = self.pages[jnp.maximum(page, 0), within_s]
-        have_tile = (page >= 0) & (slot >= 0)
-        slot = jnp.maximum(slot, 0)
-        wc = coords % B
-        fine = jnp.zeros(x.shape, U8)
-        r = 1 << min_level
-        base = (wc // r) * r
-        for dz in range(r):
-            for dy in range(r):
-                for dx in range(r):
-                    widx = (
-                        (base[..., 2] + dz) * (B * B)
-                        + (base[..., 1] + dy) * B
-                        + (base[..., 0] + dx)
-                    )
-                    fine = fine | self.pool[slot, widx]
-        fine = jnp.where(
-            (fine & U8(STATUS_OCCUPANCY_MASK)) == 0, fine | U8(NS_UNKNOWN), fine
-        )
-        use_fine = needs & have_tile
-        return jnp.where(use_fine, fine, status)
+        return self.snapshot().probe_status(coords, min_level)
 
     def probe(self, coords: jnp.ndarray, min_level: int = 0):
-        status = self.probe_status(coords, min_level)
-        occupied = (status & U8(NS_OCCUPIED)) != 0
-        unknown = ((status & U8(NS_UNKNOWN)) != 0) & ~occupied
-        free = (status & U8(STATUS_OCCUPANCY_MASK)) == U8(NS_FREE)
-        return occupied, unknown, free
+        return self.snapshot().probe(coords, min_level)
 
     def collide_with_coords(self, coords, min_level: int = 0) -> jnp.ndarray:
         occ, _, _ = self.probe(coords, min_level)
@@ -273,14 +383,24 @@ class PagedHierarchicalMap:
         """intersect_sparse against a voxel list (the GvlNTree dispatch)."""
         coords = other.entry_coords()
         valid = (other.ids != jnp.uint32(0xFFFFFFFF)) & other._entry_occupied()
-        occ, _, _ = self.probe(jnp.clip(coords, 0, jnp.asarray(self.dims) - 1))
+        occ, _, _ = self.probe(jnp.clip(coords, 0, jnp.asarray(self.dims) - 1), min_level)
         inside = jnp.all((coords >= 0) & (coords < jnp.asarray(self.dims)), axis=-1)
         return jnp.sum(occ & valid & inside, dtype=jnp.uint32)
 
     # -- maintenance --------------------------------------------------------------
     def memory_usage(self) -> int:
         total = 0
-        for a in (self.page_table, self.pages, self.pool, self.slot_block):
+        for a in (
+            self.skeys,
+            self.srows,
+            self.pages,
+            self.block_summaries,
+            self.page_coord,
+            self.pool,
+            self.slot_block,
+            self.slot_page,
+            self.slot_within,
+        ):
             total += a.size * a.dtype.itemsize
         for p in self.pyramid:
             total += p.size * p.dtype.itemsize

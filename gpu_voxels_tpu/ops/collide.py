@@ -24,6 +24,19 @@ from .insert import linear_offset
 INT32 = jnp.int32
 
 
+def _use_types_pallas() -> bool:
+    """One-pass Pallas types-collide on TPU; pure XLA elsewhere (the CPU
+    interpreter is too slow for tests; GVTPU_TYPES_INTERPRET=1 forces the
+    interpreted kernel for kernel-logic tests)."""
+    import os
+
+    if os.environ.get("GVTPU_TYPES_INTERPRET") == "1":
+        return True
+    import jax
+
+    return jax.devices()[0].platform == "tpu"
+
+
 def _offset_slices(n: int, off: int):
     """Valid flat ranges for collide(left[i+off], right[i])."""
     off = int(off)
@@ -166,6 +179,17 @@ def collide_with_types_bit_bit(
     order-independent).
     """
     n = a_planes.shape[-1]
+    if sv_offset == 0 and margin <= 24 and _use_types_pallas():
+        # one-pass Pallas kernel: count + meanings OR + mark in a single
+        # read of both maps (the XLA form below is the semantics reference)
+        from . import collide_pallas
+
+        cnt, meanings, new_a = collide_pallas.collide_types_bit_bit(
+            a_planes, b_planes, margin
+        )
+        if not mark_collisions:
+            new_a = a_planes
+        return cnt, meanings, new_a
     if sv_offset == 0 and margin <= 24:
         hit, records = bitops.bit_margin_collision_check_packed(a_planes, b_planes, margin)
     else:

@@ -108,6 +108,9 @@ def _count_bit_kernel(a_ref, b_ref, out_ref, acc_ref):
 
 
 BIT_TILE_ROWS = 512  # 8 planes * 512 * 128 * 4B = 2MB/map per step
+# the types kernel holds window/record temporaries + an OR scratch in VMEM,
+# so it runs smaller tiles (512 rows OOMs the 16M scoped vmem limit)
+TYPES_TILE_ROWS = 256
 
 
 @jax.jit
@@ -133,6 +136,141 @@ def count_bit_bit(a_planes: jnp.ndarray, b_planes: jnp.ndarray) -> jnp.ndarray:
         interpret=_interpret(),
     )(a2, b2)
     return out[0].astype(jnp.uint32)
+
+
+def _fold_or_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """OR-reduce a [R, 128] tile over rows with log2(R) vector ORs (R is a
+    power of two; a general reduce-with-OR may not lower on all mosaic
+    versions, halving folds always do)."""
+    r = x.shape[0]
+    while r > 1:
+        r //= 2
+        x = x[:r] | x[r:]
+    return x[0]
+
+
+def _shift_planes(planes, s: int):
+    """Whole-vector bit shift on a list of 8 [R, 128] uint32 plane tiles:
+    result bit b = input bit (b + s), zero fill (bitops.shift_bits semantics,
+    unrolled on registers)."""
+    n = len(planes)
+    zero = jnp.zeros_like(planes[0])
+    out = []
+    if s >= 0:
+        q, r = divmod(s, 32)
+        for p in range(n):
+            lo = planes[p + q] if (p + q) < n else zero
+            if r == 0:
+                out.append(lo)
+            else:
+                hi = planes[p + q + 1] if (p + q + 1) < n else zero
+                out.append((lo >> jnp.uint32(r)) | (hi << jnp.uint32(32 - r)))
+    else:
+        q, r = divmod(-s, 32)
+        for p in range(n):
+            hi = planes[p - q] if (p - q) >= 0 else zero
+            if r == 0:
+                out.append(hi)
+            else:
+                lo = planes[p - q - 1] if (p - q - 1) >= 0 else zero
+                out.append((hi << jnp.uint32(r)) | (lo >> jnp.uint32(32 - r)))
+    return out
+
+
+def _types_kernel(margin: int, a_ref, b_ref, count_ref, meanings_ref, marked_ref,
+                  acc_ref, macc_ref):
+    """One pass: windowed SV collide (sv_offset=0, margin<=24) producing
+    count + per-plane colliding-meanings OR + marked plane 0."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_ref[0] = jnp.int32(0)
+        macc_ref[:] = jnp.zeros_like(macc_ref)
+
+    nplanes = a_ref.shape[0]
+    v2 = [b_ref[p] for p in range(nplanes)]
+    v2[0] = v2[0] & jnp.uint32(0xFFFFFFF0)  # non-SV nibble never matches
+    # window[b] = OR of v2 bits [b-margin, b+margin], built by OR-shift
+    # doubling per direction. Each direction composes shifts of the SAME sign
+    # only: same-sign composition never loses clipped contributions (the
+    # intermediate index lies between the endpoints), whereas shifting the
+    # down-window back up would zero-fill bits < margin that the per-shift
+    # reference (bitops.bit_margin_collision_check_packed) keeps.
+    def one_sided(sign: int):
+        w = list(v2)
+        covered = 1
+        while covered < margin + 1:
+            step = min(covered, margin + 1 - covered)
+            w = [x | s for x, s in zip(w, _shift_planes(w, sign * step))]
+            covered += step
+        return w
+
+    if margin:
+        down, up = one_sided(+1), one_sided(-1)
+        win = [d | u for d, u in zip(down, up)]
+    else:
+        win = list(v2)
+
+    rec = [a_ref[p] & win[p] for p in range(nplanes)]
+    nz = rec[0] != 0
+    for p in range(1, nplanes):
+        nz |= rec[p] != 0
+    acc_ref[0] += jnp.sum(nz.astype(jnp.int32))
+    # full-rows OR accumulator: one vector OR per plane per tile; the
+    # rows-fold happens once at the last grid step, not per tile
+    for p in range(nplanes):
+        macc_ref[p] = macc_ref[p] | rec[p]
+    marked_ref[:] = jnp.where(nz, a_ref[0] | jnp.uint32(1 << 2), a_ref[0])
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        count_ref[0] = acc_ref[0]
+        for p in range(nplanes):
+            meanings_ref[p] = _fold_or_rows(macc_ref[p])
+
+
+@functools.partial(jax.jit, static_argnames=("margin",))
+def collide_types_bit_bit(a_planes: jnp.ndarray, b_planes: jnp.ndarray, margin: int = 0):
+    """kernelCollideVoxelMapsBitvector (BitVoxelMap.hpp:85-135) as ONE Pallas
+    pass over both maps: count + colliding-meanings OR-reduce + eBVM_COLLISION
+    marking, instead of XLA's separate count/reduce/mark sweeps. sv_offset=0,
+    margin <= 24 (the hot swept-volume path); other domains take the packed
+    XLA formulation. Bit-identical to ops.collide.collide_with_types_bit_bit's
+    XLA path (asserted in tests on both platforms)."""
+    if not (0 <= margin <= 24):
+        raise ValueError("pallas path covers margin <= 24, sv_offset == 0")
+    n = a_planes.shape[-1]
+    per_tile = TYPES_TILE_ROWS * LANES
+    rows = -(-n // per_tile) * per_tile // LANES
+    a2 = _as_tiles(a_planes, rows, 0)
+    b2 = _as_tiles(b_planes, rows, 0)
+    grid = rows // TYPES_TILE_ROWS
+    nplanes = a_planes.shape[0]
+    count, meanings_lanes, marked = pl.pallas_call(
+        functools.partial(_types_kernel, margin),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((nplanes, TYPES_TILE_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nplanes, TYPES_TILE_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((nplanes, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TYPES_TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((nplanes, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((nplanes, TYPES_TILE_ROWS, LANES), jnp.uint32),
+        ],
+        interpret=_interpret(),
+    )(a2, b2)
+    meanings = jnp.bitwise_or.reduce(meanings_lanes, axis=1)
+    new_a = a_planes.at[0].set(marked.reshape(-1)[:n])
+    return count[0].astype(jnp.uint32), meanings, new_a
 
 
 def _count_mark_prob_kernel(t_ref, a_ref, b_ref, out_ref, marked_ref, acc_ref):

@@ -40,3 +40,26 @@ def test_count_and_mark_matches_xla():
     ref_c, ref_m = xla_collide.count_and_mark_prob(a, b, 50, 50)
     assert int(got_c) == int(ref_c)
     np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
+
+
+def test_collide_types_one_pass_matches_xla():
+    """One-pass kernel (count + meanings OR + mark) == packed XLA path for
+    every margin in the fast domain, incl. the doubling OR-shift window."""
+    rng = np.random.default_rng(3)
+    n = 70_000  # not tile aligned
+    # dense-random words (sparse low-bit fixtures never exercise cross-word
+    # carries or the low-bit window boundary — that hid a real doubling bug),
+    # zeroed per-voxel so the count stays nontrivial too
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        w = r.integers(0, 2**32, (8, n), dtype=np.uint64).astype(np.uint32)
+        return jnp.asarray(w * (r.random(n) < 0.3))
+    a, b = mk(3), mk(4)
+    for margin in (0, 1, 4, 7, 24):
+        got_c, got_m, got_a = cp.collide_types_bit_bit(a, b, margin)
+        ref_c, ref_m, ref_a = xla_collide.collide_with_types_bit_bit(
+            a, b, margin=margin, sv_offset=0
+        )
+        assert int(got_c) == int(ref_c), margin
+        np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
+        np.testing.assert_array_equal(np.asarray(got_a), np.asarray(ref_a))

@@ -91,3 +91,71 @@ def test_factory_routes_large_worlds_to_paged():
     m = gvl.add_map(MapType.MT_BITVECTOR_OCTREE, "bigworld")
     assert isinstance(m, PagedHierarchicalMap)
     GpuVoxels._instance = None
+
+
+def test_octree_scale_32768():
+    """Full reference-scale addressability: 15 levels = 32768^3 virtual
+    voxels (common_defines.h:189-191), sparse memory, exact probes."""
+    m = PagedHierarchicalMap((32768, 32768, 32768), 1.0)
+    assert m.fine_levels >= 15
+    pts = np.array(
+        [[31000.5, 17.5, 22222.5], [5.5, 30000.5, 12345.5], [31000.5, 17.5, 22223.5]],
+        np.float32,
+    )
+    m.insert_point_cloud(pts)
+    coords = np.floor(pts).astype(np.int32)
+    occ, unk, free = m.probe(jnp.asarray(coords))
+    assert bool(np.asarray(occ).all())
+    # neighbors are unknown at level 0, shared at min_level 1
+    n = jnp.asarray([[31000, 16, 22222]], jnp.int32)
+    assert not bool(m.probe(n)[0][0])
+    assert bool(m.probe(n, min_level=1)[0][0])
+    # block (3) and page (6) levels resolve too
+    assert bool(m.probe(jnp.asarray([[31007, 23, 22216]], jnp.int32), min_level=3)[0][0])
+    assert bool(m.probe(jnp.asarray([[31039, 60, 22270]], jnp.int32), min_level=6)[0][0])
+    # far empty space stays unknown; memory is sparse (dense int8 = 32 TB)
+    assert bool(m.probe(jnp.asarray([[1, 1, 1]], jnp.int32))[1][0])
+    assert m.memory_usage() < 300 * 1024 * 1024
+
+
+def test_paged_snapshot_motion_validity():
+    """Motion validation against a snapshot of an octree-scale world: the
+    PagedSnapshot pytree rides through the jitted batch checker (the map
+    itself is host-grown and not a pytree)."""
+    from gpu_voxels_tpu.geometry.pointcloud import MetaPointCloud
+    from gpu_voxels_tpu.planning import MotionValidator
+    from gpu_voxels_tpu.planning.validity import HierarchicalValidityChecker
+    from gpu_voxels_tpu.robot.dh import DHParameters, KinematicChain
+
+    params = [DHParameters(0, 0, 0.0, 0), DHParameters(0, 0, 0.0, 0)]
+    clouds = MetaPointCloud.from_clouds(
+        [np.linspace([40.0, 0.0, 0.0], [80.0, 0.0, 0.0], 9).astype(np.float32)],
+        names=("l2",),
+    )
+    arm = KinematicChain(["l1", "l2"], params, clouds)
+
+    class Based:
+        def transformed_clouds_for(self, cfg):
+            import jax.numpy as jnp
+            from dataclasses import replace
+
+            full = jnp.concatenate([jnp.asarray(cfg, jnp.float32), jnp.zeros((1,))])
+            c = arm.transformed_clouds_for(full)
+            return replace(c, points=c.points + jnp.asarray([8000.0, 8000.0, 50.0]))
+
+    m = PagedHierarchicalMap((32768, 32768, 32768), 1.0)
+    # wall slab blocking the +x direction (x 8050..8080, y 7995..8005, z 50):
+    # thick enough that a 0.02-rad sweep through zero cannot step over it
+    gx, gy = np.meshgrid(np.arange(8050, 8081), np.arange(7995, 8006), indexing="ij")
+    wall = np.stack(
+        [gx.ravel(), gy.ravel(), np.full(gx.size, 50.0)], -1
+    ).astype(np.float32) + 0.5
+    m.insert_point_cloud(wall)
+    checker = HierarchicalValidityChecker(m.snapshot(), Based())
+    assert checker.colliding_voxels(np.array([0.0], np.float32)) >= 1  # +x blocked
+    assert checker.colliding_voxels(np.array([np.pi / 2], np.float32)) == 0
+    mv = MotionValidator(checker, resolution=0.02)
+    ok, _ = mv.check_motion([np.pi / 2], [np.pi])
+    assert ok
+    bad, _ = mv.check_motion([-0.2], [0.2])
+    assert not bad
