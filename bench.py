@@ -118,7 +118,23 @@ def main():
         file=sys.stderr,
     )
 
-    # --- secondary workloads (stderr diagnostics) --------------------------
+    # headline JSON goes out BEFORE the slow secondary diagnostics so a driver
+    # timeout can never lose the scored line
+    global _HEADLINE_DONE
+    print(
+        json.dumps(
+            {
+                "metric": "voxel collision checks/sec (512^3 prob x prob)",
+                "value": checks_per_sec,
+                "unit": "checks/s",
+                "vs_baseline": checks_per_sec / 1e9,
+            }
+        ),
+        flush=True,
+    )
+    _HEADLINE_DONE = True
+
+    # --- secondary workloads (stderr diagnostics, best-effort) -------------
     from gpu_voxels_tpu import bitops
     from gpu_voxels_tpu.ops import edt
 
@@ -197,17 +213,13 @@ def main():
         file=sys.stderr,
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "voxel collision checks/sec (512^3 prob x prob)",
-                "value": checks_per_sec,
-                "unit": "checks/s",
-                "vs_baseline": checks_per_sec / 1e9,
-            }
-        )
-    )
 
+_HEADLINE_DONE = False
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:
+        if not _HEADLINE_DONE:
+            raise  # headline failed: a real benchmark failure
+        print(f"secondary diagnostics aborted: {exc!r}", file=sys.stderr)

@@ -245,12 +245,15 @@ class GpuVoxels:
     def save_map(self, map_name: str, path) -> bool:
         """Map writeToDisk via the facade (reference binary formats)."""
         from .maps.hierarchical import HierarchicalProbMap
+        from .maps.paged import PagedHierarchicalMap
         from .maps.voxellist import VoxelList
         from .utils import io as map_io
 
         m = self._maps[map_name]
         if isinstance(m, VoxelList):
             map_io.write_voxel_list(m, path)
+        elif isinstance(m, PagedHierarchicalMap):
+            map_io.write_paged_map(m, path)
         elif isinstance(m, HierarchicalProbMap):
             map_io.write_hierarchical_map(m, path)
         else:

@@ -46,6 +46,9 @@ _MAP_ALIASES = {
     "clearVoxelMeaning": "clear_voxel_meaning",
     "shiftLeftSweptVolumeIDs": "shift_left_swept_volume_ids",
     "collisionCheck": "collides_with",
+    "insertPointCloudWithFreespaceCalculation": "insert_point_cloud_with_free_space",
+    "writeToDisk": "write_to_disk",
+    "readFromDisk": "read_from_disk",
 }
 
 _LIST_ALIASES = {
@@ -83,11 +86,18 @@ def install() -> None:
     from .api import GpuVoxels
     from .maps.distance_map import DistanceVoxelMap
     from .maps.hierarchical import HierarchicalProbMap
+    from .maps.paged import PagedHierarchicalMap
     from .maps.voxellist import VoxelList
     from .maps.voxelmap import BitVectorVoxelMap, CountingVoxelMap, ProbVoxelMap
 
     _apply(GpuVoxels, _FACADE_ALIASES)
-    for cls in (ProbVoxelMap, BitVectorVoxelMap, CountingVoxelMap, HierarchicalProbMap):
+    for cls in (
+        ProbVoxelMap,
+        BitVectorVoxelMap,
+        CountingVoxelMap,
+        HierarchicalProbMap,
+        PagedHierarchicalMap,
+    ):
         _apply(cls, _MAP_ALIASES)
     _apply(VoxelList, _LIST_ALIASES)
     _apply(DistanceVoxelMap, _DISTANCE_ALIASES)

@@ -32,6 +32,7 @@ semantics).
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Tuple
 
@@ -171,6 +172,111 @@ class PagedSnapshot:
         return occupied, unknown, free
 
 
+# -- compiled programs (module-level so the jit cache is shared) --------------
+# Each eager op on the relayed TPU pays seconds of dispatch+compile latency,
+# so the map's device work is consolidated into a handful of jitted programs.
+# Shapes are stabilized (pow2-padded points, capacity-sized state arrays) so
+# recompiles happen only on capacity doublings / new batch sizes.
+
+
+def _pad_points_pow2(pts: jnp.ndarray) -> jnp.ndarray:
+    """Pad [N,3] float points to the next power of two with far-outside
+    sentinels (dropped by the inside mask downstream)."""
+    n = max(int(pts.shape[0]), 1)
+    cap = 1 << (n - 1).bit_length()
+    if cap == pts.shape[0]:
+        return pts
+    pad = jnp.full((cap - pts.shape[0], 3), -1e9, pts.dtype)
+    return jnp.concatenate([pts, pad], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("side_length", "dims"))
+def _voxelize_points(pts, side_length: float, dims: Dims):
+    coords = map_to_voxels(pts, side_length)
+    dims_arr = jnp.asarray(dims, jnp.int32)
+    inside = jnp.all((coords >= 0) & (coords < dims_arr), axis=-1)
+    return jnp.clip(coords, 0, dims_arr - 1), inside
+
+
+@functools.partial(jax.jit, static_argnames=("sdims", "occ_bit", "flag"))
+def _scatter_pool(pool, pages, skeys, srows, coords, inside, sdims: Dims,
+                  occ_bit: int, flag: int):
+    """Point -> page row -> tile slot -> hard status set, one program."""
+    sx, sy, _ = sdims
+    pc = coords // PAGE_EDGE
+    skey = (pc[:, 2] * sy + pc[:, 1]) * sx + pc[:, 0]
+    pos = jnp.clip(jnp.searchsorted(skeys, skey), 0, skeys.shape[0] - 1)
+    found = skeys[pos] == skey
+    page_row = jnp.where(found, srows[pos], 0)
+    blocks = coords // B
+    within_s = ((blocks[:, 2] % SB) * SB + (blocks[:, 1] % SB)) * SB + blocks[:, 0] % SB
+    slot = pages[page_row, within_s]
+    ok = inside & found & (slot >= 0)
+    slot = jnp.maximum(slot, 0)
+    within = ((coords[:, 2] % B) * B + (coords[:, 1] % B)) * B + coords[:, 0] % B
+    old = pool[slot, within]
+    new = (old & U8(0xFF ^ STATUS_OCCUPANCY_MASK)) | U8(occ_bit | flag)
+    slot = jnp.where(ok, slot, pool.shape[0])
+    return pool.at[slot, within].set(new, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("coarse_shape", "levels"))
+def _rebuild_programs(pool, slot_page, slot_within, page_coord, n_slots, n_pages,
+                      coarse_shape, levels: int):
+    """Tile summaries -> block summaries -> page statuses -> pyramid, one
+    program over capacity-sized arrays (counts are dynamic scalars)."""
+    cap_slots = pool.shape[0]
+    cap_pages = page_coord.shape[0]
+    summary = jnp.bitwise_or.reduce(pool, axis=1)
+    summary = summary | jnp.where(jnp.any(pool == 0, axis=1), U8(NS_UNKNOWN), U8(0))
+    valid_s = jnp.arange(cap_slots, dtype=jnp.int32) < n_slots
+    bs = jnp.zeros((cap_pages, PAGE), jnp.uint8)
+    bs = bs.at[jnp.where(valid_s, slot_page, cap_pages), slot_within].set(
+        summary, mode="drop"
+    )
+    page_status = jnp.bitwise_or.reduce(bs, axis=1)
+    page_status = page_status | jnp.where(jnp.any(bs == 0, axis=1), U8(NS_UNKNOWN), U8(0))
+    valid_p = jnp.arange(cap_pages, dtype=jnp.int32) < n_pages
+    zi = jnp.where(valid_p, page_coord[:, 2], coarse_shape[0])
+    coarse0 = jnp.full(coarse_shape, U8(NS_UNKNOWN))
+    coarse0 = coarse0.at[zi, page_coord[:, 1], page_coord[:, 0]].set(
+        page_status, mode="drop"
+    )
+    return bs, tuple(_build_pyramid(coarse0, levels))
+
+
+@functools.partial(jax.jit, static_argnames=("coarse_shape", "levels"))
+def _empty_pyramid(coarse_shape, levels: int):
+    return tuple(_build_pyramid(jnp.full(coarse_shape, U8(NS_UNKNOWN)), levels))
+
+
+@functools.partial(jax.jit, static_argnames=("side_length", "dims", "max_steps"))
+def _free_ray_cells(pts, origin, side_length: float, dims: Dims, max_steps: int):
+    """[S,N,3] visited voxel coords + [S,N] live mask for origin->point rays
+    (one dominant-axis voxel per step, endpoint excluded)."""
+    side = jnp.float32(side_length)
+    start_v = origin / side
+    delta = pts / side - start_v[None, :]
+    dominant = jnp.max(jnp.abs(delta), axis=-1)
+    n_steps = jnp.ceil(dominant).astype(jnp.int32)
+    inv = jnp.where(n_steps > 0, 1.0 / jnp.maximum(n_steps.astype(jnp.float32), 1.0), 0.0)
+    step_vec = delta * inv[:, None]
+    ks = jnp.arange(max_steps, dtype=jnp.int32)
+    pos = start_v[None, None, :] + step_vec[None, :, :] * ks[:, None, None].astype(jnp.float32)
+    # clamp before the int cast: padded sentinel points otherwise produce
+    # float->int32 overflow (undefined, could wrap into range)
+    coords = jnp.floor(jnp.clip(pos, -1.0, 2.0**30)).astype(jnp.int32)
+    dims_arr = jnp.asarray(dims, jnp.int32)
+    live = (ks[:, None] < n_steps[None, :]) & jnp.all(
+        (coords >= 0) & (coords < dims_arr), axis=-1
+    )
+    return coords, live
+
+
+_probe_status_jit = jax.jit(PagedSnapshot.probe_status, static_argnames=("min_level",))
+_probe_jit = jax.jit(PagedSnapshot.probe, static_argnames=("min_level",))
+
+
 class PagedHierarchicalMap:
     """Sparse deterministic hierarchical map (GvlNTree-scale worlds).
 
@@ -195,8 +301,7 @@ class PagedHierarchicalMap:
         self.levels = _num_levels(self.sdims, cap=16)
         pd = _pad_dims(self.sdims, self.levels)
         self._coarse_shape = (pd[2], pd[1], pd[0])
-        coarse0 = jnp.full(self._coarse_shape, U8(NS_UNKNOWN))
-        self.pyramid = tuple(_build_pyramid(coarse0, self.levels))
+        self.pyramid = _empty_pyramid(self._coarse_shape, self.levels)
         # sparse page directory (sorted int32 keys for device binary search)
         self.skeys = jnp.full((1,), jnp.int32(2**31 - 1))
         self.srows = jnp.zeros((1,), jnp.int32)
@@ -257,12 +362,20 @@ class PagedHierarchicalMap:
             self.page_coord = self._ensure_capacity(self.page_coord, self._n_pages, jnp.int32(0))
             arr = np.asarray(new_pages, np.int32)
             self.page_coord = self.page_coord.at[arr[:, 0]].set(arr[:, 1:4])
-            # re-sort the page key directory
-            keys = np.fromiter(self._page_of.keys(), np.int64, len(self._page_of))
-            rows = np.fromiter(self._page_of.values(), np.int32, len(self._page_of))
+            # re-sort the page key directory, padded to pow2 capacity with
+            # INT32_MAX sentinels (valid keys are < 2^30) so directory growth
+            # does not change compiled-program shapes every allocation
+            npg = len(self._page_of)
+            keys = np.fromiter(self._page_of.keys(), np.int64, npg)
+            rows = np.fromiter(self._page_of.values(), np.int32, npg)
             order = np.argsort(keys)
-            self.skeys = jnp.asarray(keys[order].astype(np.int32))
-            self.srows = jnp.asarray(rows[order])
+            cap = 1 << (npg - 1).bit_length() if npg else 1
+            sk = np.full(cap, 2**31 - 1, np.int32)
+            sr = np.zeros(cap, np.int32)
+            sk[:npg] = keys[order].astype(np.int32)
+            sr[:npg] = rows[order]
+            self.skeys = jnp.asarray(sk)
+            self.srows = jnp.asarray(sr)
         if new_slots:
             self.pool = self._ensure_capacity(self.pool, self._n_slots, jnp.uint8(0))
             self.slot_block = self._ensure_capacity(self.slot_block, self._n_slots, jnp.int32(0))
@@ -308,72 +421,90 @@ class PagedHierarchicalMap:
         gpu_voxels_tpu.ops.raycast.depth_image_to_point_cloud + ray sampling),
         mirroring the octree Sensor's sparse free-voxel list (Sensor.cu).
         """
-        pts = jnp.asarray(points, jnp.float32)
-        coords = map_to_voxels(pts, self.side_length)
-        dims_arr = jnp.asarray(self.dims, jnp.int32)
-        inside = jnp.all((coords >= 0) & (coords < dims_arr), axis=-1)
-        coords = jnp.clip(coords, 0, dims_arr - 1)
-        blocks = coords // B
+        pts = _pad_points_pow2(jnp.asarray(points, jnp.float32))
+        coords, inside = _voxelize_points(pts, self.side_length, self.dims)
 
         # host: allocate tiles for the touched blocks (dedup in int64 numpy —
-        # block keys exceed int32 past 8192^3 worlds)
+        # block keys exceed int32 past 8192^3 worlds); ONE device fetch
         cx, cy, _ = self.cdims
-        blk_np = np.asarray(blocks).astype(np.int64)
+        c_np, in_np = np.asarray(coords).astype(np.int64), np.asarray(inside)
+        blk_np = c_np // B
         key64 = (blk_np[:, 2] * cy + blk_np[:, 1]) * cx + blk_np[:, 0]
-        key64 = np.where(np.asarray(inside), key64, -1)
-        ukeys = np.unique(key64)
+        ukeys = np.unique(np.where(in_np, key64, -1))
         ukeys = ukeys[ukeys >= 0]
         ubx = ukeys % cx
         uby = (ukeys // cx) % cy
         ubz = ukeys // (cx * cy)
         self._allocate(np.stack([ubx, uby, ubz], axis=1))
 
-        # device: point -> page row -> tile slot (pure gathers)
-        page_row, found = self._page_rows_of(coords)
-        within_s = ((blocks[:, 2] % SB) * SB + (blocks[:, 1] % SB)) * SB + blocks[:, 0] % SB
-        slot = self.pages[page_row, within_s]
-        ok = inside & found & (slot >= 0)
-        slot = jnp.maximum(slot, 0)
-        within = ((coords[:, 2] % B) * B + (coords[:, 1] % B)) * B + coords[:, 0] % B
-
+        # device: one compiled scatter + one compiled summary/pyramid rebuild
         occ_bit = NS_FREE if int(meaning) == int(BitVoxelMeaning.eBVM_FREE) else NS_OCCUPIED
         flag = NS_STATIC_MAP if static_map else NS_DYNAMIC_MAP
-        # hard set: old flags survive, occupancy bits replaced
-        old = self.pool[slot, within]
-        new = (old & U8(0xFF ^ STATUS_OCCUPANCY_MASK)) | U8(occ_bit | flag)
-        slot = jnp.where(ok, slot, self.pool.shape[0])
-        self.pool = self.pool.at[slot, within].set(new, mode="drop")
+        self.pool = _scatter_pool(
+            self.pool, self.pages, self.skeys, self.srows, coords, inside,
+            self.sdims, int(occ_bit), int(flag),
+        )
         self._rebuild_coarse()
         return self
 
-    def _rebuild_coarse(self) -> None:
-        """Tile summaries -> block summaries -> page statuses -> pyramid."""
-        n = self._n_slots
-        if n == 0:
-            return
-        live = self.pool[:n]
-        summary = jnp.bitwise_or.reduce(live, axis=1)
-        any_unwritten = jnp.any(live == 0, axis=1)
-        summary = summary | jnp.where(any_unwritten, U8(NS_UNKNOWN), U8(0))
-        npg = self._n_pages
-        bs = jnp.zeros((npg, PAGE), jnp.uint8)
-        bs = bs.at[self.slot_page[:n], self.slot_within[:n]].set(summary)
-        self.block_summaries = self.block_summaries.at[:npg].set(bs)
-        # page status: OR of block statuses; slot-less blocks (byte 0) are
-        # never-written space -> UNKNOWN contribution
-        page_status = jnp.bitwise_or.reduce(bs, axis=1)
-        page_status = page_status | jnp.where(jnp.any(bs == 0, axis=1), U8(NS_UNKNOWN), U8(0))
-        pcs = self.page_coord[:npg]
-        coarse0 = jnp.full(self._coarse_shape, U8(NS_UNKNOWN))
-        coarse0 = coarse0.at[pcs[:, 2], pcs[:, 1], pcs[:, 0]].set(page_status)
-        self.pyramid = tuple(_build_pyramid(coarse0, self.levels))
+    def insert_point_cloud_with_free_space(
+        self,
+        points,
+        sensor_origin=(0.0, 0.0, 0.0),
+        max_steps: int = 128,
+        static_map: bool = False,
+    ) -> "PagedHierarchicalMap":
+        """insertPointCloudWithFreespaceCalculation (GvlNTree.hpp:108-130) on
+        the sparse tier: carve hard-FREE cells along each sensor ray, then
+        insert the hits as occupied (hits override free, like NTree's object-
+        over-freespace priority).
 
-    # -- probing (delegates to the snapshot pytree) ---------------------------
+        Rays step one dominant-axis voxel at a time with the endpoint voxel
+        excluded (the reference RayCaster's visiting rule, VoxelMapOperations.h:
+        199-323), bounded at max_steps cells. This is the sparse-point-set
+        analogue of the octree Sensor's free-voxel list (Sensor.cu:116-230);
+        dense depth frames at sub-1024^3 scale should use the dense tier's
+        projective carve instead.
+        """
+        pts = _pad_points_pow2(jnp.asarray(points, jnp.float32))
+        origin = jnp.asarray(sensor_origin, jnp.float32)
+        coords, live = _free_ray_cells(
+            pts, origin, self.side_length, self.dims, max_steps
+        )
+        free_np = np.asarray(coords.reshape(-1, 3))[np.asarray(live).reshape(-1)]
+        if free_np.size:
+            free_pts = (free_np.astype(np.float32) + 0.5) * float(self.side_length)
+            self.insert_point_cloud(free_pts, BitVoxelMeaning.eBVM_FREE, static_map)
+        return self.insert_point_cloud(
+            pts, BitVoxelMeaning.eBVM_OCCUPIED, static_map
+        )
+
+    def _rebuild_coarse(self) -> None:
+        """Tile summaries -> block summaries -> page statuses -> pyramid
+        (one compiled program; see _rebuild_programs)."""
+        if self._n_slots == 0:
+            return
+        self.block_summaries, self.pyramid = _rebuild_programs(
+            self.pool,
+            self.slot_page,
+            self.slot_within,
+            self.page_coord,
+            jnp.int32(self._n_slots),
+            jnp.int32(self._n_pages),
+            self._coarse_shape,
+            self.levels,
+        )
+
+    # -- probing (compiled snapshot programs) ---------------------------------
     def probe_status(self, coords: jnp.ndarray, min_level: int = 0) -> jnp.ndarray:
-        return self.snapshot().probe_status(coords, min_level)
+        return _probe_status_jit(
+            self.snapshot(), jnp.asarray(coords, jnp.int32), min_level=min_level
+        )
 
     def probe(self, coords: jnp.ndarray, min_level: int = 0):
-        return self.snapshot().probe(coords, min_level)
+        return _probe_jit(
+            self.snapshot(), jnp.asarray(coords, jnp.int32), min_level=min_level
+        )
 
     def collide_with_coords(self, coords, min_level: int = 0) -> jnp.ndarray:
         occ, _, _ = self.probe(coords, min_level)

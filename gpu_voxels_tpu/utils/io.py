@@ -102,6 +102,25 @@ def write_hierarchical_map(h, path) -> None:
         f.write(fine.tobytes())
 
 
+def write_paged_map(m, path) -> None:
+    """Sparse paged tier serialization (NTree::serialize analogue for
+    octree-scale worlds). Ground truth is the tile pool + the block list;
+    the page directory, summaries and pyramid are invariants rebuilt on
+    load. The levels field is written NEGATIVE to distinguish this body
+    from the dense hierarchical format sharing MT_BITVECTOR_OCTREE."""
+    header = np.zeros((), dtype=_HEADER)
+    header["map_type"] = int(m.map_type)
+    header["side_length"] = m.side_length
+    header["dims"] = m.dims
+    n = m.n_tiles()
+    with open(path, "wb") as f:
+        f.write(header.tobytes())
+        f.write(np.int32(-m.fine_levels).tobytes())
+        f.write(np.int32(n).tobytes())
+        f.write(np.asarray(m.slot_block[:n], "<i4").tobytes())
+        f.write(np.asarray(m.pool[:n], np.uint8).tobytes())
+
+
 def read_hierarchical_map(path):
     import jax.numpy as jnp
 
@@ -115,6 +134,22 @@ def read_hierarchical_map(path):
     with open(path, "rb") as f:
         header = np.frombuffer(f.read(_HEADER.itemsize), dtype=_HEADER)[0]
         levels = int(np.frombuffer(f.read(4), "<i4")[0])
+        if levels < 0:  # sparse paged body (write_paged_map)
+            from ..maps.paged import TILE, PagedHierarchicalMap
+
+            n = int(np.frombuffer(f.read(4), "<i4")[0])
+            slot_block = np.frombuffer(f.read(n * 12), "<i4").reshape(n, 3)
+            pool = np.frombuffer(f.read(n * TILE), np.uint8).reshape(n, TILE)
+            m = PagedHierarchicalMap(
+                tuple(int(v) for v in header["dims"]), float(header["side_length"])
+            )
+            if n:
+                # allocating in slot order reproduces the original slot and
+                # page numbering exactly
+                m._allocate(slot_block)
+                m.pool = m.pool.at[:n].set(jnp.asarray(pool))
+                m._rebuild_coarse()
+            return m
         shape = tuple(np.frombuffer(f.read(12), "<i4"))
         raw = f.read()
     map_type = MapType(int(header["map_type"]))

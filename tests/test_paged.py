@@ -159,3 +159,53 @@ def test_paged_snapshot_motion_validity():
     assert ok
     bad, _ = mv.check_motion([-0.2], [0.2])
     assert not bad
+
+
+def test_free_space_insert_carves_rays():
+    """insertPointCloudWithFreespaceCalculation on the sparse tier: cells
+    between sensor and hit become hard FREE, hits occupied, off-ray space
+    stays unknown (GvlNTree.hpp:108-130 semantics)."""
+    m = PagedHierarchicalMap(DIMS, 1.0)
+    origin = (100.5, 100.5, 100.5)
+    hits = np.array([[120.5, 100.5, 100.5], [100.5, 100.5, 90.5]], np.float32)
+    m.insert_point_cloud_with_free_space(hits, origin)
+    occ, _, free = m.probe(jnp.asarray(np.floor(hits).astype(np.int32)))
+    assert bool(np.asarray(occ).all())
+    # ray interiors are FREE (endpoint excluded, sensor cell included)
+    ray = jnp.asarray([[100, 100, 100], [110, 100, 100], [119, 100, 100],
+                       [100, 100, 95], [100, 100, 91]], jnp.int32)
+    o2, _, f2 = m.probe(ray)
+    assert bool(np.asarray(f2).all()) and not bool(np.asarray(o2).any())
+    # off-ray stays unknown
+    _, u3, _ = m.probe(jnp.asarray([[100, 105, 100]], jnp.int32))
+    assert bool(u3[0])
+
+
+def test_paged_disk_roundtrip(tmp_path):
+    """write_paged_map/read_paged_map: statuses, flags, page/slot structure
+    and probes survive a disk roundtrip; facade save/load dispatches it."""
+    from gpu_voxels_tpu.utils import io as map_io
+
+    m = PagedHierarchicalMap((32768, 32768, 32768), 0.5)
+    pts = np.array(
+        [[3000.25, 17.75, 12222.25], [5.25, 15000.25, 1234.75]], np.float32
+    )
+    m.insert_point_cloud(pts)
+    m.insert_point_cloud(
+        np.array([[40.25, 40.25, 40.25]], np.float32), meaning=0, static_map=False
+    )
+    path = tmp_path / "paged.bin"
+    map_io.write_paged_map(m, path)
+    m2 = map_io.read_hierarchical_map(path)
+    assert isinstance(m2, PagedHierarchicalMap)
+    assert m2.dims == m.dims and m2.side_length == m.side_length
+    assert m2.n_tiles() == m.n_tiles()
+    np.testing.assert_array_equal(
+        np.asarray(m2.pool[: m2.n_tiles()]), np.asarray(m.pool[: m.n_tiles()])
+    )
+    q = jnp.asarray(np.floor(pts / 0.5).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(m.probe_status(q)), np.asarray(m2.probe_status(q))
+    )
+    o, _, f = m2.probe(jnp.asarray([[80, 80, 80]], jnp.int32))
+    assert bool(f[0]) and not bool(o[0])
