@@ -130,3 +130,45 @@ def test_prob_bit_cross_collide_on_tpu():
     prob = prob.insert_point_cloud(pts.astype(np.float32))
     bitm = bitm.insert_point_cloud((pts + [4, 0, 0]).astype(np.float32))
     assert int(prob.collide_with(bitm)) == 4 * 8 * 8
+
+
+def test_paged_octree_scale_contracts_on_tpu():
+    """The sparse 32768^3 tier on hardware: exact probes after insert and
+    ray-carved free space (GvlNTree.hpp:108-130), sparse memory."""
+    from gpu_voxels_tpu.maps.paged import PagedHierarchicalMap
+
+    m = PagedHierarchicalMap((32768, 32768, 32768), 1.0)
+    hits = np.array([[31000.5, 17.5, 22222.5], [200.5, 200.5, 190.5]], np.float32)
+    m.insert_point_cloud_with_free_space(hits, (200.5, 200.5, 200.5))
+    occ, _, _ = m.probe(jnp.asarray(np.floor(hits).astype(np.int32)))
+    assert bool(np.asarray(occ).all())
+    o2, _, f2 = m.probe(jnp.asarray([[200, 200, 195]], jnp.int32))
+    assert bool(f2[0]) and not bool(o2[0])
+    _, u3, _ = m.probe(jnp.asarray([[1, 1, 1]], jnp.int32))
+    assert bool(u3[0])
+    assert m.memory_usage() < 300 * 1024 * 1024
+
+
+def test_collide_types_one_pass_kernel_on_tpu():
+    """One-pass Pallas collideWithTypes (count + meanings OR + marking) is
+    bit-identical to the packed XLA formulation on hardware, across the
+    margin domain (kernelCollideVoxelMapsBitvector, BitVoxelMap.hpp:85-135)."""
+    from gpu_voxels_tpu.ops import collide as xla_collide
+    from gpu_voxels_tpu.ops import collide_pallas as cp
+
+    n = 70_000
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        w = r.integers(0, 2**32, (8, n), dtype=np.uint64).astype(np.uint32)
+        return jnp.asarray(w * (r.random(n) < 0.3))
+
+    a, b = mk(3), mk(4)
+    for margin in (0, 4, 24):
+        got_c, got_m, got_a = cp.collide_types_bit_bit(a, b, margin)
+        hit, rec = bitops.bit_margin_collision_check_packed(a, b, margin)
+        ref_c = int(jnp.sum(hit.astype(jnp.int32)))
+        ref_m = jnp.bitwise_or.reduce(
+            jnp.where(hit[None, :], rec, jnp.uint32(0)), axis=1
+        )
+        assert int(got_c) == ref_c, margin
+        np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
