@@ -244,7 +244,7 @@ class GpuVoxels:
     # -- persistence ---------------------------------------------------------
     def save_map(self, map_name: str, path) -> bool:
         """Map writeToDisk via the facade (reference binary formats)."""
-        from .maps.hierarchical import HierarchicalProbMap
+        from .maps.hierarchical import HierarchicalBitMap, HierarchicalProbMap
         from .maps.paged import PagedHierarchicalMap
         from .maps.voxellist import VoxelList
         from .utils import io as map_io
@@ -254,7 +254,7 @@ class GpuVoxels:
             map_io.write_voxel_list(m, path)
         elif isinstance(m, PagedHierarchicalMap):
             map_io.write_paged_map(m, path)
-        elif isinstance(m, HierarchicalProbMap):
+        elif isinstance(m, (HierarchicalProbMap, HierarchicalBitMap)):
             map_io.write_hierarchical_map(m, path)
         else:
             map_io.write_voxel_map(m, path)

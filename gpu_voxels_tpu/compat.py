@@ -85,7 +85,7 @@ def _apply(cls, aliases) -> None:
 def install() -> None:
     from .api import GpuVoxels
     from .maps.distance_map import DistanceVoxelMap
-    from .maps.hierarchical import HierarchicalProbMap
+    from .maps.hierarchical import HierarchicalBitMap, HierarchicalProbMap
     from .maps.paged import PagedHierarchicalMap
     from .maps.voxellist import VoxelList
     from .maps.voxelmap import BitVectorVoxelMap, CountingVoxelMap, ProbVoxelMap
@@ -96,6 +96,7 @@ def install() -> None:
         BitVectorVoxelMap,
         CountingVoxelMap,
         HierarchicalProbMap,
+        HierarchicalBitMap,
         PagedHierarchicalMap,
     ):
         _apply(cls, _MAP_ALIASES)

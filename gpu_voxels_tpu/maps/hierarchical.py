@@ -138,7 +138,7 @@ class _PyramidQueries:
         from .voxelmap import BitVectorVoxelMap, ProbVoxelMap
 
         if isinstance(other, VoxelList):
-            coords = other.coords_from_ids(other.ids)
+            coords = other.entry_coords()  # hi-aware: 60-bit morton ids decode fully
             valid = other.ids != jnp.uint32(0xFFFFFFFF)
             return coords, valid & other._entry_occupied()
         if isinstance(other, ProbVoxelMap):
@@ -279,9 +279,10 @@ class HierarchicalProbMap(_PyramidQueries):
         )
         return self._rebuilt(flat.reshape(self.occupancy.shape))
 
-    def insert_depth_image(self, depth, sensor) -> "HierarchicalProbMap":
+    def insert_depth_image(self, depth, sensor, carve_pool: int = 1) -> "HierarchicalProbMap":
         """Projective sensor fusion (fast path): hits + visibility-carved
-        free space on the fine grid, then one propagate pass."""
+        free space on the fine grid, then one propagate pass. carve_pool=1 is
+        the exact carve; 8 selects the Pallas pooled conservative carve."""
         from ..ops import raycast
 
         pd = self.padded_dims
@@ -296,6 +297,7 @@ class HierarchicalProbMap(_PyramidQueries):
             self.side_length,
             pd,
             invalid_value=sensor.invalid_value,
+            carve_pool=carve_pool,
         )
         return self._rebuilt(flat.reshape(self.occupancy.shape))
 

@@ -158,10 +158,12 @@ class ProbVoxelMap(_DenseMap):
         )
         return replace(self, data=new)
 
-    def insert_depth_image(self, depth, sensor) -> "ProbVoxelMap":
+    def insert_depth_image(self, depth, sensor, carve_pool: int = 1) -> "ProbVoxelMap":
         """Projective sensor update from a depth image + Sensor model: hits
         plus visibility-carved free space in one fused pass (the fast path;
-        see ops/raycast.insert_depth_image)."""
+        see ops/raycast.insert_depth_image). carve_pool=1 is the exact
+        reference carve; pass 8 for the Pallas pooled 75 Hz path
+        (conservative, under-carves near depth edges)."""
         from ..ops import raycast
 
         new = raycast.insert_depth_image(
@@ -175,6 +177,7 @@ class ProbVoxelMap(_DenseMap):
             self.side_length,
             self.dims,
             invalid_value=sensor.invalid_value,
+            carve_pool=carve_pool,
         )
         return replace(self, data=new)
 

@@ -224,6 +224,22 @@ def _converge_step1(grid, best_d2, dims, max_iters: int = 64):
     return grid, best_d2, iters
 
 
+def _jfa_steps(dims: Dims, extra_rounds: int):
+    """The JFA step schedule: pow2 ramp down from max(dims)/2 plus
+    extra_rounds step-1 refinement passes (shared by jump_flood and
+    jump_flood_with_stats so the telemetry variant cannot drift)."""
+    step = 1
+    while step * 2 < max(dims):
+        step *= 2
+    steps = []
+    s = step
+    while s >= 1:
+        steps.append(s)
+        s //= 2
+    steps.extend([1] * int(extra_rounds))
+    return steps
+
+
 def jump_flood(
     packed_flat: jnp.ndarray, dims: Dims, extra_rounds: int = 1, converge: bool = True
 ) -> jnp.ndarray:
@@ -234,18 +250,7 @@ def jump_flood(
     dx, dy, dz = dims
     grid = packed_flat.reshape(dz, dy, dx)
     best_d2 = squared_distance_grid(packed_flat, dims)
-
-    step = 1
-    while step * 2 < max(dims):
-        step *= 2
-    steps = []
-    s = step
-    while s >= 1:
-        steps.append(s)
-        s //= 2
-    steps.extend([1] * int(extra_rounds))
-
-    for s in steps:
+    for s in _jfa_steps(dims, extra_rounds):
         grid, best_d2 = _jfa_round(grid, best_d2, s, dims)
     if converge:
         grid, best_d2, _ = _converge_step1(grid, best_d2, dims)
@@ -262,16 +267,7 @@ def jump_flood_with_stats(
     dx, dy, dz = dims
     grid = packed_flat.reshape(dz, dy, dx)
     best_d2 = squared_distance_grid(packed_flat, dims)
-    step = 1
-    while step * 2 < max(dims):
-        step *= 2
-    steps = []
-    s = step
-    while s >= 1:
-        steps.append(s)
-        s //= 2
-    steps.extend([1] * int(extra_rounds))
-    for s in steps:
+    for s in _jfa_steps(dims, extra_rounds):
         grid, best_d2 = _jfa_round(grid, best_d2, s, dims)
     grid, best_d2, iters = _converge_step1(grid, best_d2, dims, max_iters)
     return grid.reshape(-1), iters

@@ -20,8 +20,14 @@ from ..constants import meaning_to_probability
 
 
 def map_to_voxels(points: jnp.ndarray, side_length: float) -> jnp.ndarray:
-    """float coords -> integer voxel coords (VoxelMapOperations.h:123-133)."""
-    return jnp.floor(points / jnp.float32(side_length)).astype(jnp.int32)
+    """float coords -> integer voxel coords (VoxelMapOperations.h:123-133).
+
+    The pre-cast clamp keeps far-out-of-range points (and padding sentinels)
+    deterministically out of range: float->int32 conversion of values beyond
+    int32 is undefined and can wrap INTO the map on some backends. In-range
+    values (< 2^30 voxels per axis) are unaffected."""
+    v = jnp.floor(points / jnp.float32(side_length))
+    return jnp.clip(v, -(2.0**30), 2.0**30).astype(jnp.int32)
 
 
 def linear_index(coords: jnp.ndarray, dims: Tuple[int, int, int]) -> jnp.ndarray:

@@ -180,7 +180,7 @@ def insert_depth_image(
     invalid_value: float = 0.0,
     cut_real_robot: bool = False,
     robot_occupied_mask=None,
-    carve_pool: int = 8,
+    carve_pool: int = 1,
 ) -> jnp.ndarray:
     """Full projective sensor update: occupied hits (+72 per measurement) and
     visibility-carved free space (-10) in one fused program. The fast path
@@ -191,7 +191,8 @@ def insert_depth_image(
     Pallas tile kernel (ops/raycast_pallas.py) — conservative (never frees a
     voxel the exact carve keeps, under-carves near depth edges) and removes
     the 16.7M-voxel depth gather that dominated the exact carve (195 ms at
-    256^3). carve_pool <= 1 keeps the exact per-pixel carve."""
+    256^3). The default (1) keeps the exact per-pixel carve — reference
+    semantics; the 75 Hz fusion loop opts into pool=8 explicitly."""
     pts = depth_image_to_point_cloud(depth, fx, fy, cx, cy, invalid_value)
     from ..geometry import transforms
 

@@ -150,8 +150,6 @@ def _carve_kernel(
     cv_min = jnp.min(jnp.where(in_fov, cv, big))
     cv_max = jnp.max(jnp.where(in_fov, cv, -1))
 
-    thresh = sz + jnp.float32(eps)  # free iff pooled_min > sz + eps
-
     # single flattened bbox loop accumulating into VMEM scratch: Mosaic does
     # not legalize nested dynamic loops carrying large vectors
     wb = jnp.maximum(cu_max - cu_min + 1, 0)
@@ -162,7 +160,10 @@ def _carve_kernel(
         rv = cv_min + r // jnp.maximum(wb, 1)
         rc = cu_min + r % jnp.maximum(wb, 1)
         pmv = pm_ref[rv, rc]
-        hit = (cu == rc) & (cv == rv) & (pmv > thresh)
+        # written as sz < pmv - eps, the SAME f32 expression as the XLA spec
+        # (projective_free_space): sz + eps < pmv is mathematically equal but
+        # can differ by one rounding step near binade boundaries
+        hit = (cu == rc) & (cv == rv) & (sz < pmv - jnp.float32(eps))
         acc_ref[...] = acc_ref[...] | hit.astype(jnp.uint8)
         return 0
 

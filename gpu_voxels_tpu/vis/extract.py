@@ -26,7 +26,7 @@ def occupied_coords(m, threshold: float = 0.5, max_cubes: Optional[int] = None) 
 
     if isinstance(m, VoxelList):
         n = int(m.count)
-        return np.asarray(m.coords_from_ids(m.ids[:n]))
+        return np.asarray(m.coords_from_ids(m.ids[:n], m.ids_hi[:n]))
     if isinstance(m, ProbVoxelMap):
         mask = np.asarray(m.occupied_mask(threshold))
     elif isinstance(m, BitVectorVoxelMap):

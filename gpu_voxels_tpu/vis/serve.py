@@ -90,9 +90,15 @@ function rebuild() {
   document.getElementById('status').textContent = `${layersCache.length} maps, ${total} cubes`;
 }
 [axisSel, smin, smax].forEach(e => e.oninput = rebuild);
+let cfgSeen = '';
 async function refresh() {
   try {
-    try { cfg = await (await fetch('visconfig.json', {cache:'no-store'})).json(); applyCfg(); } catch (e) {}
+    // re-apply the config only when its contents change — a 1 Hz re-apply
+    // would snap the user's live slice/camera controls back every second
+    try {
+      const txt = await (await fetch('visconfig.json', {cache:'no-store'})).text();
+      if (txt !== cfgSeen) { cfgSeen = txt; cfg = JSON.parse(txt); applyCfg(); }
+    } catch (e) {}
     const manifest = await (await fetch('manifest.json', {cache: 'no-store'})).json();
     const layers = [];
     for (const name of manifest.maps) {

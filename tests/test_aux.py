@@ -194,3 +194,18 @@ def test_live_viewer_publish_and_serve(tmp_path):
         assert b"InstancedMesh" in page
     finally:
         srv.shutdown()
+
+
+def test_vis_extract_morton_list_past_1024():
+    """occupied_coords must decode 60-bit morton ids with the high word —
+    cubes rendered at coords mod 1024 silently draw the wrong scene."""
+    import numpy as np
+
+    from gpu_voxels_tpu.maps.voxellist import VoxelList
+    from gpu_voxels_tpu.vis import extract
+
+    dims = (4096, 4096, 4096)
+    lst = VoxelList.create(dims, 1.0, kind="bit", capacity=8, id_mode="morton")
+    lst = lst.insert_point_cloud(np.array([[2000.5, 1030.5, 3000.5]], np.float32))
+    coords = extract.occupied_coords(lst)
+    np.testing.assert_array_equal(coords, np.array([[2000, 1030, 3000]], np.int32))

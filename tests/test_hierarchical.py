@@ -194,3 +194,50 @@ def test_deterministic_free_insert_and_reoccupy():
     h = h.insert_point_cloud(pts)  # one occupied insert suffices
     occ, _, _ = h.probe(jnp.asarray([[6, 6, 6]], jnp.int32))
     assert bool(occ[0])
+
+
+def test_collide_with_morton_list_past_1024():
+    """Morton lists carry 60-bit (hi,lo) ids: hierarchical collide must
+    decode the high word, not alias coords mod 1024 (octree/Morton.h:80-160).
+    Regression: _query_coords_of dropped ids_hi."""
+    from gpu_voxels_tpu.maps.hierarchical import HierarchicalProbMap
+    from gpu_voxels_tpu.maps.voxellist import VoxelList
+
+    dims = (2048, 64, 64)
+    h = HierarchicalProbMap.create(dims)
+    h = h.insert_point_cloud(np.array([[2000.5, 30.5, 40.5]], np.float32))
+    lst = VoxelList.create(dims, 1.0, kind="bit", capacity=8, id_mode="morton")
+    lst = lst.insert_point_cloud(np.array([[2000.5, 30.5, 40.5]], np.float32))
+    assert int(h.collide_with(lst)) == 1
+    # the mod-1024 alias must NOT collide
+    h2 = HierarchicalProbMap.create(dims)
+    h2 = h2.insert_point_cloud(np.array([[976.5, 30.5, 40.5]], np.float32))
+    assert int(h2.collide_with(lst)) == 0
+
+
+def test_bitmap_tier_save_load_and_camelcase(tmp_path):
+    """HierarchicalBitMap (deterministic tier) keeps the facade save/load
+    dispatch and the reference-spelled aliases after losing its
+    HierarchicalProbMap parentage. Regression: isinstance dispatch and
+    compat.install() both missed it."""
+    from gpu_voxels_tpu.api import GpuVoxels
+    from gpu_voxels_tpu.constants import MapType
+    from gpu_voxels_tpu.maps.hierarchical import HierarchicalBitMap
+
+    GpuVoxels._instance = None
+    gvl = GpuVoxels.get_instance()
+    gvl.initialize(128, 128, 128, 1.0)
+    m = gvl.add_map(MapType.MT_BITVECTOR_OCTREE, "det")
+    assert isinstance(m, HierarchicalBitMap)
+    # camelCase alias installed
+    gvl.insert_point_cloud_into_map(np.array([[5.5, 6.5, 7.5]], np.float32), "det")
+    m = gvl.get_map("det")
+    assert hasattr(m, "insertPointCloud") and hasattr(m, "collideWith")
+    path = tmp_path / "det.bin"
+    assert gvl.save_map("det", path)
+    assert gvl.load_map("det", path)
+    m2 = gvl.get_map("det")
+    assert isinstance(m2, HierarchicalBitMap)
+    occ, _, _ = m2.probe(jnp.asarray([[5, 6, 7]], jnp.int32))
+    assert bool(occ[0])
+    GpuVoxels._instance = None

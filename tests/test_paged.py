@@ -209,3 +209,18 @@ def test_paged_disk_roundtrip(tmp_path):
     )
     o, _, f = m2.probe(jnp.asarray([[80, 80, 80]], jnp.int32))
     assert bool(f[0]) and not bool(o[0])
+
+
+def test_small_side_length_padding_sentinel_safe():
+    """Pow2 padding uses far-negative sentinel points; with small
+    side_length the scaled sentinel exceeds int32 — the pre-cast clamp in
+    map_to_voxels must keep it deterministically out of range (no phantom
+    voxels)."""
+    m = PagedHierarchicalMap((2048, 2048, 2048), 0.01)
+    pts = np.array([[5.115, 5.115, 5.115], [5.125, 5.115, 5.115], [5.135, 5.115, 5.115]], np.float32)
+    m.insert_point_cloud(pts)  # 3 points pads to 4: one -1e9 sentinel
+    occ = np.asarray(m.extract_occupied_coords())
+    assert len(occ) == 3
+    np.testing.assert_array_equal(
+        np.sort(occ[:, 0]), np.array([511, 512, 513])
+    )
