@@ -39,6 +39,7 @@ from ..constants import (
     meaning_to_probability,
 )
 from ..ops import insert as insert_ops
+from ..utils.compiled import compiled
 from ..ops import raycast as raycast_ops
 
 Dims = Tuple[int, int, int]
@@ -120,6 +121,7 @@ class _PyramidQueries:
             decided = decided | uni
         return status
 
+    @compiled("min_level")
     def probe(self, coords: jnp.ndarray, min_level: int = 0):
         """Tri-state query per voxel coordinate (the intersect_sparse descent,
         NTree.hpp:817-1004). Returns (occupied, unknown, free) bool arrays.
@@ -158,6 +160,7 @@ class _PyramidQueries:
         coords = jnp.stack([rem - (rem // dx) * dx, rem // dx, zz], axis=-1)
         return coords, mask
 
+    @compiled("min_level")
     def collide_with(self, other, min_level: int = 0):
         """intersect_sparse: count occupied-vs-occupied hits."""
         coords, valid = self._query_coords_of(other)
@@ -252,6 +255,7 @@ class HierarchicalProbMap(_PyramidQueries):
         return self._rebuilt(jnp.full_like(self.occupancy, jnp.int8(UNKNOWN_PROBABILITY)))
 
     # -- insertion ------------------------------------------------------------
+    @compiled("meaning")
     def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "HierarchicalProbMap":
         """Point insert: voxels take the meaning's probability (then one
         propagate pass rebuilds the pyramid)."""
@@ -359,6 +363,7 @@ class HierarchicalBitMap(_PyramidQueries):
         new = (s & U8(0xFF ^ STATUS_OCCUPANCY_MASK)) | U8(occ_bit | map_flag)
         return self._rebuilt(jnp.where(mask_flat, new, s).reshape(self.pyramid[0].shape))
 
+    @compiled("meaning", "static_map")
     def insert_point_cloud(
         self,
         points,

@@ -43,6 +43,7 @@ import numpy as np
 from .. import bitops, morton, probability
 from ..constants import NUM_BIT_PLANES, UNKNOWN_PROBABILITY, BitVoxelMeaning, MapType
 from ..ops.insert import linear_offset, map_to_voxels
+from ..utils.compiled import compiled
 
 EMPTY_ID = jnp.uint32(0xFFFFFFFF)
 Dims = Tuple[int, int, int]
@@ -238,6 +239,7 @@ class VoxelList:
         return new_hi, new_lo, newp, new_count
 
     # -- insertion --------------------------------------------------------
+    @compiled("meaning", "grow")
     def insert_point_cloud(
         self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED, grow: bool = True
     ) -> "VoxelList":
@@ -333,6 +335,7 @@ class VoxelList:
         _, found = self._find_positions(other, my_hi, my_lo)
         return found
 
+    @compiled("offset")
     def collide_with(self, other: "VoxelList", offset=(0, 0, 0)) -> jnp.ndarray:
         """collideVoxellists: count of shared voxel ids
         (TemplateVoxelList.hpp:228-275)."""

@@ -31,6 +31,7 @@ from ..constants import (
 )
 from ..ops import collide as collide_ops
 from ..ops import insert as insert_ops
+from ..utils.compiled import compiled
 
 Dims = Tuple[int, int, int]
 
@@ -85,6 +86,7 @@ class ProbVoxelMap(_DenseMap):
         return replace(self, data=jnp.full_like(self.data, jnp.int8(UNKNOWN_PROBABILITY)))
 
     # -- insertion ----------------------------------------------------------
+    @compiled("meaning")
     def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "ProbVoxelMap":
         new, _ = insert_ops.insert_prob(self.data, jnp.asarray(points, jnp.float32), self.side_length, self.dims, meaning)
         return replace(self, data=new)
@@ -182,6 +184,7 @@ class ProbVoxelMap(_DenseMap):
         return replace(self, data=new)
 
     # -- collision ----------------------------------------------------------
+    @compiled("coll_threshold", "offset")
     def collide_with(self, other, coll_threshold: float = 1.0, offset=(0, 0, 0)):
         """collideWith returning the collision count (ProbVoxelMap.hpp:144-155).
 
@@ -261,6 +264,7 @@ class BitVectorVoxelMap(_DenseMap):
         return replace(self, data=jnp.zeros_like(self.data))
 
     # -- insertion ----------------------------------------------------------
+    @compiled("meaning")
     def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "BitVectorVoxelMap":
         new, _ = insert_ops.insert_bit(self.data, jnp.asarray(points, jnp.float32), self.side_length, self.dims, int(meaning))
         return replace(self, data=new)
@@ -287,11 +291,13 @@ class BitVectorVoxelMap(_DenseMap):
     def clear_voxel_meaning(self, meaning) -> "BitVectorVoxelMap":
         return self.clear_bit(int(meaning))
 
+    @compiled("shift_size")
     def shift_left_swept_volume_ids(self, shift_size: int) -> "BitVectorVoxelMap":
         """shiftLeftSweptVolumeIDs (BitVoxelMap.hpp:226-240)."""
         return replace(self, data=bitops.perform_left_shift(self.data, shift_size))
 
     # -- collision ----------------------------------------------------------
+    @compiled("coll_threshold", "offset")
     def collide_with(self, other, coll_threshold: float = 1.0, offset=(0, 0, 0)):
         t = float_to_probability(coll_threshold)
         off = self._offset(offset)
@@ -322,6 +328,7 @@ class BitVectorVoxelMap(_DenseMap):
             mine, theirs, resolution_level, self.dims, self._offset(offset)
         )
 
+    @compiled("coll_threshold", "sv_window", "sv_offset")
     def collide_with_types(self, other, coll_threshold: float = 1.0, sv_window: int = 0, sv_offset: int = 0):
         """collideWithTypes (BitVoxelMap.hpp:195-210): SVCollider collision
         collecting colliding meanings. Returns (count, meanings[8] uint32,
@@ -337,6 +344,7 @@ class BitVectorVoxelMap(_DenseMap):
             return cnt, meanings, replace(self, data=new)
         raise TypeError(f"cannot collide BitVectorVoxelMap with {type(other)}")
 
+    @compiled("margin", "sv_offset")
     def collide_with_bitcheck(self, other: "BitVectorVoxelMap", margin: int = 0, sv_offset: int = 0):
         """Same-bit collision with +-margin window, count only."""
         if sv_offset == 0:
@@ -379,6 +387,7 @@ class CountingVoxelMap(_DenseMap):
     def create(dims: Dims, side_length: float = 1.0) -> "CountingVoxelMap":
         return CountingVoxelMap(jnp.zeros((_n(dims),), jnp.int8), tuple(dims), float(side_length))
 
+    @compiled("meaning")
     def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "CountingVoxelMap":
         new, _ = insert_ops.insert_count(self.data, jnp.asarray(points, jnp.float32), self.side_length, self.dims)
         return replace(self, data=new)
