@@ -154,10 +154,9 @@ def main():
         def run(x, y):
             def body(i, carry):
                 acc, a = carry
-                # in-place update on the carried buffer forces re-execution
-                # (still pays one buffer copy per iteration; the reported
-                # number is therefore conservative)
-                a = a.at[0, 0].set(a[0, 0] ^ acc)
+                # identity barrier on the carried buffer: blocks loop
+                # hoisting without mutating (no per-iteration copy)
+                a = jax.lax.optimization_barrier(a)
                 return (acc + xla_collide.count_bit_bit(a, y), a)
 
             acc, _ = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), x))
@@ -167,7 +166,7 @@ def main():
 
     t_bit = _timed_loop(build_bit, 41, pa, pb)
     print(
-        f"bitvector collide 256^3: {t_bit*1e3:.3f} ms/sweep = {nb/t_bit:.3e} checks/s (conservative)",
+        f"bitvector collide 256^3: {t_bit*1e3:.3f} ms/sweep = {nb/t_bit:.3e} checks/s",
         file=sys.stderr,
     )
 

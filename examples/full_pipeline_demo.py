@@ -49,7 +49,9 @@ def main():
     source = ReplayDepthSource(np.stack([frame] * 3))
     env = ProbVoxelMap.create(DIMS, SIDE)
     for _ in range(3):  # a few scans push hits past the occupancy threshold
-        env = env.insert_depth_image(source.get_frame(), sensor)
+        # carve_pool=8: the Pallas pooled conservative carve (75 Hz live-
+        # sensor configuration); 1 would be the exact reference carve
+        env = env.insert_depth_image(source.get_frame(), sensor, carve_pool=8)
     occupied = int(np.asarray(env.occupied_mask(0.6)).sum())
     print(f"sense: {occupied} occupied voxels after 3 scans")
 

@@ -121,7 +121,7 @@ class _PyramidQueries:
             decided = decided | uni
         return status
 
-    @compiled("min_level")
+    @compiled("min_level", arrays=("coords",))
     def probe(self, coords: jnp.ndarray, min_level: int = 0):
         """Tri-state query per voxel coordinate (the intersect_sparse descent,
         NTree.hpp:817-1004). Returns (occupied, unknown, free) bool arrays.
@@ -183,6 +183,7 @@ class _PyramidQueries:
             raise ValueError("resolution_level greater than octree height")
         return self.collide_with(other, min_level=int(resolution_level))
 
+    @compiled("min_level")
     def collide_with_counting_unknown(self, other, min_level: int = 0):
         """collideWithTypesConsideringUnknownCells (GvlNTree.h:120-129):
         returns (collisions, unknown-cell hits)."""
@@ -193,6 +194,7 @@ class _PyramidQueries:
             jnp.sum(unk & valid, dtype=jnp.uint32),
         )
 
+    @compiled("min_level")
     def collide_with_hierarchical(self, other, min_level: int = 0):
         """NTree x NTree intersection (intersect_load_balance,
         NTree.hpp:1139): count voxels occupied in both hierarchies.
@@ -255,7 +257,7 @@ class HierarchicalProbMap(_PyramidQueries):
         return self._rebuilt(jnp.full_like(self.occupancy, jnp.int8(UNKNOWN_PROBABILITY)))
 
     # -- insertion ------------------------------------------------------------
-    @compiled("meaning")
+    @compiled("meaning", arrays=("points",))
     def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "HierarchicalProbMap":
         """Point insert: voxels take the meaning's probability (then one
         propagate pass rebuilds the pyramid)."""
@@ -363,7 +365,7 @@ class HierarchicalBitMap(_PyramidQueries):
         new = (s & U8(0xFF ^ STATUS_OCCUPANCY_MASK)) | U8(occ_bit | map_flag)
         return self._rebuilt(jnp.where(mask_flat, new, s).reshape(self.pyramid[0].shape))
 
-    @compiled("meaning", "static_map")
+    @compiled("meaning", "static_map", arrays=("points",))
     def insert_point_cloud(
         self,
         points,
@@ -397,9 +399,11 @@ class HierarchicalBitMap(_PyramidQueries):
         out = self._hard_set(free_counts > 0, NS_FREE, NS_DYNAMIC_MAP)
         return out._hard_set(hits, NS_OCCUPIED, NS_DYNAMIC_MAP)
 
-    def insert_depth_image(self, depth, sensor) -> "HierarchicalBitMap":
+    def insert_depth_image(self, depth, sensor, carve_pool: int = 1) -> "HierarchicalBitMap":
         """Projective deterministic sensor fusion: visibility-carved cells
-        hard FREE, measurement cells hard OCCUPIED (ns_DYNAMIC_MAP)."""
+        hard FREE, measurement cells hard OCCUPIED (ns_DYNAMIC_MAP).
+        carve_pool=1 is the exact carve; 8 selects the Pallas pooled
+        conservative carve."""
         pd = self.padded_dims
         n = pd[0] * pd[1] * pd[2]
         depth = jnp.asarray(depth, jnp.float32)
@@ -414,10 +418,18 @@ class HierarchicalBitMap(_PyramidQueries):
             jnp.where(finite[:, None], world, -1.0), self.side_length, pd
         )
         hits = jnp.zeros((n,), bool).at[idx].set(True, mode="drop")
-        free = raycast_ops.projective_free_space(
-            depth, sensor.pose(), sensor.fx, sensor.fy, sensor.cx, sensor.cy,
-            self.side_length, pd, sensor.invalid_value,
-        )
+        if carve_pool > 1:
+            from ..ops.raycast_pallas import projective_free_space_tpu
+
+            free = projective_free_space_tpu(
+                depth, sensor.pose(), sensor.fx, sensor.fy, sensor.cx, sensor.cy,
+                self.side_length, pd, sensor.invalid_value, pool=carve_pool,
+            )
+        else:
+            free = raycast_ops.projective_free_space(
+                depth, sensor.pose(), sensor.fx, sensor.fy, sensor.cx, sensor.cy,
+                self.side_length, pd, sensor.invalid_value,
+            )
         out = self._hard_set(free & ~hits, NS_FREE, NS_DYNAMIC_MAP)
         return out._hard_set(hits, NS_OCCUPIED, NS_DYNAMIC_MAP)
 

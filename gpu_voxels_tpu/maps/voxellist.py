@@ -239,7 +239,7 @@ class VoxelList:
         return new_hi, new_lo, newp, new_count
 
     # -- insertion --------------------------------------------------------
-    @compiled("meaning", "grow")
+    @compiled("meaning", "grow", arrays=("points",))
     def insert_point_cloud(
         self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED, grow: bool = True
     ) -> "VoxelList":
@@ -357,6 +357,7 @@ class VoxelList:
         hi = jnp.where(in_range, hi, EMPTY_ID)
         return hi, lo
 
+    @compiled("coll_threshold", "resolution_level", "offset")
     def collide_with_resolution(
         self, other, coll_threshold: float = 1.0, resolution_level: int = 0, offset=(0, 0, 0)
     ):
@@ -433,6 +434,7 @@ class VoxelList:
         other_payload = _gather_payload(other.kind, other.payload, pos)
         return mask, other_payload
 
+    @compiled()
     def collide_with_types(self, other: "VoxelList"):
         """collideWithTypes (BitVoxelList.hpp:102-126): AND matched bitvectors,
         OR-reduce into types-in-collision. Returns (count, meanings[8])."""
@@ -443,6 +445,7 @@ class VoxelList:
         meanings = jnp.bitwise_or.reduce(merged, axis=1)
         return jnp.sum(mask, dtype=jnp.uint32), meanings
 
+    @compiled("margin", "sv_offset")
     def collide_with_bitcheck(self, other: "VoxelList", margin: int = 0, sv_offset: int = 0):
         """collideWithBitcheck (BitVoxelList.hpp:268-297): same-bit collision
         with +-margin window over matched voxels."""
@@ -456,6 +459,7 @@ class VoxelList:
             )
         return jnp.sum(hit & mask, dtype=jnp.uint32)
 
+    @compiled()
     def collide_counting_per_meaning(self, other: "VoxelList"):
         """collideCountingPerMeaning (BitVoxelList.hpp:301-395): per-meaning
         collision counts. Returns int32[256]."""
@@ -477,6 +481,7 @@ class VoxelList:
             )
         return self.ids
 
+    @compiled("coll_threshold", "offset")
     def collide_with_dense(self, dense_map, coll_threshold: float = 1.0, offset=(0, 0, 0)):
         """List x dense map lookup collide (kernelCollideWithVoxelMap,
         voxellist/kernels/VoxelListOperations.h:90-160)."""
@@ -500,6 +505,7 @@ class VoxelList:
         mine = self._entry_occupied()
         return jnp.sum(occ & valid & mine, dtype=jnp.uint32)
 
+    @compiled("coll_threshold", "offset")
     def collide_with_type_mask(
         self, dense_map, types_to_check, coll_threshold: float = 1.0, offset=(0, 0, 0)
     ):

@@ -86,7 +86,7 @@ class ProbVoxelMap(_DenseMap):
         return replace(self, data=jnp.full_like(self.data, jnp.int8(UNKNOWN_PROBABILITY)))
 
     # -- insertion ----------------------------------------------------------
-    @compiled("meaning")
+    @compiled("meaning", arrays=("points",))
     def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "ProbVoxelMap":
         new, _ = insert_ops.insert_prob(self.data, jnp.asarray(points, jnp.float32), self.side_length, self.dims, meaning)
         return replace(self, data=new)
@@ -205,6 +205,7 @@ class ProbVoxelMap(_DenseMap):
         bandwidth; returns a device bool."""
         return collide_ops.any_collision(self.collide_with(other, coll_threshold, offset))
 
+    @compiled("coll_threshold", "resolution_level", "offset")
     def collide_with_resolution(
         self, other, coll_threshold: float = 1.0, resolution_level: int = 0, offset=(0, 0, 0)
     ):
@@ -224,6 +225,7 @@ class ProbVoxelMap(_DenseMap):
             mine, theirs, resolution_level, self.dims, self._offset(offset)
         )
 
+    @compiled("coll_threshold", "offset")
     def collide_with_marking(self, other, coll_threshold: float = 1.0, offset=(0, 0, 0)):
         """Exact kernelCollideVoxelMapsDebug semantics: returns (count, map
         with eBVM_COLLISION inserted into colliding voxels)."""
@@ -264,7 +266,7 @@ class BitVectorVoxelMap(_DenseMap):
         return replace(self, data=jnp.zeros_like(self.data))
 
     # -- insertion ----------------------------------------------------------
-    @compiled("meaning")
+    @compiled("meaning", arrays=("points",))
     def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "BitVectorVoxelMap":
         new, _ = insert_ops.insert_bit(self.data, jnp.asarray(points, jnp.float32), self.side_length, self.dims, int(meaning))
         return replace(self, data=new)
@@ -312,6 +314,7 @@ class BitVectorVoxelMap(_DenseMap):
         """Boolean early-out collisionCheck (TemplateVoxelMap.hpp:329-414)."""
         return collide_ops.any_collision(self.collide_with(other, coll_threshold, offset))
 
+    @compiled("coll_threshold", "resolution_level", "offset")
     def collide_with_resolution(
         self, other, coll_threshold: float = 1.0, resolution_level: int = 0, offset=(0, 0, 0)
     ):
@@ -387,8 +390,12 @@ class CountingVoxelMap(_DenseMap):
     def create(dims: Dims, side_length: float = 1.0) -> "CountingVoxelMap":
         return CountingVoxelMap(jnp.zeros((_n(dims),), jnp.int8), tuple(dims), float(side_length))
 
-    @compiled("meaning")
     def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "CountingVoxelMap":
+        del meaning  # density counters have no meanings; keep it out of the jit key
+        return self._insert_impl(points)
+
+    @compiled(arrays=("points",))
+    def _insert_impl(self, points) -> "CountingVoxelMap":
         new, _ = insert_ops.insert_count(self.data, jnp.asarray(points, jnp.float32), self.side_length, self.dims)
         return replace(self, data=new)
 

@@ -192,7 +192,8 @@ def insert_depth_image(
     voxel the exact carve keeps, under-carves near depth edges) and removes
     the 16.7M-voxel depth gather that dominated the exact carve (195 ms at
     256^3). The default (1) keeps the exact per-pixel carve — reference
-    semantics; the 75 Hz fusion loop opts into pool=8 explicitly."""
+    semantics; the 75 Hz configuration is Provider(carve_pool=8) or
+    insert_depth_image(..., carve_pool=8) (docs/PERFORMANCE.md)."""
     pts = depth_image_to_point_cloud(depth, fx, fy, cx, cy, invalid_value)
     from ..geometry import transforms
 

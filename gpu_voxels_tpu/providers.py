@@ -20,9 +20,14 @@ from .vis.provider import VisProvider
 class Provider:
     """init/visualize/collide/waitForNewData/newSensorData contract."""
 
-    def __init__(self, name: str):
+    def __init__(self, name: str, carve_pool: int = 1):
+        """carve_pool=1 fuses depth frames with the exact per-pixel carve
+        (reference semantics); carve_pool=8 selects the Pallas pooled
+        conservative carve — the 75 Hz live-sensor configuration
+        (docs/PERFORMANCE.md)."""
         self.name = name
         self.map = None
+        self.carve_pool = int(carve_pool)
         self.collide_with_provider: Optional["Provider"] = None
         self._vis = VisProvider(name)
         self._last_data_time = 0.0
@@ -40,7 +45,7 @@ class Provider:
 
     def new_sensor_data(self, depth: np.ndarray, sensor: Sensor) -> None:
         if hasattr(self.map, "insert_depth_image"):
-            self.map = self.map.insert_depth_image(depth, sensor)
+            self.map = self.map.insert_depth_image(depth, sensor, carve_pool=self.carve_pool)
         else:
             pts = np.asarray(sensor.process_depth_image(depth))
             pts = pts[np.isfinite(pts).all(axis=1)]

@@ -23,13 +23,20 @@ import jax
 import numpy as np
 
 
-def compiled(*static_argnames):
+def compiled(*static_argnames, arrays=()):
     """Decorate a pytree method: run it as one jitted program.
 
     `static_argnames` are the Python-value parameters (meanings, thresholds,
-    margins, offsets, flags) baked into the compiled program. List/ndarray
-    values passed for a static parameter are canonicalized to tuples so
-    callers may pass `offset=[1, 0, 0]` without tripping jit hashing.
+    margins, offsets, flags) baked into the compiled program. Unhashable
+    values passed for a static parameter (lists, numpy or jax arrays) are
+    canonicalized to python scalars/tuples so callers may pass
+    `offset=[1, 0, 0]` or `offset=jnp.array([1, 0, 0])` without tripping
+    jit hashing.
+
+    `arrays` names traced parameters coerced through `jnp.asarray` before
+    the jit boundary: a Python list-of-lists point cloud would otherwise be
+    treated as a pytree of thousands of scalar leaves (one tracer each, one
+    compile per list shape).
     """
 
     def deco(fn):
@@ -38,12 +45,23 @@ def compiled(*static_argnames):
 
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
+            import jax.numpy as jnp
+
             b = sig.bind(*args, **kwargs)
             b.apply_defaults()
             for name in static_argnames:
                 v = b.arguments.get(name)
-                if isinstance(v, (list, np.ndarray)):
-                    b.arguments[name] = tuple(np.asarray(v).ravel().tolist())
+                try:
+                    hash(v)
+                except TypeError:
+                    a = np.asarray(v)
+                    b.arguments[name] = (
+                        a.item() if a.ndim == 0 else tuple(a.ravel().tolist())
+                    )
+            for name in arrays:
+                v = b.arguments.get(name)
+                if v is not None and not hasattr(v, "dtype"):
+                    b.arguments[name] = jnp.asarray(v)
             return jfn(*b.args, **b.kwargs)
 
         wrapper.__wrapped__ = fn
