@@ -1,8 +1,11 @@
 from .dh import DHJointType, DHParameters, KinematicChain
 from .robot import RobotInterface, interpolate_linear
+from .trajectory import Trajectory, load_trajectories
 from .urdf import UrdfRobot
 
 __all__ = [
+    "Trajectory",
+    "load_trajectories",
     "DHJointType",
     "DHParameters",
     "KinematicChain",

@@ -179,3 +179,44 @@ def test_ur_presets_reach_and_sweep():
         np.asarray(arm.get_transformed_clouds().points) + 1.5
     )
     assert int(m.collide_with(m)) > 10
+
+
+def test_traj_file_roundtrip(tmp_path, monkeypatch):
+    """swept_fitter .traj format (Robot.cpp:45-113): header parsing, model-
+    path resolution, 100-intermediate-pose linear interpolation."""
+    from gpu_voxels_tpu.robot import load_trajectories
+
+    content = """Trajectory_Num: 2
+Joint_Num: 3
+Name: T1
+shoulder 0.0 1.0
+elbow -1.5 1.5
+wrist 3.14 3.0
+Joint_Num: 2
+Name: T2
+shoulder 1 2
+elbow 0 0
+"""
+    d = tmp_path / "trajectories"
+    d.mkdir()
+    (d / "arm.traj").write_text(content)
+    monkeypatch.setenv("GPU_VOXELS_MODEL_PATH", str(tmp_path))
+    trajs = load_trajectories("arm.traj")
+    assert [t.name for t in trajs] == ["T1", "T2"]
+    t1 = trajs[0]
+    assert t1.joint_names == ["shoulder", "elbow", "wrist"]
+    cfgs = t1.interpolate(100)
+    assert cfgs.shape == (101, 3)
+    np.testing.assert_allclose(cfgs[0], [0.0, -1.5, 3.14], rtol=1e-6)
+    np.testing.assert_allclose(cfgs[-1], [1.0, 1.5, 3.0], rtol=1e-6)
+    np.testing.assert_allclose(cfgs[50], [0.5, 0.0, 3.07], atol=1e-6)
+    # joint-value map form for the facade's set_robot_configuration
+    jm = t1.joint_map_at(0.5)
+    assert abs(jm["elbow"]) < 1e-6
+    # max_trajectories cap
+    assert len(load_trajectories("arm.traj", max_trajectories=1)) == 1
+    # malformed header
+    (d / "bad.traj").write_text("Nope: 1")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        load_trajectories("bad.traj")
