@@ -28,6 +28,7 @@ INDEX = """<!DOCTYPE html>
     min <input type="range" id="smin" min="0" max="1024" value="0">
     max <input type="range" id="smax" min="0" max="1024" value="1024"></div>
   <div>camera <span id="cams"></span></div>
+  <div id="info" style="font-size:12px;color:#9cf">click a voxel to inspect</div>
 </div>
 <canvas id="c"></canvas>
 <script type="module">
@@ -85,11 +86,29 @@ function rebuild() {
       const col = (t && colors[t]) ? colors[t] : layer.colors[i];
       mesh.setColorAt(j, new THREE.Color(col[0]/255, col[1]/255, col[2]/255));
     });
+    mesh.userData = {name: layer.name, keep, layer};
     scene.add(mesh); meshes.push(mesh); total += keep.length;
   }
   document.getElementById('status').textContent = `${layersCache.length} maps, ${total} cubes`;
 }
 [axisSel, smin, smax].forEach(e => e.oninput = rebuild);
+// click-to-inspect (the reference viewer's voxel inspection): raycast the
+// instanced cubes, report map / voxel coords / meaning id
+const raycaster = new THREE.Raycaster(), mouse = new THREE.Vector2();
+renderer.domElement.addEventListener('click', ev => {
+  mouse.x = (ev.clientX / innerWidth) * 2 - 1;
+  mouse.y = -(ev.clientY / innerHeight) * 2 + 1;
+  raycaster.setFromCamera(mouse, camera);
+  const hits = raycaster.intersectObjects(meshes, false);
+  const info = document.getElementById('info');
+  if (!hits.length || hits[0].instanceId === undefined) { info.textContent = 'click a voxel to inspect'; return; }
+  const h = hits[0], ud = h.object.userData, i = ud.keep[h.instanceId];
+  const c = ud.layer.centers[i], side = ud.layer.side;
+  const vox = c.map(v => Math.floor(v / side));
+  const t = ud.layer.types ? ud.layer.types[i] : null;
+  info.textContent = `${ud.name}: voxel (${vox.join(', ')}) center (${c.map(v=>v.toFixed(3)).join(', ')})` +
+    (t !== null ? ` meaning ${t}` : '');
+});
 let cfgSeen = '';
 async function refresh() {
   try {
