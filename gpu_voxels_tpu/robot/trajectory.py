@@ -49,11 +49,11 @@ class Trajectory:
 
     def joint_map_at(self, t: float) -> Dict[str, float]:
         """Interpolated configuration as a joint-value map (for
-        set_robot_configuration)."""
-        return {
-            j: float(self.start[j] + t * (self.end[j] - self.start[j]))
-            for j in self.joint_names
-        }
+        set_robot_configuration); delegates to the canonical
+        interpolate_linear (MathHelpers.cpp:84-115 port)."""
+        from .robot import interpolate_linear
+
+        return interpolate_linear(self.start, self.end, t)
 
 
 def load_trajectories(path, max_trajectories: int | None = None, use_model_path: bool = True) -> List[Trajectory]:
@@ -69,27 +69,34 @@ def load_trajectories(path, max_trajectories: int | None = None, use_model_path:
             p = Path(env) / "trajectories" / p
     tokens = p.read_text().split()
     it = iter(tokens)
+    _END = object()
+
+    def take() -> str:
+        tok = next(it, _END)
+        if tok is _END:
+            raise ValueError("illegal .traj format: unexpected end of file")
+        return tok
 
     def expect(tag: str) -> None:
-        tok = next(it)
+        tok = take()
         if tok != tag:
             raise ValueError(f"illegal .traj format: expected {tag!r}, got {tok!r}")
 
     expect("Trajectory_Num:")
-    num = int(next(it))
+    num = int(take())
     if max_trajectories is not None:
         num = min(num, max_trajectories)
     out: List[Trajectory] = []
     for _ in range(num):
         expect("Joint_Num:")
-        joints = int(next(it))
+        joints = int(take())
         expect("Name:")
-        name = next(it)
+        name = take()
         start: Dict[str, float] = {}
         end: Dict[str, float] = {}
         for _ in range(joints):
-            jname = next(it)
-            start[jname] = float(next(it))
-            end[jname] = float(next(it))
+            jname = take()
+            start[jname] = float(take())
+            end[jname] = float(take())
         out.append(Trajectory(name, start, end))
     return out

@@ -38,6 +38,10 @@ const renderer = new THREE.WebGLRenderer({canvas: document.getElementById('c')})
 renderer.setSize(window.innerWidth, window.innerHeight);
 const scene = new THREE.Scene();
 const camera = new THREE.PerspectiveCamera(60, innerWidth/innerHeight, 0.01, 10000);
+addEventListener('resize', () => {
+  renderer.setSize(innerWidth, innerHeight);
+  camera.aspect = innerWidth / innerHeight; camera.updateProjectionMatrix();
+});
 camera.position.set(40, 40, 40);
 const controls = new OrbitControls(camera, renderer.domElement);
 scene.add(new THREE.AmbientLight(0xffffff, 0.7));
@@ -157,6 +161,9 @@ def publish_cubes(out_dir, name: str, m, threshold: float = 0.5) -> None:
         side=float(m.side_length),
         centers=np.round(centers, 4).tolist(),
         colors=[list(_color_for(int(t))) for t in types],
+        # per-voxel meaning ids: drive the viewer's meaning_colors /
+        # meaning_visible config and click-to-inspect
+        types=[int(t) for t in types],
     )
     (out / f"{name}.cubes.json").write_text(json.dumps(payload))
     manifest = {"maps": [], "ts": time.strftime("%H:%M:%S")}

@@ -209,3 +209,22 @@ def test_vis_extract_morton_list_past_1024():
     lst = lst.insert_point_cloud(np.array([[2000.5, 1030.5, 3000.5]], np.float32))
     coords = extract.occupied_coords(lst)
     np.testing.assert_array_equal(coords, np.array([[2000, 1030, 3000]], np.int32))
+
+
+def test_publish_cubes_includes_types(tmp_path):
+    """The viewer payload must carry per-voxel meaning ids — the
+    meaning_colors/meaning_visible config and click-to-inspect consume them."""
+    import json
+
+    import numpy as np
+
+    from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap
+    from gpu_voxels_tpu.vis.serve import publish_cubes
+
+    m = BitVectorVoxelMap.create((16, 16, 16), 1.0).insert_point_cloud(
+        np.array([[3.5, 3.5, 3.5]], np.float32), 20
+    )
+    publish_cubes(tmp_path, "m", m, 0.5)
+    payload = json.loads((tmp_path / "m.cubes.json").read_text())
+    assert payload["types"] == [20]
+    assert len(payload["centers"]) == 1

@@ -220,3 +220,17 @@ elbow 0 0
     import pytest as _pytest
     with _pytest.raises(ValueError):
         load_trajectories("bad.traj")
+
+
+def test_traj_truncated_file_raises_value_error(tmp_path, monkeypatch):
+    from gpu_voxels_tpu.robot import load_trajectories
+
+    d = tmp_path / "trajectories"; d.mkdir()
+    (d / "cut.traj").write_text("Trajectory_Num: 2\nJoint_Num: 3\nName: T1\nshoulder 0.0 1.0\n")
+    (d / "empty.traj").write_text("")
+    monkeypatch.setenv("GPU_VOXELS_MODEL_PATH", str(tmp_path))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unexpected end"):
+        load_trajectories("cut.traj")
+    with _pytest.raises(ValueError, match="unexpected end"):
+        load_trajectories("empty.traj")
