@@ -27,6 +27,9 @@ def occupied_coords(m, threshold: float = 0.5, max_cubes: Optional[int] = None) 
     if isinstance(m, VoxelList):
         n = int(m.count)
         return np.asarray(m.coords_from_ids(m.ids[:n], m.ids_hi[:n]))
+    if hasattr(m, "extract_occupied_coords"):  # hierarchical + paged tiers
+        coords = np.asarray(m.extract_occupied_coords())
+        return coords[:max_cubes] if max_cubes is not None else coords
     if isinstance(m, ProbVoxelMap):
         mask = np.asarray(m.occupied_mask(threshold))
     elif isinstance(m, BitVectorVoxelMap):

@@ -25,8 +25,13 @@ class VisProvider:
         """Publish the map snapshot; skips unchanged content unless forced."""
         import numpy as np
 
-        data = np.asarray(m.data if hasattr(m, "data") else m.payload)
-        fp = hash(data.tobytes())
+        for attr in ("data", "payload", "occupancy", "pool"):
+            if hasattr(m, attr):
+                ground_truth = getattr(m, attr)
+                break
+        else:  # deterministic hierarchical tier: level-0 statuses
+            ground_truth = m.pyramid[0]
+        fp = hash(np.asarray(ground_truth).tobytes())
         if not force_repaint and fp == self._last_fingerprint:
             return False
         self._last_fingerprint = fp

@@ -228,3 +228,28 @@ def test_publish_cubes_includes_types(tmp_path):
     payload = json.loads((tmp_path / "m.cubes.json").read_text())
     assert payload["types"] == [20]
     assert len(payload["centers"]) == 1
+
+
+def test_visualize_hierarchical_and_paged_maps(tmp_path):
+    """visualizeMap works for every map tier — extract falls back to each
+    tier's extract_occupied_coords and the provider fingerprints the right
+    ground-truth array."""
+    import numpy as np
+
+    from gpu_voxels_tpu.maps.hierarchical import HierarchicalBitMap, HierarchicalProbMap
+    from gpu_voxels_tpu.maps.paged import PagedHierarchicalMap
+    from gpu_voxels_tpu.vis.provider import VisProvider
+
+    pts = np.array([[5.5, 6.5, 7.5]], np.float32)
+    maps = {
+        "hp": HierarchicalProbMap.create((64, 64, 64)).insert_point_cloud(pts),
+        "hb": HierarchicalBitMap.create((64, 64, 64)).insert_point_cloud(pts),
+        "pg": PagedHierarchicalMap((128, 128, 128)).insert_point_cloud(pts),
+    }
+    for name, m in maps.items():
+        vp = VisProvider(name, out_dir=tmp_path)
+        assert vp.visualize(m)
+        import json
+
+        payload = json.loads((tmp_path / f"{name}.cubes.json").read_text())
+        assert payload["centers"] == [[5.5, 6.5, 7.5]], name
