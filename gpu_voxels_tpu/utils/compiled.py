@@ -40,7 +40,12 @@ def compiled(*static_argnames, arrays=()):
     """
 
     def deco(fn):
-        jfn = jax.jit(fn, static_argnames=static_argnames)
+        # inline=True: when a wrapped method is traced inside an OUTER jit
+        # (users fusing whole cycles, lax loops), the jaxpr inlines with no
+        # pjit boundary — nested pjit inside fori_loop bodies blew XLA
+        # compile times from minutes to >20 min on the 512^3 cycle bench.
+        # Called eagerly, it still compiles and caches as one program.
+        jfn = jax.jit(fn, static_argnames=static_argnames, inline=True)
         sig = inspect.signature(fn)
 
         @functools.wraps(fn)
