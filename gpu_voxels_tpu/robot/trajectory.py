@@ -45,7 +45,10 @@ class Trajectory:
         lo = np.array([self.start[j] for j in self.joint_names], np.float32)
         hi = np.array([self.end[j] for j in self.joint_names], np.float32)
         ts = np.linspace(0.0, 1.0, intermediate_poses + 1, dtype=np.float32)
-        return lo[None, :] + ts[:, None] * (hi - lo)[None, :]
+        # a*(1-t) + b*t: the SAME expression as interpolate_linear
+        # (MathHelpers.cpp:84-115) so interpolate(N)[k] == joint_map_at(k/N)
+        # bit-for-bit
+        return lo[None, :] * (1.0 - ts[:, None]) + hi[None, :] * ts[:, None]
 
     def joint_map_at(self, t: float) -> Dict[str, float]:
         """Interpolated configuration as a joint-value map (for

@@ -27,9 +27,12 @@ def _color_for(t: int):
     return [(c, x, 0), (x, c, 0), (0, c, x), (0, x, c), (x, 0, c), (c, 0, x)][int(h) % 6]
 
 
-def write_ply(path, m, threshold: float = 0.5) -> int:
-    """Occupied voxel centers as a colored PLY point cloud."""
-    centers, types = extract_cubes(m, threshold)
+def write_ply(path, m, threshold: float = 0.5, cubes=None) -> int:
+    """Occupied voxel centers as a colored PLY point cloud.
+
+    `cubes` accepts a precomputed extract_cubes(m, threshold) result so
+    publishers extracting once can feed several writers."""
+    centers, types = cubes if cubes is not None else extract_cubes(m, threshold)
     colors = np.asarray([_color_for(int(t)) for t in types], np.uint8) if len(types) else np.zeros((0, 3), np.uint8)
     with open(path, "w") as f:
         f.write(
@@ -44,14 +47,17 @@ def write_ply(path, m, threshold: float = 0.5) -> int:
     return len(centers)
 
 
-def write_html(path, maps: dict, threshold: float = 0.5, title: str = "gpu_voxels_tpu") -> None:
+def write_html(path, maps: dict, threshold: float = 0.5, title: str = "gpu_voxels_tpu", cubes=None) -> None:
     """Standalone HTML viewer: voxel cubes as three.js instanced meshes.
 
     `maps` is {name: map}; each map becomes a toggleable cube layer.
+    `cubes` optionally maps name -> precomputed extract_cubes result.
     """
     layers = []
     for name, m in maps.items():
-        centers, types = extract_cubes(m, threshold)
+        centers, types = (
+            cubes[name] if cubes and name in cubes else extract_cubes(m, threshold)
+        )
         colors = [list(_color_for(int(t))) for t in types]
         layers.append(
             dict(

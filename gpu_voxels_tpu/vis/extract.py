@@ -27,7 +27,23 @@ def occupied_coords(m, threshold: float = 0.5, max_cubes: Optional[int] = None) 
     if isinstance(m, VoxelList):
         n = int(m.count)
         return np.asarray(m.coords_from_ids(m.ids[:n], m.ids_hi[:n]))
-    if hasattr(m, "extract_occupied_coords"):  # hierarchical + paged tiers
+    from ..maps.hierarchical import HierarchicalProbMap
+
+    if isinstance(m, HierarchicalProbMap):
+        # honor the caller's threshold against the ground-truth occupancy
+        # grid (the status pyramid bakes the octree's fixed
+        # THRESHOLD_OCCUPANCY, which is the probe contract, not the
+        # visualization contract)
+        from ..constants import UNKNOWN_PROBABILITY, float_to_probability
+
+        occ = np.asarray(m.occupancy)
+        t = float_to_probability(threshold)
+        mask3 = (occ.astype(np.int32) >= t) & (occ != UNKNOWN_PROBABILITY)
+        z, y, x = np.nonzero(mask3)
+        keep = (x < m.dims[0]) & (y < m.dims[1]) & (z < m.dims[2])
+        coords = np.stack([x[keep], y[keep], z[keep]], axis=1).astype(np.int32)
+        return coords[:max_cubes] if max_cubes is not None else coords
+    if hasattr(m, "extract_occupied_coords"):  # deterministic + paged tiers
         coords = np.asarray(m.extract_occupied_coords())
         return coords[:max_cubes] if max_cubes is not None else coords
     if isinstance(m, ProbVoxelMap):

@@ -25,21 +25,33 @@ class VisProvider:
         """Publish the map snapshot; skips unchanged content unless forced."""
         import numpy as np
 
-        for attr in ("data", "payload", "occupancy", "pool"):
-            if hasattr(m, attr):
-                ground_truth = getattr(m, attr)
-                break
-        else:  # deterministic hierarchical tier: level-0 statuses
-            ground_truth = m.pyramid[0]
-        fp = hash(np.asarray(ground_truth).tobytes())
+        if hasattr(m, "ids"):  # voxel lists: content = ids + payload + count
+            parts = (m.ids, m.ids_hi, m.payload, m.count)
+            fp = hash(b"".join(np.asarray(p).tobytes() for p in parts))
+        else:
+            for attr in ("data", "occupancy", "pool"):
+                if hasattr(m, attr):
+                    ground_truth = getattr(m, attr)
+                    break
+            else:  # deterministic hierarchical tier: level-0 statuses
+                ground_truth = m.pyramid[0]
+            fp = hash(np.asarray(ground_truth).tobytes())
         if not force_repaint and fp == self._last_fingerprint:
             return False
         self._last_fingerprint = fp
         self.out_dir.mkdir(parents=True, exist_ok=True)
-        export.write_ply(self.out_dir / f"{self.name}.ply", m, threshold)
-        export.write_html(self.out_dir / f"{self.name}.html", {self.name: m}, threshold)
+        # extract once, feed all three writers (the octree tiers make each
+        # extraction a full host readback)
+        from .extract import extract_cubes
+
+        cubes = extract_cubes(m, threshold)
+        export.write_ply(self.out_dir / f"{self.name}.ply", m, threshold, cubes=cubes)
+        export.write_html(
+            self.out_dir / f"{self.name}.html", {self.name: m}, threshold,
+            cubes={self.name: cubes},
+        )
         # feed the live viewer process (vis/serve.py) as well
         from .serve import publish_cubes
 
-        publish_cubes(self.out_dir, self.name, m, threshold)
+        publish_cubes(self.out_dir, self.name, m, threshold, cubes=cubes)
         return True

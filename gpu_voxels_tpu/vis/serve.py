@@ -147,8 +147,10 @@ setInterval(refresh, 1000); refresh();
 </script></body></html>"""
 
 
-def publish_cubes(out_dir, name: str, m, threshold: float = 0.5) -> None:
-    """Write a map snapshot consumable by the live viewer."""
+def publish_cubes(out_dir, name: str, m, threshold: float = 0.5, cubes=None) -> None:
+    """Write a map snapshot consumable by the live viewer. `cubes` accepts a
+    precomputed extract_cubes result (publishers extract once for several
+    writers)."""
     import numpy as np
 
     from .export import _color_for
@@ -156,7 +158,7 @@ def publish_cubes(out_dir, name: str, m, threshold: float = 0.5) -> None:
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    centers, types = extract_cubes(m, threshold)
+    centers, types = cubes if cubes is not None else extract_cubes(m, threshold)
     payload = dict(
         side=float(m.side_length),
         centers=np.round(centers, 4).tolist(),

@@ -253,3 +253,40 @@ def test_visualize_hierarchical_and_paged_maps(tmp_path):
 
         payload = json.loads((tmp_path / f"{name}.cubes.json").read_text())
         assert payload["centers"] == [[5.5, 6.5, 7.5]], name
+
+
+def test_hierarchical_extract_honors_threshold():
+    """occupied_coords on the probabilistic hierarchy must respect the
+    caller's threshold (the status pyramid's fixed probe threshold is the
+    octree PROBE contract, not the visualization contract)."""
+    import numpy as np
+
+    from gpu_voxels_tpu.maps.hierarchical import HierarchicalProbMap
+    from gpu_voxels_tpu.vis.extract import occupied_coords
+
+    h = HierarchicalProbMap.create((64, 64, 64))
+    h = h.insert_point_cloud(np.array([[5.5, 6.5, 7.5]], np.float32))  # +127
+    # threshold 0.5 -> included; 0.9999.. -> excluded only above +127? use
+    # update to a mid value instead: carve one voxel to a low occupancy
+    h2 = h.insert_point_cloud(np.array([[9.5, 9.5, 9.5]], np.float32), meaning=0)  # FREE = -127
+    assert len(occupied_coords(h2, 0.5)) == 1  # only the +127 voxel
+    assert len(occupied_coords(h2, 0.0)) >= 1
+
+
+def test_voxellist_visualize_fingerprint_tracks_ids(tmp_path):
+    """force_repaint=False must republish when a fixed-capacity list's ids
+    change even though the payload bytes are identical."""
+    import numpy as np
+
+    from gpu_voxels_tpu.maps.voxellist import VoxelList
+    from gpu_voxels_tpu.vis.provider import VisProvider
+
+    vp = VisProvider("lst", out_dir=tmp_path)
+    l1 = VoxelList.create((64, 64, 64), 1.0, kind="bit", capacity=4)
+    l1 = l1.insert_point_cloud(np.array([[1.5, 1.5, 1.5]], np.float32), grow=False)
+    assert vp.visualize(l1, force_repaint=False)
+    # same payload (one occupied entry, same meaning), different voxel
+    l2 = VoxelList.create((64, 64, 64), 1.0, kind="bit", capacity=4)
+    l2 = l2.insert_point_cloud(np.array([[2.5, 1.5, 1.5]], np.float32), grow=False)
+    assert vp.visualize(l2, force_repaint=False)  # ids changed -> repaint
+    assert not vp.visualize(l2, force_repaint=False)  # unchanged -> skip
