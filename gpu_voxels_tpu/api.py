@@ -88,7 +88,14 @@ class GpuVoxels:
         elif mt == MapType.MT_COUNTING_VOXELLIST:
             m = VoxelList.create(d, s, "count", capacity, "linear")
         elif mt == MapType.MT_PROBAB_OCTREE:
-            m = HierarchicalProbMap.create(d, s)
+            if max(d) > 1024 and all(v % 64 == 0 for v in d):
+                # past the dense wall the paged tier carries the log-odds
+                # octree (GvlNTreeProb, Octree.cu:71) at full NTree scale
+                from .maps.paged import PagedHierarchicalMap
+
+                m = PagedHierarchicalMap(d, s, probabilistic=True)
+            else:
+                m = HierarchicalProbMap.create(d, s)
         elif mt == MapType.MT_BITVECTOR_OCTREE:
             if max(d) > 1024 and all(v % 64 == 0 for v in d):
                 # past the dense pyramid's memory wall the paged sparse tier

@@ -40,7 +40,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import BitVoxelMeaning, MapType
+from ..constants import (
+    MAX_PROBABILITY,
+    MIN_PROBABILITY,
+    SENSOR_MODEL_FREE,
+    SENSOR_MODEL_OCCUPIED,
+    UNKNOWN_PROBABILITY,
+    BitVoxelMeaning,
+    MapType,
+    meaning_to_probability,
+)
 from ..ops.insert import map_to_voxels
 from .hierarchical import (
     NS_DYNAMIC_MAP,
@@ -54,6 +63,7 @@ from .hierarchical import (
     _is_uniform,
     _num_levels,
     _pad_dims,
+    _status_from_occupancy,
 )
 
 Dims = Tuple[int, int, int]
@@ -81,6 +91,8 @@ class PagedSnapshot:
     pages: jnp.ndarray
     block_summaries: jnp.ndarray
     pool: jnp.ndarray
+    slot_block: jnp.ndarray  # int32[NT, 3] block coord per tile slot
+    n_slots: jnp.ndarray  # int32 scalar: live tile count (dynamic: no recompiles)
     dims: Dims = field(metadata=dict(static=True))
     sdims: Dims = field(metadata=dict(static=True))
     levels: int = field(metadata=dict(static=True))
@@ -134,8 +146,14 @@ class PagedSnapshot:
                             + (base[..., 1] + dy) * SB
                             + (base[..., 0] + dx)
                         )
-                        blk = blk | self.block_summaries[page_row, widx]
-            blk = jnp.where((blk & U8(STATUS_OCCUPANCY_MASK)) == 0, blk | U8(NS_UNKNOWN), blk)
+                        b = self.block_summaries[page_row, widx]
+                        # unallocated block (byte 0) = UNKNOWN, substituted
+                        # BEFORE the cube OR so unknown survives alongside an
+                        # occupied sibling (matches the dense page pyramid)
+                        b = jnp.where(
+                            (b & U8(STATUS_OCCUPANCY_MASK)) == 0, b | U8(NS_UNKNOWN), b
+                        )
+                        blk = blk | b
             return jnp.where(needs & found, blk, status)
 
         within_s = ((bc[..., 2] % SB) * SB + (bc[..., 1] % SB)) * SB + bc[..., 0] % SB
@@ -171,6 +189,19 @@ class PagedSnapshot:
         free = (status & U8(STATUS_OCCUPANCY_MASK)) == U8(NS_FREE)
         return occupied, unknown, free
 
+    def occupied_cells(self):
+        """([NT*512, 3] fine coords, [NT*512] valid mask) of every occupied
+        voxel — the device-side extractCubes enumeration. All fine occupancy
+        lives in the tile pool, so this is the map's exact occupied set."""
+        nt = self.pool.shape[0]
+        wi = jnp.arange(TILE, dtype=jnp.int32)
+        wz, rem = wi // (B * B), wi % (B * B)
+        w = jnp.stack([rem % B, rem // B, wz], axis=-1)
+        coords = self.slot_block[:, None, :] * B + w[None, :, :]
+        occ = (self.pool & U8(STATUS_OCCUPANCY_MASK)) == U8(NS_OCCUPIED)
+        valid = (jnp.arange(nt, dtype=jnp.int32) < self.n_slots)[:, None] & occ
+        return coords.reshape(-1, 3), valid.reshape(-1)
+
 
 # -- compiled programs (module-level so the jit cache is shared) --------------
 # Each eager op on the relayed TPU pays seconds of dispatch+compile latency,
@@ -198,10 +229,10 @@ def _voxelize_points(pts, side_length: float, dims: Dims):
     return jnp.clip(coords, 0, dims_arr - 1), inside
 
 
-@functools.partial(jax.jit, static_argnames=("sdims", "occ_bit", "flag"))
-def _scatter_pool(pool, pages, skeys, srows, coords, inside, sdims: Dims,
-                  occ_bit: int, flag: int):
-    """Point -> page row -> tile slot -> hard status set, one program."""
+def _pool_address(pages, skeys, srows, coords, inside, sdims: Dims, cap: int):
+    """Point coords -> (slot, within) tile-pool address; unresolvable points
+    (outside, unallocated page/block) get slot=cap so `.at[...,mode='drop']`
+    ignores them."""
     sx, sy, _ = sdims
     pc = coords // PAGE_EDGE
     skey = (pc[:, 2] * sy + pc[:, 1]) * sx + pc[:, 0]
@@ -212,12 +243,55 @@ def _scatter_pool(pool, pages, skeys, srows, coords, inside, sdims: Dims,
     within_s = ((blocks[:, 2] % SB) * SB + (blocks[:, 1] % SB)) * SB + blocks[:, 0] % SB
     slot = pages[page_row, within_s]
     ok = inside & found & (slot >= 0)
-    slot = jnp.maximum(slot, 0)
+    slot = jnp.where(ok, jnp.maximum(slot, 0), cap)
     within = ((coords[:, 2] % B) * B + (coords[:, 1] % B)) * B + coords[:, 0] % B
-    old = pool[slot, within]
+    return slot, within
+
+
+@functools.partial(jax.jit, static_argnames=("sdims", "occ_bit", "flag"))
+def _scatter_pool(pool, pages, skeys, srows, coords, inside, sdims: Dims,
+                  occ_bit: int, flag: int):
+    """Point -> page row -> tile slot -> hard status set, one program."""
+    slot, within = _pool_address(pages, skeys, srows, coords, inside, sdims, pool.shape[0])
+    old = pool[jnp.minimum(slot, pool.shape[0] - 1), within]
     new = (old & U8(0xFF ^ STATUS_OCCUPANCY_MASK)) | U8(occ_bit | flag)
-    slot = jnp.where(ok, slot, pool.shape[0])
     return pool.at[slot, within].set(new, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("sdims",))
+def _scatter_pool_prob_set(occ_pool, pages, skeys, srows, coords, inside,
+                           sdims: Dims, value):
+    """Probabilistic point insert: voxels take the meaning's probability
+    (ProbabilisticVoxel::insert semantics, ProbabilisticVoxel.hpp:77-92 —
+    the same contract as the dense HierarchicalProbMap insert). Returns
+    (occ_pool, derived status pool)."""
+    slot, within = _pool_address(
+        pages, skeys, srows, coords, inside, sdims, occ_pool.shape[0]
+    )
+    occ = occ_pool.at[slot, within].set(value, mode="drop")
+    return occ, _status_from_occupancy(occ)
+
+
+@functools.partial(jax.jit, static_argnames=("sdims",))
+def _scatter_pool_prob_add(occ_pool, pages, skeys, srows, coords, weights,
+                           inside, sdims: Dims):
+    """Probabilistic sensor update: per-voxel int32 delta accumulation then
+    ONE saturating clamp — the paged analogue of insertSensorData's
+    hit_counts*SENSOR_MODEL_OCCUPIED + free_counts*SENSOR_MODEL_FREE
+    (ProbVoxelMap.hpp:52-102, ops/raycast.insert_sensor_data). Untouched
+    voxels keep UNKNOWN (-128); the clamp floor (-127) only applies to
+    touched ones. Returns (occ_pool, derived status pool)."""
+    slot, within = _pool_address(
+        pages, skeys, srows, coords, inside, sdims, occ_pool.shape[0]
+    )
+    cnt = jnp.zeros(occ_pool.shape, jnp.int32).at[slot, within].add(
+        weights, mode="drop"
+    )
+    upd = jnp.clip(
+        occ_pool.astype(jnp.int32) + cnt, MIN_PROBABILITY, MAX_PROBABILITY
+    ).astype(jnp.int8)
+    occ = jnp.where(cnt != 0, upd, occ_pool)
+    return occ, _status_from_occupancy(occ)
 
 
 @functools.partial(jax.jit, static_argnames=("coarse_shape", "levels"))
@@ -258,7 +332,11 @@ def _free_ray_cells(pts, origin, side_length: float, dims: Dims, max_steps: int)
     start_v = origin / side
     delta = pts / side - start_v[None, :]
     dominant = jnp.max(jnp.abs(delta), axis=-1)
-    n_steps = jnp.ceil(dominant).astype(jnp.int32)
+    # padded sentinel points (-1e9 from _pad_points_pow2) must not cast rays:
+    # their origin->corner segments pass through real in-map cells and would
+    # carve them hard-FREE. Kill the whole ray for any far-outside endpoint.
+    real = jnp.all(pts > -1e8, axis=-1)
+    n_steps = jnp.where(real, jnp.ceil(dominant).astype(jnp.int32), 0)
     inv = jnp.where(n_steps > 0, 1.0 / jnp.maximum(n_steps.astype(jnp.float32), 1.0), 0.0)
     step_vec = delta * inv[:, None]
     ks = jnp.arange(max_steps, dtype=jnp.int32)
@@ -277,6 +355,98 @@ _probe_status_jit = jax.jit(PagedSnapshot.probe_status, static_argnames=("min_le
 _probe_jit = jax.jit(PagedSnapshot.probe, static_argnames=("min_level",))
 
 
+@functools.partial(jax.jit, static_argnames=("sdims",))
+def _probe_occupancy(occ_pool, pages, skeys, srows, coords, sdims: Dims):
+    slot, within = _pool_address(
+        pages, skeys, srows, coords,
+        jnp.ones(coords.shape[:-1], bool), sdims, occ_pool.shape[0],
+    )
+    have = slot < occ_pool.shape[0]
+    occ = occ_pool[jnp.minimum(slot, occ_pool.shape[0] - 1), within]
+    return jnp.where(have, occ, jnp.int8(UNKNOWN_PROBABILITY))
+
+
+_probe_occupancy_jit = _probe_occupancy
+
+
+# -- collision programs (snapshot-based, shared jit cache) ---------------------
+def _count_probe_hits(snap: PagedSnapshot, coords, valid, min_level: int, offset):
+    """Probe snap at coords+offset (the intersect_sparse descent direction:
+    octree probed at the other map's voxel coordinates translated by offset,
+    GvlNTree.hpp:195); out-of-bounds translated coords never hit."""
+    c = coords + jnp.asarray(offset, jnp.int32)
+    dims_arr = jnp.asarray(snap.dims, jnp.int32)
+    inside = jnp.all((c >= 0) & (c < dims_arr), axis=-1)
+    occ, unk, _ = snap.probe(jnp.clip(c, 0, dims_arr - 1), min_level)
+    live = valid & inside
+    return (
+        jnp.sum(occ & live, dtype=jnp.uint32),
+        jnp.sum(unk & live, dtype=jnp.uint32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("min_level", "offset"))
+def _paged_collide_list(snap, lst, min_level: int, offset):
+    from .hierarchical import query_coords_of
+
+    coords, valid = query_coords_of(lst)
+    return _count_probe_hits(snap, coords, valid, min_level, offset)
+
+
+@functools.partial(jax.jit, static_argnames=("min_level", "offset"))
+def _paged_collide_coords(snap, coords, min_level: int, offset):
+    valid = jnp.ones(coords.shape[:-1], bool)
+    return _count_probe_hits(snap, coords, valid, min_level, offset)
+
+
+@functools.partial(jax.jit, static_argnames=("min_level", "offset"))
+def _paged_collide_paged(snap, other_snap, min_level: int, offset):
+    """NTree x NTree (intersect_load_balance, NTree.hpp:1139): enumerate the
+    other octree's exact occupied set (its tile pool) and run the probe
+    descent on self — the TPU's uniform-work replacement for the
+    simultaneous DFS + work-stealing balancer."""
+    coords, valid = other_snap.occupied_cells()
+    return _count_probe_hits(snap, coords, valid, min_level, offset)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("min_level", "offset"))
+def _paged_collide_hier(snap, hier, min_level: int, offset):
+    """Paged octree x dense hierarchy: enumerate self's sparse occupied set
+    and probe the dense pyramid (cheaper than materializing the dense side's
+    dims^3 coordinates; the count — occupied-in-both voxels — is symmetric).
+    The offset still translates the OTHER map into self's frame, so self's
+    cells map back at coords - offset."""
+    coords, valid = snap.occupied_cells()
+    c = coords - jnp.asarray(offset, jnp.int32)
+    pd = jnp.asarray(hier.padded_dims, jnp.int32)
+    inside = jnp.all((c >= 0) & (c < pd), axis=-1)
+    occ, _, _ = hier.probe.__wrapped__(hier, jnp.clip(c, 0, pd - 1), min_level)
+    return jnp.sum(occ & valid & inside, dtype=jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("offset",))
+def _paged_collide_dense(snap, other, offset):
+    """Paged octree x dense voxel map (intersect_load_balance(ProbVoxelMap&),
+    NTree.hpp:1006). Enumerates self's sparse occupied set and gathers the
+    map — identical count to the reference's traversal+lookup at level 0.
+    Map occupancy uses the octree probe contract: prob occ >= 50 hardcoded
+    (kernel_common.h:172-183), bit-map !isZero."""
+    from .voxelmap import ProbVoxelMap
+    from .. import bitops
+    from ..ops.insert import linear_index
+
+    coords, valid = snap.occupied_cells()
+    c = coords - jnp.asarray(offset, jnp.int32)
+    dims_arr = jnp.asarray(other.dims, jnp.int32)
+    inside = jnp.all((c >= 0) & (c < dims_arr), axis=-1)
+    lin = linear_index(jnp.clip(c, 0, dims_arr - 1), other.dims)
+    if isinstance(other, ProbVoxelMap):
+        occ_map = other.data[lin].astype(jnp.int32) >= 50
+    else:
+        occ_map = ~bitops.is_zero(other.data[:, lin])
+    return jnp.sum(occ_map & valid & inside, dtype=jnp.uint32)
+
+
 class PagedHierarchicalMap:
     """Sparse deterministic hierarchical map (GvlNTree-scale worlds).
 
@@ -286,14 +456,17 @@ class PagedHierarchicalMap:
     and block summaries (uint8[NP,512]), tile pool uint8[NT,512].
     """
 
-    def __init__(self, dims: Dims, side_length: float = 1.0):
+    def __init__(self, dims: Dims, side_length: float = 1.0, probabilistic: bool = False):
         if any(d % PAGE_EDGE for d in dims):
             raise ValueError(f"dims must be multiples of {PAGE_EDGE}")
         if (dims[0] // PAGE_EDGE) * (dims[1] // PAGE_EDGE) * (dims[2] // PAGE_EDGE) >= 2**31:
             raise ValueError("page count must fit int32 (dims <= 65536^3)")
         self.dims = tuple(int(d) for d in dims)
         self.side_length = float(side_length)
-        self.map_type = MapType.MT_BITVECTOR_OCTREE
+        self.probabilistic = bool(probabilistic)
+        self.map_type = (
+            MapType.MT_PROBAB_OCTREE if probabilistic else MapType.MT_BITVECTOR_OCTREE
+        )
         self.cdims = tuple(d // B for d in self.dims)  # blocks per axis (x,y,z)
         self.sdims = tuple(d // PAGE_EDGE for d in self.dims)  # pages per axis
         # cap 16 (not the dense tier's 8): a 65536^3 world has a 1024^3 page
@@ -309,6 +482,14 @@ class PagedHierarchicalMap:
         self.block_summaries = jnp.zeros((1, PAGE), jnp.uint8)
         self.page_coord = jnp.zeros((1, 3), jnp.int32)  # (px, py, pz) per page row
         self.pool = jnp.zeros((1, TILE), jnp.uint8)
+        # probabilistic tier (GvlNTreeProb, Octree.cu:71): int8 log-odds
+        # ground truth per fine voxel (EnvNodesProbabilistic.h); the status
+        # pool above is DERIVED from it so all probe machinery is shared.
+        # occupied <=> occ != -128 && occ >= THRESHOLD_OCCUPANCY(10)
+        # (EnvNodesProbCommon.h:30-45, via _status_from_occupancy).
+        self.occ_pool = (
+            jnp.full((1, TILE), jnp.int8(UNKNOWN_PROBABILITY)) if probabilistic else None
+        )
         self.slot_block = jnp.zeros((1, 3), jnp.int32)  # (bx, by, bz) per slot
         self.slot_page = jnp.zeros((1,), jnp.int32)  # page row per slot
         self.slot_within = jnp.zeros((1,), jnp.int32)  # block index in page
@@ -378,6 +559,10 @@ class PagedHierarchicalMap:
             self.srows = jnp.asarray(sr)
         if new_slots:
             self.pool = self._ensure_capacity(self.pool, self._n_slots, jnp.uint8(0))
+            if self.probabilistic:
+                self.occ_pool = self._ensure_capacity(
+                    self.occ_pool, self._n_slots, jnp.int8(UNKNOWN_PROBABILITY)
+                )
             self.slot_block = self._ensure_capacity(self.slot_block, self._n_slots, jnp.int32(0))
             self.slot_page = self._ensure_capacity(self.slot_page, self._n_slots, jnp.int32(0))
             self.slot_within = self._ensure_capacity(self.slot_within, self._n_slots, jnp.int32(0))
@@ -397,6 +582,8 @@ class PagedHierarchicalMap:
             pages=self.pages,
             block_summaries=self.block_summaries,
             pool=self.pool,
+            slot_block=self.slot_block,
+            n_slots=jnp.int32(self._n_slots),
             dims=self.dims,
             sdims=self.sdims,
             levels=self.levels,
@@ -407,27 +594,13 @@ class PagedHierarchicalMap:
         return self.snapshot()._page_rows_of(coords)
 
     # -- insertion --------------------------------------------------------------
-    def insert_point_cloud(
-        self,
-        points,
-        meaning=BitVoxelMeaning.eBVM_OCCUPIED,
-        static_map: bool = True,
-    ) -> "PagedHierarchicalMap":
-        """Hard status insert (setOccupied/insertNode, kernel_common.h:186-245).
-
-        eBVM_FREE marks cells hard-free, everything else hard-occupied;
-        static_map picks the ns_STATIC_MAP vs ns_DYNAMIC_MAP tag. Free-space
-        from a depth sensor enters as explicit free points (see
-        gpu_voxels_tpu.ops.raycast.depth_image_to_point_cloud + ray sampling),
-        mirroring the octree Sensor's sparse free-voxel list (Sensor.cu).
-        """
-        pts = _pad_points_pow2(jnp.asarray(points, jnp.float32))
-        coords, inside = _voxelize_points(pts, self.side_length, self.dims)
-
-        # host: allocate tiles for the touched blocks (dedup in int64 numpy —
-        # block keys exceed int32 past 8192^3 worlds); ONE device fetch
+    def _allocate_for(self, coords, inside) -> None:
+        """Host: allocate tiles for the blocks touched by device coords
+        (dedup in int64 numpy — block keys exceed int32 past 8192^3 worlds);
+        ONE device fetch."""
         cx, cy, _ = self.cdims
-        c_np, in_np = np.asarray(coords).astype(np.int64), np.asarray(inside)
+        c_np = np.asarray(coords).reshape(-1, 3).astype(np.int64)
+        in_np = np.asarray(inside).reshape(-1)
         blk_np = c_np // B
         key64 = (blk_np[:, 2] * cy + blk_np[:, 1]) * cx + blk_np[:, 0]
         ukeys = np.unique(np.where(in_np, key64, -1))
@@ -437,13 +610,40 @@ class PagedHierarchicalMap:
         ubz = ukeys // (cx * cy)
         self._allocate(np.stack([ubx, uby, ubz], axis=1))
 
+    def insert_point_cloud(
+        self,
+        points,
+        meaning=BitVoxelMeaning.eBVM_OCCUPIED,
+        static_map: bool = True,
+    ) -> "PagedHierarchicalMap":
+        """Point insert (setOccupied/insertNode, kernel_common.h:186-245).
+
+        Deterministic tier: eBVM_FREE marks cells hard-free, everything else
+        hard-occupied; static_map picks the ns_STATIC_MAP vs ns_DYNAMIC_MAP
+        tag. Probabilistic tier: voxels take the meaning's probability
+        (ProbabilisticVoxel.hpp:77-92 — the GvlNTreeProb insert). Free-space
+        from a depth sensor enters as explicit free points (see
+        gpu_voxels_tpu.ops.raycast.depth_image_to_point_cloud + ray sampling),
+        mirroring the octree Sensor's sparse free-voxel list (Sensor.cu).
+        """
+        pts = _pad_points_pow2(jnp.asarray(points, jnp.float32))
+        coords, inside = _voxelize_points(pts, self.side_length, self.dims)
+        self._allocate_for(coords, inside)
+
         # device: one compiled scatter + one compiled summary/pyramid rebuild
-        occ_bit = NS_FREE if int(meaning) == int(BitVoxelMeaning.eBVM_FREE) else NS_OCCUPIED
-        flag = NS_STATIC_MAP if static_map else NS_DYNAMIC_MAP
-        self.pool = _scatter_pool(
-            self.pool, self.pages, self.skeys, self.srows, coords, inside,
-            self.sdims, int(occ_bit), int(flag),
-        )
+        if self.probabilistic:
+            val = jnp.int8(meaning_to_probability(meaning))
+            self.occ_pool, self.pool = _scatter_pool_prob_set(
+                self.occ_pool, self.pages, self.skeys, self.srows, coords,
+                inside, self.sdims, val,
+            )
+        else:
+            occ_bit = NS_FREE if int(meaning) == int(BitVoxelMeaning.eBVM_FREE) else NS_OCCUPIED
+            flag = NS_STATIC_MAP if static_map else NS_DYNAMIC_MAP
+            self.pool = _scatter_pool(
+                self.pool, self.pages, self.skeys, self.srows, coords, inside,
+                self.sdims, int(occ_bit), int(flag),
+            )
         self._rebuild_coarse()
         return self
 
@@ -455,9 +655,14 @@ class PagedHierarchicalMap:
         static_map: bool = False,
     ) -> "PagedHierarchicalMap":
         """insertPointCloudWithFreespaceCalculation (GvlNTree.hpp:108-130) on
-        the sparse tier: carve hard-FREE cells along each sensor ray, then
+        the sparse tier.
+
+        Deterministic tier: carve hard-FREE cells along each sensor ray, then
         insert the hits as occupied (hits override free, like NTree's object-
-        over-freespace priority).
+        over-freespace priority). Probabilistic tier: one log-odds update per
+        cell — hit_count*SENSOR_MODEL_OCCUPIED + ray_crossings*
+        SENSOR_MODEL_FREE, saturating clamp (insertSensorData semantics,
+        ProbVoxelMap.hpp:52-102; magnitudes VoxelMapOperations.h:38-39).
 
         Rays step one dominant-axis voxel at a time with the endpoint voxel
         excluded (the reference RayCaster's visiting rule, VoxelMapOperations.h:
@@ -468,15 +673,53 @@ class PagedHierarchicalMap:
         """
         pts = _pad_points_pow2(jnp.asarray(points, jnp.float32))
         origin = jnp.asarray(sensor_origin, jnp.float32)
-        coords, live = _free_ray_cells(
+        ray_coords, live = _free_ray_cells(
             pts, origin, self.side_length, self.dims, max_steps
         )
-        free_np = np.asarray(coords.reshape(-1, 3))[np.asarray(live).reshape(-1)]
-        if free_np.size:
-            free_pts = (free_np.astype(np.float32) + 0.5) * float(self.side_length)
-            self.insert_point_cloud(free_pts, BitVoxelMeaning.eBVM_FREE, static_map)
-        return self.insert_point_cloud(
-            pts, BitVoxelMeaning.eBVM_OCCUPIED, static_map
+        if not self.probabilistic:
+            free_np = np.asarray(ray_coords.reshape(-1, 3))[np.asarray(live).reshape(-1)]
+            if free_np.size:
+                free_pts = (free_np.astype(np.float32) + 0.5) * float(self.side_length)
+                self.insert_point_cloud(free_pts, BitVoxelMeaning.eBVM_FREE, static_map)
+            return self.insert_point_cloud(
+                pts, BitVoxelMeaning.eBVM_OCCUPIED, static_map
+            )
+
+        hit_coords, hit_inside = _voxelize_points(pts, self.side_length, self.dims)
+        dims_arr = jnp.asarray(self.dims, jnp.int32)
+        rc = jnp.clip(ray_coords.reshape(-1, 3), 0, dims_arr - 1)
+        all_coords = jnp.concatenate([rc, hit_coords], axis=0)
+        all_inside = jnp.concatenate([live.reshape(-1), hit_inside], axis=0)
+        weights = jnp.concatenate([
+            jnp.full((rc.shape[0],), SENSOR_MODEL_FREE, jnp.int32),
+            jnp.full((hit_coords.shape[0],), SENSOR_MODEL_OCCUPIED, jnp.int32),
+        ])
+        self._allocate_for(all_coords, all_inside)
+        self.occ_pool, self.pool = _scatter_pool_prob_add(
+            self.occ_pool, self.pages, self.skeys, self.srows, all_coords,
+            weights, all_inside, self.sdims,
+        )
+        self._rebuild_coarse()
+        return self
+
+    def insert_depth_image(self, depth, sensor, max_steps: int = 128) -> "PagedHierarchicalMap":
+        """Octree sensor pipeline (Sensor.cu processSensorData): back-project
+        the depth image (kernel_preprocessObjectDepthImage), transform into
+        the world frame, then run the ray-carved sensor insert. Invalid
+        pixels become far-outside sentinels whose rays are dead."""
+        from ..geometry import transforms
+        from ..ops import raycast as raycast_ops
+
+        depth = jnp.asarray(depth, jnp.float32)
+        pts = raycast_ops.depth_image_to_point_cloud(
+            depth, sensor.fx, sensor.fy, sensor.cx, sensor.cy, sensor.invalid_value
+        )
+        world = transforms.transform_points(sensor.pose(), pts)
+        finite = jnp.all(jnp.isfinite(world), axis=-1)
+        world = jnp.where(finite[:, None], world, -1e9)
+        origin = np.asarray(sensor.pose())[:3, 3]
+        return self.insert_point_cloud_with_free_space(
+            world, tuple(float(v) for v in origin), max_steps=max_steps
         )
 
     def _rebuild_coarse(self) -> None:
@@ -506,6 +749,22 @@ class PagedHierarchicalMap:
             self.snapshot(), jnp.asarray(coords, jnp.int32), min_level=min_level
         )
 
+    def probe_occupancy(self, coords) -> jnp.ndarray:
+        """int8 log-odds per fine voxel (probabilistic tier only). Unallocated
+        space reads UNKNOWN_PROBABILITY — the virtual NTree's implicit
+        unknown nodes (EnvNodesProbabilistic.h)."""
+        if not self.probabilistic:
+            raise TypeError("probe_occupancy requires a probabilistic paged map")
+        return _probe_occupancy_jit(
+            self.occ_pool, self.pages, self.skeys, self.srows,
+            jnp.asarray(coords, jnp.int32), self.sdims,
+        )
+
+    def clear_map(self) -> "PagedHierarchicalMap":
+        """Drop all pages/tiles back to the pristine UNKNOWN world."""
+        self.__init__(self.dims, self.side_length, self.probabilistic)
+        return self
+
     def collide_with_coords(self, coords, min_level: int = 0) -> jnp.ndarray:
         occ, _, _ = self.probe(coords, min_level)
         return jnp.sum(occ, dtype=jnp.uint32)
@@ -531,7 +790,7 @@ class PagedHierarchicalMap:
             self.slot_block,
             self.slot_page,
             self.slot_within,
-        ):
+        ) + ((self.occ_pool,) if self.probabilistic else ()):
             total += a.size * a.dtype.itemsize
         for p in self.pyramid:
             total += p.size * p.dtype.itemsize

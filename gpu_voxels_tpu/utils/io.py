@@ -107,7 +107,9 @@ def write_paged_map(m, path) -> None:
     octree-scale worlds). Ground truth is the tile pool + the block list;
     the page directory, summaries and pyramid are invariants rebuilt on
     load. The levels field is written NEGATIVE to distinguish this body
-    from the dense hierarchical format sharing MT_BITVECTOR_OCTREE."""
+    from the dense hierarchical format sharing MT_BITVECTOR_OCTREE. The
+    probabilistic tier (MT_PROBAB_OCTREE header) persists the int8
+    log-odds pool instead of the derived status pool."""
     header = np.zeros((), dtype=_HEADER)
     header["map_type"] = int(m.map_type)
     header["side_length"] = m.side_length
@@ -118,7 +120,10 @@ def write_paged_map(m, path) -> None:
         f.write(np.int32(-m.fine_levels).tobytes())
         f.write(np.int32(n).tobytes())
         f.write(np.asarray(m.slot_block[:n], "<i4").tobytes())
-        f.write(np.asarray(m.pool[:n], np.uint8).tobytes())
+        if m.probabilistic:
+            f.write(np.asarray(m.occ_pool[:n], np.int8).tobytes())
+        else:
+            f.write(np.asarray(m.pool[:n], np.uint8).tobytes())
 
 
 def read_hierarchical_map(path):
@@ -137,17 +142,26 @@ def read_hierarchical_map(path):
         if levels < 0:  # sparse paged body (write_paged_map)
             from ..maps.paged import TILE, PagedHierarchicalMap
 
+            prob = MapType(int(header["map_type"])) == MapType.MT_PROBAB_OCTREE
             n = int(np.frombuffer(f.read(4), "<i4")[0])
             slot_block = np.frombuffer(f.read(n * 12), "<i4").reshape(n, 3)
-            pool = np.frombuffer(f.read(n * TILE), np.uint8).reshape(n, TILE)
+            body = np.frombuffer(
+                f.read(n * TILE), np.int8 if prob else np.uint8
+            ).reshape(n, TILE)
             m = PagedHierarchicalMap(
-                tuple(int(v) for v in header["dims"]), float(header["side_length"])
+                tuple(int(v) for v in header["dims"]),
+                float(header["side_length"]),
+                probabilistic=prob,
             )
             if n:
                 # allocating in slot order reproduces the original slot and
                 # page numbering exactly
                 m._allocate(slot_block)
-                m.pool = m.pool.at[:n].set(jnp.asarray(pool))
+                if prob:
+                    m.occ_pool = m.occ_pool.at[:n].set(jnp.asarray(body))
+                    m.pool = m.pool.at[:n].set(_status_from_occupancy(m.occ_pool[:n]))
+                else:
+                    m.pool = m.pool.at[:n].set(jnp.asarray(body))
                 m._rebuild_coarse()
             return m
         shape = tuple(np.frombuffer(f.read(12), "<i4"))

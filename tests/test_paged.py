@@ -181,6 +181,41 @@ def test_free_space_insert_carves_rays():
     assert bool(u3[0])
 
 
+def test_free_space_insert_nonpow2_no_phantom_carve():
+    """Regression: a non-power-of-two point count pads with -1e9 sentinels;
+    sentinel rays must be dead — previously each one carved the whole
+    origin->corner diagonal hard-FREE, overwriting legitimate statuses."""
+    m = PagedHierarchicalMap(DIMS, 1.0)
+    origin = (100.5, 100.5, 100.5)
+    hits = np.array(
+        [[120.5, 100.5, 100.5], [100.5, 120.5, 100.5], [100.5, 100.5, 120.5]],
+        np.float32,
+    )  # 3 points -> pads to 4: one sentinel ray toward the negative corner
+    m.insert_point_cloud_with_free_space(hits, origin)
+    # the origin->corner diagonal must stay UNKNOWN, not FREE
+    diag = np.arange(10, 100, dtype=np.int32)
+    q = jnp.asarray(np.stack([diag, diag, diag], axis=1))
+    _, unk, free = m.probe(q)
+    assert not bool(np.asarray(free).any())
+    assert bool(np.asarray(unk).all())
+    # the real rays still carved
+    o, _, f = m.probe(jnp.asarray([[110, 100, 100], [100, 110, 100]], jnp.int32))
+    assert bool(np.asarray(f).all()) and not bool(np.asarray(o).any())
+
+
+def test_min_level_block_cube_keeps_unknown_beside_occupied():
+    """probe_status at min_level 3-5: a cube mixing an occupied block with
+    unallocated (unknown) blocks must carry NS_UNKNOWN through the OR, same
+    as the dense page pyramid and the tile path."""
+    from gpu_voxels_tpu.maps.hierarchical import NS_OCCUPIED, NS_UNKNOWN
+
+    m = PagedHierarchicalMap(DIMS, 1.0)
+    m.insert_point_cloud(np.array([[100.5, 100.5, 100.5]], np.float32))
+    s = int(np.asarray(m.probe_status(jnp.asarray([[100, 100, 100]], jnp.int32), min_level=4))[0])
+    assert s & NS_OCCUPIED
+    assert s & NS_UNKNOWN  # 15 of the 16-block cube are unallocated
+
+
 def test_paged_disk_roundtrip(tmp_path):
     """write_paged_map/read_paged_map: statuses, flags, page/slot structure
     and probes survive a disk roundtrip; facade save/load dispatches it."""
@@ -209,6 +244,125 @@ def test_paged_disk_roundtrip(tmp_path):
     )
     o, _, f = m2.probe(jnp.asarray([[80, 80, 80]], jnp.int32))
     assert bool(f[0]) and not bool(o[0])
+
+
+def test_probabilistic_paged_octree_scale():
+    """GvlNTreeProb at full NTree scale (Octree.cu:71): log-odds inserts and
+    the EnvNodesProbCommon.h:30-45 occupancy contract at 32768^3, sparse."""
+    from gpu_voxels_tpu.constants import MapType
+
+    m = PagedHierarchicalMap((32768, 32768, 32768), 1.0, probabilistic=True)
+    assert m.map_type == MapType.MT_PROBAB_OCTREE
+    pts = np.array([[31000.5, 17.5, 22222.5], [5.5, 30000.5, 12345.5]], np.float32)
+    m.insert_point_cloud(pts)  # meaning insert: occ = MAX_PROBABILITY
+    c = jnp.asarray(np.floor(pts).astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(m.probe_occupancy(c)), [127, 127])
+    occ, unk, free = m.probe(c)
+    assert bool(np.asarray(occ).all())
+    # eBVM_FREE insert sets MIN_PROBABILITY
+    m.insert_point_cloud(pts[:1], meaning=0)
+    assert int(np.asarray(m.probe_occupancy(c))[0]) == -127
+    o2, _, f2 = m.probe(c)
+    assert bool(f2[0]) and not bool(o2[0]) and bool(o2[1])
+    # untouched space reads UNKNOWN (-128), coarse pyramid still answers
+    q = jnp.asarray([[1, 1, 1]], jnp.int32)
+    assert int(np.asarray(m.probe_occupancy(q))[0]) == -128
+    assert bool(m.probe(q)[1][0])
+    assert bool(m.probe(c[1:], min_level=6)[0][0])
+    assert m.memory_usage() < 300 * 1024 * 1024
+
+
+def test_probabilistic_paged_sensor_fusion_contract():
+    """Exact insertSensorData arithmetic on the sparse tier: hit =
+    UNKNOWN+SENSOR_MODEL_OCCUPIED clamped, ray crossing = SENSOR_MODEL_FREE
+    clamped at MIN_PROBABILITY; occupied needs occ >= 10 (two frames)."""
+    m = PagedHierarchicalMap(DIMS, 1.0, probabilistic=True)
+    origin = (100.5, 100.5, 100.5)
+    hits = np.array([[120.5, 100.5, 100.5]], np.float32)
+    m.insert_point_cloud_with_free_space(hits, origin)
+    hit_q = jnp.asarray([[120, 100, 100]], jnp.int32)
+    ray_q = jnp.asarray([[110, 100, 100]], jnp.int32)
+    assert int(np.asarray(m.probe_occupancy(hit_q))[0]) == -128 + 72  # -56
+    assert int(np.asarray(m.probe_occupancy(ray_q))[0]) == -127  # clamp floor
+    o, _, f = m.probe(jnp.concatenate([hit_q, ray_q]))
+    assert not bool(o[0])  # -56 < THRESHOLD_OCCUPANCY: not yet occupied
+    assert bool(f[1])
+    m.insert_point_cloud_with_free_space(hits, origin)
+    assert int(np.asarray(m.probe_occupancy(hit_q))[0]) == -56 + 72  # 16
+    o2, _, _ = m.probe(hit_q)
+    assert bool(o2[0])  # 16 >= 10: occupied
+    # off-ray space stays untouched
+    assert int(np.asarray(m.probe_occupancy(jnp.asarray([[100, 105, 100]], jnp.int32)))[0]) == -128
+
+
+def test_probabilistic_paged_nonpow2_and_depth_image():
+    """Sentinel rays are dead in the probabilistic tier too; the depth-image
+    entry point (octree Sensor pipeline) fuses hits + carving."""
+    from gpu_voxels_tpu.sensors import Sensor
+
+    m = PagedHierarchicalMap(DIMS, 1.0, probabilistic=True)
+    origin = (100.5, 100.5, 100.5)
+    hits = np.array(
+        [[120.5, 100.5, 100.5], [100.5, 120.5, 100.5], [100.5, 100.5, 120.5]],
+        np.float32,
+    )  # 3 points pads to 4: one sentinel
+    m.insert_point_cloud_with_free_space(hits, origin)
+    diag = np.arange(10, 100, dtype=np.int32)
+    q = jnp.asarray(np.stack([diag, diag, diag], axis=1))
+    assert bool((np.asarray(m.probe_occupancy(q)) == -128).all())
+
+    cam = Sensor(
+        position=np.array([200.5, 200.5, 200.5], np.float32),
+        data_width=16, data_height=16, fx=16.0, fy=16.0, cx=8.0, cy=8.0,
+    )
+    depth = np.full((16, 16), 20.0, np.float32)
+    depth[0, 0] = 0.0  # invalid pixel: no ray
+    m2 = PagedHierarchicalMap(DIMS, 1.0, probabilistic=True)
+    m2.insert_depth_image(depth, cam)
+    # the central ray's endpoint voxel got one +72 hit
+    center = np.asarray(cam.pose())[:3, 3] + np.asarray([0.0, 0.0, 20.0])
+    cq = jnp.asarray(np.floor(center[None]).astype(np.int32))
+    assert int(np.asarray(m2.probe_occupancy(cq))[0]) >= -56
+    # a cell partway along the optical axis was carved: any crossing count
+    # clamps -128 + k*SENSOR_MODEL_FREE to the -127 floor
+    mid = jnp.asarray([[200, 200, 210]], jnp.int32)
+    assert int(np.asarray(m2.probe_occupancy(mid))[0]) == -127
+    assert bool(m2.probe(mid)[2][0])  # reads FREE
+
+
+def test_factory_routes_large_prob_octree_to_paged():
+    from gpu_voxels_tpu.api import GpuVoxels
+    from gpu_voxels_tpu.constants import MapType
+
+    GpuVoxels._instance = None
+    gvl = GpuVoxels.get_instance()
+    gvl.initialize(2048, 2048, 2048, 1.0)
+    m = gvl.add_map(MapType.MT_PROBAB_OCTREE, "bigprob")
+    assert isinstance(m, PagedHierarchicalMap) and m.probabilistic
+    GpuVoxels._instance = None
+
+
+def test_paged_prob_disk_roundtrip(tmp_path):
+    from gpu_voxels_tpu.utils import io as map_io
+
+    m = PagedHierarchicalMap((32768, 32768, 32768), 0.5, probabilistic=True)
+    pts = np.array([[3000.25, 17.75, 12222.25], [5.25, 15000.25, 1234.75]], np.float32)
+    m.insert_point_cloud_with_free_space(pts, (3000.25, 20.75, 12222.25))
+    path = tmp_path / "paged_prob.bin"
+    map_io.write_paged_map(m, path)
+    m2 = map_io.read_hierarchical_map(path)
+    assert isinstance(m2, PagedHierarchicalMap) and m2.probabilistic
+    assert m2.n_tiles() == m.n_tiles()
+    np.testing.assert_array_equal(
+        np.asarray(m2.occ_pool[: m2.n_tiles()]), np.asarray(m.occ_pool[: m.n_tiles()])
+    )
+    q = jnp.asarray(np.floor(pts / 0.5).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(m.probe_occupancy(q)), np.asarray(m2.probe_occupancy(q))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m.probe_status(q)), np.asarray(m2.probe_status(q))
+    )
 
 
 def test_small_side_length_padding_sentinel_safe():
