@@ -101,6 +101,45 @@ def _is_uniform(status: jnp.ndarray) -> jnp.ndarray:
     return (s & (s - 1)) == 0  # 0 never occurs in-range
 
 
+def query_coords_of(other):
+    """(coords, valid-occupied mask) of the map being probed against an
+    octree — the intersect_sparse input enumeration. Lists yield their
+    entries; dense maps yield their full index space masked by the octree
+    probe's occupancy rule (prob occ >= 50 hardcoded, kernel_common.h:172-183;
+    bit-map !isZero)."""
+    from .voxellist import VoxelList
+    from .voxelmap import BitVectorVoxelMap, ProbVoxelMap
+
+    if isinstance(other, VoxelList):
+        coords = other.entry_coords()  # hi-aware: 60-bit morton ids decode fully
+        valid = other.ids != jnp.uint32(0xFFFFFFFF)
+        return coords, valid & other._entry_occupied()
+    if isinstance(other, ProbVoxelMap):
+        mask = other.data.astype(jnp.int32) >= 50
+    elif isinstance(other, BitVectorVoxelMap):
+        from .. import bitops
+
+        mask = ~bitops.is_zero(other.data)  # !isZero, NOT noneButEmpty
+    else:
+        raise TypeError(type(other))
+    dx, dy, _ = other.dims
+    n = other.voxelmap_size
+    lin = jnp.arange(n, dtype=jnp.int32)
+    zz = lin // (dx * dy)
+    rem = lin - zz * dx * dy
+    coords = jnp.stack([rem - (rem // dx) * dx, rem // dx, zz], axis=-1)
+    return coords, mask
+
+
+def _reject_octree_offset(offset) -> None:
+    """Octree x octree intersection takes no offset; the reference logs
+    GPU_VOXELS_MAP_OFFSET_ON_WRONG_DATA_STRUCTURE and proceeds without it
+    (GvlNTree.hpp:260-262) — here silently dropping a requested translation
+    would corrupt collision answers, so raise instead."""
+    if tuple(int(v) for v in offset) != (0, 0, 0):
+        raise ValueError("offset not supported on octree x octree collides")
+
+
 class _PyramidQueries:
     """Probe/collide machinery shared by the hierarchical tiers. Operates on
     self.pyramid / self.levels / self.dims only."""
@@ -136,63 +175,57 @@ class _PyramidQueries:
         return occupied, unknown, free
 
     def _query_coords_of(self, other):
-        from .voxellist import VoxelList
-        from .voxelmap import BitVectorVoxelMap, ProbVoxelMap
+        return query_coords_of(other)
 
-        if isinstance(other, VoxelList):
-            coords = other.entry_coords()  # hi-aware: 60-bit morton ids decode fully
-            valid = other.ids != jnp.uint32(0xFFFFFFFF)
-            return coords, valid & other._entry_occupied()
-        if isinstance(other, ProbVoxelMap):
-            # octree probe occupancy: occ >= 50 hardcoded (kernel_common.h:172-183)
-            mask = other.data.astype(jnp.int32) >= 50
-        elif isinstance(other, BitVectorVoxelMap):
-            from .. import bitops
+    @compiled("min_level", "offset")
+    def _collide_probe(self, other, min_level: int = 0, offset=(0, 0, 0)):
+        """intersect_sparse descent: probe self at other's voxel coords +
+        offset (GvlNTree.hpp:195); translated coords leaving the map never
+        hit. Returns (occupied hits, unknown hits)."""
+        coords, valid = query_coords_of(other)
+        c = coords + jnp.asarray(offset, jnp.int32)
+        dims_arr = jnp.asarray(self.dims, jnp.int32)
+        inside = jnp.all((c >= 0) & (c < dims_arr), axis=-1)
+        occ, unk, _ = self.probe(jnp.clip(c, 0, dims_arr - 1), min_level)
+        live = valid & inside
+        return (
+            jnp.sum(occ & live, dtype=jnp.uint32),
+            jnp.sum(unk & live, dtype=jnp.uint32),
+        )
 
-            mask = ~bitops.is_zero(other.data)  # !isZero, NOT noneButEmpty
-        else:
-            raise TypeError(type(other))
-        dx, dy, _ = other.dims
-        n = other.voxelmap_size
-        lin = jnp.arange(n, dtype=jnp.int32)
-        zz = lin // (dx * dy)
-        rem = lin - zz * dx * dy
-        coords = jnp.stack([rem - (rem // dx) * dx, rem // dx, zz], axis=-1)
-        return coords, mask
+    def collide_with(self, other, min_level: int = 0, offset=(0, 0, 0)):
+        """collideWith dispatch (GvlNTree.hpp:150-330): octree vs list/dense
+        map runs the intersect_sparse probe at other+offset; octree vs octree
+        runs the hierarchy intersection, which rejects nonzero offsets
+        exactly like the reference (GvlNTree.hpp:260-262)."""
+        from .paged import PagedHierarchicalMap
 
-    @compiled("min_level")
-    def collide_with(self, other, min_level: int = 0):
-        """intersect_sparse: count occupied-vs-occupied hits."""
-        coords, valid = self._query_coords_of(other)
-        occ, _, _ = self.probe(coords, min_level)
-        return jnp.sum(occ & valid, dtype=jnp.uint32)
+        if isinstance(other, PagedHierarchicalMap):
+            _reject_octree_offset(offset)
+            return other.collide_with(self, min_level=min_level)
+        if isinstance(other, _PyramidQueries):
+            _reject_octree_offset(offset)
+            return self.collide_with_hierarchical(other, min_level=min_level)
+        return self._collide_probe(other, min_level, offset)[0]
 
     def collide_with_resolution(
         self, other, coll_threshold: float = 1.0, resolution_level: int = 0, offset=(0, 0, 0)
     ):
         """collideWithResolution (CollisionInterfaces.h:53-60). In the
         reference only GvlNTree implements this mixin (GvlNTree.hpp:179-197);
-        resolution_level maps to the probe descent's min_level. The offset
-        argument is accepted for signature parity (the reference forwards it
-        to intersect_sparse); coll_threshold is ignored on this path exactly
-        like the reference's hardcoded probe occupancy (kernel_common.h:172)."""
+        resolution_level maps to the probe descent's min_level and offset is
+        forwarded into the probe (GvlNTree.hpp:195). coll_threshold is
+        ignored on this path exactly like the reference's hardcoded probe
+        occupancy (kernel_common.h:172)."""
         del coll_threshold
-        if tuple(offset) != (0, 0, 0):
-            raise NotImplementedError("offset probes not supported on the hierarchy")
         if resolution_level > self.levels:
             raise ValueError("resolution_level greater than octree height")
-        return self.collide_with(other, min_level=int(resolution_level))
+        return self.collide_with(other, min_level=int(resolution_level), offset=offset)
 
-    @compiled("min_level")
-    def collide_with_counting_unknown(self, other, min_level: int = 0):
+    def collide_with_counting_unknown(self, other, min_level: int = 0, offset=(0, 0, 0)):
         """collideWithTypesConsideringUnknownCells (GvlNTree.h:120-129):
         returns (collisions, unknown-cell hits)."""
-        coords, valid = self._query_coords_of(other)
-        occ, unk, _ = self.probe(coords, min_level)
-        return (
-            jnp.sum(occ & valid, dtype=jnp.uint32),
-            jnp.sum(unk & valid, dtype=jnp.uint32),
-        )
+        return self._collide_probe(other, min_level, offset)
 
     @compiled("min_level")
     def collide_with_hierarchical(self, other, min_level: int = 0):

@@ -210,6 +210,12 @@ class PagedSnapshot:
 # recompiles happen only on capacity doublings / new batch sizes.
 
 
+def _canon_offset(offset) -> tuple:
+    """Offsets are static jit arguments; canonicalize lists/arrays to a
+    hashable int tuple."""
+    return tuple(int(v) for v in np.asarray(offset).ravel())
+
+
 def _pad_points_pow2(pts: jnp.ndarray) -> jnp.ndarray:
     """Pad [N,3] float points to the next power of two with far-outside
     sentinels (dropped by the inside mask downstream)."""
@@ -422,6 +428,20 @@ def _paged_collide_hier(snap, hier, min_level: int, offset):
     inside = jnp.all((c >= 0) & (c < pd), axis=-1)
     occ, _, _ = hier.probe.__wrapped__(hier, jnp.clip(c, 0, pd - 1), min_level)
     return jnp.sum(occ & valid & inside, dtype=jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("min_level", "offset"))
+def _paged_collide_dense_probed(snap, other, min_level: int, offset):
+    """Paged octree x dense map at coarse resolution: the literal
+    intersect_sparse direction — probe self at every map voxel + offset,
+    counting map-occupied voxels whose (coarse) octree probe hits. Exact for
+    any min_level but materializes the map's full coordinate grid; the
+    min_level==0 default takes _paged_collide_dense's sparse gather
+    instead."""
+    from .hierarchical import query_coords_of
+
+    coords, valid = query_coords_of(other)
+    return _count_probe_hits(snap, coords, valid, min_level, offset)
 
 
 @functools.partial(jax.jit, static_argnames=("offset",))
@@ -765,17 +785,72 @@ class PagedHierarchicalMap:
         self.__init__(self.dims, self.side_length, self.probabilistic)
         return self
 
-    def collide_with_coords(self, coords, min_level: int = 0) -> jnp.ndarray:
-        occ, _, _ = self.probe(coords, min_level)
-        return jnp.sum(occ, dtype=jnp.uint32)
+    def collide_with_coords(self, coords, min_level: int = 0, offset=(0, 0, 0)) -> jnp.ndarray:
+        return _paged_collide_coords(
+            self.snapshot(), jnp.asarray(coords, jnp.int32), min_level,
+            _canon_offset(offset),
+        )[0]
 
-    def collide_with(self, other, min_level: int = 0) -> jnp.ndarray:
-        """intersect_sparse against a voxel list (the GvlNTree dispatch)."""
-        coords = other.entry_coords()
-        valid = (other.ids != jnp.uint32(0xFFFFFFFF)) & other._entry_occupied()
-        occ, _, _ = self.probe(jnp.clip(coords, 0, jnp.asarray(self.dims) - 1), min_level)
-        inside = jnp.all((coords >= 0) & (coords < jnp.asarray(self.dims)), axis=-1)
-        return jnp.sum(occ & valid & inside, dtype=jnp.uint32)
+    def collide_with(self, other, min_level: int = 0, offset=(0, 0, 0)) -> jnp.ndarray:
+        """collideWith dispatch on the sparse octree (GvlNTree.hpp:150-330):
+
+        - voxel list: intersect_sparse probe at other's coords + offset
+          (GvlNTree.hpp:222-240, offset forwarded at :195)
+        - dense voxel map: intersect_load_balance(ProbVoxelMap&) analogue
+          (NTree.hpp:1006) — at min_level 0 self's exact occupied set gathers
+          the map (identical count, sparse work); coarser levels run the
+          literal per-map-voxel probe
+        - paged octree / dense hierarchy: NTree x NTree (NTree.hpp:1139);
+          nonzero offsets are rejected, where the reference logs
+          GPU_VOXELS_MAP_OFFSET_ON_WRONG_DATA_STRUCTURE and drops them
+          (GvlNTree.hpp:260-262)
+        """
+        from .hierarchical import _PyramidQueries, _reject_octree_offset
+        from .voxellist import VoxelList
+        from .voxelmap import BitVectorVoxelMap, ProbVoxelMap
+
+        off = _canon_offset(offset)
+        if isinstance(other, VoxelList):
+            return _paged_collide_list(self.snapshot(), other, min_level, off)[0]
+        if isinstance(other, PagedHierarchicalMap):
+            _reject_octree_offset(off)
+            return _paged_collide_paged(self.snapshot(), other.snapshot(), min_level, (0, 0, 0))
+        if isinstance(other, _PyramidQueries):
+            _reject_octree_offset(off)
+            return _paged_collide_hier(self.snapshot(), other, min_level, (0, 0, 0))
+        if isinstance(other, (ProbVoxelMap, BitVectorVoxelMap)):
+            if min_level == 0:
+                return _paged_collide_dense(self.snapshot(), other, off)
+            return _paged_collide_dense_probed(self.snapshot(), other, min_level, off)[0]
+        raise TypeError(type(other))
+
+    def collide_with_resolution(
+        self, other, coll_threshold: float = 1.0, resolution_level: int = 0, offset=(0, 0, 0)
+    ):
+        """collideWithResolution on the sparse octree (GvlNTree.hpp:179-330);
+        coll_threshold ignored like the reference's hardcoded probe occupancy
+        (kernel_common.h:172)."""
+        del coll_threshold
+        if resolution_level > self.fine_levels:
+            raise ValueError("resolution_level greater than octree height")
+        return self.collide_with(other, min_level=int(resolution_level), offset=offset)
+
+    def collide_with_counting_unknown(self, other, min_level: int = 0, offset=(0, 0, 0)):
+        """collideWithTypesConsideringUnknownCells (GvlNTree.h:115-129):
+        (collisions, unknown-cell hits). Unallocated space reads unknown —
+        the virtual NTree's implicit unknown nodes."""
+        from .voxellist import VoxelList
+
+        off = _canon_offset(offset)
+        if isinstance(other, VoxelList):
+            return _paged_collide_list(self.snapshot(), other, min_level, off)
+        return _paged_collide_dense_probed(self.snapshot(), other, min_level, off)
+
+    def collide_with_counting_unknown_coords(self, coords, min_level: int = 0, offset=(0, 0, 0)):
+        return _paged_collide_coords(
+            self.snapshot(), jnp.asarray(coords, jnp.int32), min_level,
+            _canon_offset(offset),
+        )
 
     # -- maintenance --------------------------------------------------------------
     def memory_usage(self) -> int:

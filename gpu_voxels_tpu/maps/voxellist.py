@@ -336,10 +336,22 @@ class VoxelList:
         return found
 
     @compiled("offset")
-    def collide_with(self, other: "VoxelList", offset=(0, 0, 0)) -> jnp.ndarray:
-        """collideVoxellists: count of shared voxel ids
-        (TemplateVoxelList.hpp:228-275)."""
+    def _collide_voxellist(self, other: "VoxelList", offset=(0, 0, 0)) -> jnp.ndarray:
         return jnp.sum(self._membership(other, offset), dtype=jnp.uint32)
+
+    def collide_with(self, other, offset=(0, 0, 0)) -> jnp.ndarray:
+        """collideWith dispatch: list x list counts shared voxel ids
+        (collideVoxellists, TemplateVoxelList.hpp:228-275); list x octree
+        forwards to the octree probe at self's coords + offset
+        (CollidableWithBitVectorOctree, CollisionInterfaces.h:231-243 — the
+        reference implements the mixin only inside GvlNTree, so the list
+        side dispatches to it)."""
+        from .hierarchical import _PyramidQueries
+        from .paged import PagedHierarchicalMap
+
+        if isinstance(other, (_PyramidQueries, PagedHierarchicalMap)):
+            return other.collide_with(self, offset=offset)
+        return self._collide_voxellist(other, offset)
 
     def _coarse_pair_keys(self, coords: jnp.ndarray, level: int, valid: jnp.ndarray):
         """(hi, lo) uint32 sort keys of 2^level-coarse cells; invalid -> EMPTY.

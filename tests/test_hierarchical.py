@@ -241,3 +241,29 @@ def test_bitmap_tier_save_load_and_camelcase(tmp_path):
     occ, _, _ = m2.probe(jnp.asarray([[5, 6, 7]], jnp.int32))
     assert bool(occ[0])
     GpuVoxels._instance = None
+
+
+def test_hierarchy_collide_offset_forwarded():
+    """The reference forwards offset into intersect_sparse on every octree
+    collide (GvlNTree.hpp:195): probe self at other's coords + offset."""
+    h = HierarchicalBitMap.create(DIMS).insert_point_cloud(
+        np.array([[10.5, 10.5, 10.5]], np.float32)
+    )
+    lst = bit_vector_voxel_list(DIMS).insert_point_cloud(
+        np.array([[7.5, 12.5, 10.5]], np.float32), 50
+    )
+    assert int(h.collide_with(lst)) == 0
+    assert int(h.collide_with(lst, offset=(3, -2, 0))) == 1
+    assert int(h.collide_with_resolution(lst, resolution_level=0, offset=(3, -2, 0))) == 1
+    # translated coords leaving the map never hit
+    assert int(h.collide_with(lst, offset=(100, 0, 0))) == 0
+    occ, unk = h.collide_with_counting_unknown(lst, offset=(3, -2, 0))
+    assert (int(occ), int(unk)) == (1, 0)
+    # list->octree dispatch direction (CollisionInterfaces.h:231-243)
+    assert int(lst.collide_with(h, offset=(3, -2, 0))) == 1
+
+    dense = ProbVoxelMap.create(DIMS).insert_point_cloud(
+        np.array([[7.5, 12.5, 10.5]], np.float32)
+    )
+    assert int(h.collide_with(dense, offset=(3, -2, 0))) == 1
+    assert int(h.collide_with(dense)) == 0

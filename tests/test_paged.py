@@ -378,3 +378,107 @@ def test_small_side_length_padding_sentinel_safe():
     np.testing.assert_array_equal(
         np.sort(occ[:, 0]), np.array([511, 512, 513])
     )
+
+
+# -- collide surface (NTree.hpp:1006/1139, GvlNTree.hpp:150-330) --------------
+def _oracle_hits(a_coords, b_coords, offset=(0, 0, 0)):
+    """Count of b-voxels c with (c + offset) in a's occupied set."""
+    a = {tuple(v) for v in np.asarray(a_coords).tolist()}
+    off = np.asarray(offset, np.int64)
+    return sum(tuple((np.asarray(c) + off).tolist()) in a for c in np.asarray(b_coords).tolist())
+
+
+def test_paged_x_dense_map_collide_with_offset():
+    """intersect_load_balance(ProbVoxelMap&) analogue (NTree.hpp:1006):
+    exact counts vs the set oracle, prob and bit maps, zero and nonzero
+    offsets."""
+    from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap, ProbVoxelMap
+
+    rng = np.random.default_rng(11)
+    paged_pts = rng.uniform(0, 250, (400, 3)).astype(np.float32)
+    map_pts = np.concatenate([paged_pts[:120], rng.uniform(0, 250, (200, 3)).astype(np.float32)])
+    m = PagedHierarchicalMap(DIMS, 1.0)
+    m.insert_point_cloud(paged_pts)
+    pc, mc = np.floor(paged_pts).astype(np.int32), np.floor(map_pts).astype(np.int32)
+
+    for dense in (
+        ProbVoxelMap.create((256, 256, 256)).insert_point_cloud(map_pts),
+        BitVectorVoxelMap.create((256, 256, 256)).insert_point_cloud(map_pts),
+    ):
+        assert int(m.collide_with(dense)) == _oracle_hits(pc, mc)
+        off = (3, -2, 5)
+        assert int(m.collide_with(dense, offset=off)) == _oracle_hits(pc, mc, off)
+
+
+def test_paged_x_dense_map_resolution_probe():
+    """collideWithResolution vs a dense map at min_level > 0 runs the literal
+    per-map-voxel probe: count = map-occupied voxels whose coarse octree
+    probe hits."""
+    from gpu_voxels_tpu.maps.voxelmap import ProbVoxelMap
+
+    m = PagedHierarchicalMap(DIMS, 1.0)
+    m.insert_point_cloud(np.array([[100.5, 100.5, 100.5]], np.float32))
+    dense = ProbVoxelMap.create((256, 256, 256)).insert_point_cloud(
+        np.array([[100.5, 100.5, 101.5], [103.5, 100.5, 100.5], [90.5, 90.5, 90.5]], np.float32)
+    )
+    # level 1: (100,100,101) shares the 2-cube -> 1 hit; level 2 adds (103,100,100)
+    assert int(m.collide_with_resolution(dense, resolution_level=1)) == 1
+    assert int(m.collide_with_resolution(dense, resolution_level=2)) == 2
+
+
+def test_paged_x_paged_collide():
+    """NTree x NTree (intersect_load_balance, NTree.hpp:1139): exact shared
+    occupied count; offset rejected like the reference's error path."""
+    rng = np.random.default_rng(12)
+    pa = rng.uniform(0, 3000, (300, 3)).astype(np.float32)
+    pb = np.concatenate([pa[:77], rng.uniform(0, 3000, (100, 3)).astype(np.float32)])
+    a = PagedHierarchicalMap(DIMS, 1.0)
+    a.insert_point_cloud(pa)
+    b = PagedHierarchicalMap(DIMS, 1.0)
+    b.insert_point_cloud(pb)
+    expect = _oracle_hits(np.floor(pa).astype(np.int32), np.floor(pb).astype(np.int32))
+    assert int(a.collide_with(b)) == expect
+    with pytest.raises(ValueError):
+        a.collide_with(b, offset=(1, 0, 0))
+
+
+def test_paged_x_dense_hierarchy_collide_both_directions():
+    """Paged octree x dense pyramid tier, dispatched from either side."""
+    from gpu_voxels_tpu.maps.hierarchical import HierarchicalBitMap
+
+    rng = np.random.default_rng(13)
+    pa = rng.uniform(0, 200, (150, 3)).astype(np.float32)
+    pb = np.concatenate([pa[:40], rng.uniform(0, 200, (60, 3)).astype(np.float32)])
+    paged = PagedHierarchicalMap(DIMS, 1.0)
+    paged.insert_point_cloud(pa)
+    hier = HierarchicalBitMap.create((256, 256, 256)).insert_point_cloud(pb)
+    expect = _oracle_hits(np.floor(pb).astype(np.int32), np.floor(pa).astype(np.int32))
+    assert int(paged.collide_with(hier)) == expect
+    assert int(hier.collide_with(paged)) == expect
+
+
+def test_paged_counting_unknown_and_list_dispatch():
+    """collideWithTypesConsideringUnknownCells (GvlNTree.h:115-129) on the
+    sparse tier + the list->octree collide direction
+    (CollisionInterfaces.h:231-243)."""
+    m = PagedHierarchicalMap(DIMS, 1.0)
+    origin = (100.5, 100.5, 100.5)
+    hits = np.array([[120.5, 100.5, 100.5], [100.5, 120.5, 100.5]], np.float32)
+    m.insert_point_cloud_with_free_space(hits, origin)  # carves rays FREE
+    lst = bit_vector_morton_voxel_list(DIMS).insert_point_cloud(
+        np.array(
+            [[120.5, 100.5, 100.5],  # occupied hit
+             [110.5, 100.5, 100.5],  # carved free: neither
+             [50.5, 50.5, 50.5]],    # untouched: unknown
+            np.float32,
+        ),
+        50,
+    )
+    occ, unk = m.collide_with_counting_unknown(lst)
+    assert (int(occ), int(unk)) == (1, 1)
+    assert int(lst.collide_with(m)) == 1  # list->octree dispatch
+    # offset translates the list into the octree frame (GvlNTree.hpp:195):
+    # (120,100,100) + (-20,20,0) lands on the occupied (100,120,100)
+    assert int(m.collide_with(lst, offset=(-20, 20, 0))) == 1
+    occ2, unk2 = m.collide_with_counting_unknown(lst, offset=(-20, 20, 0))
+    assert int(occ2) == 1
