@@ -251,44 +251,16 @@ class GpuVoxels:
     # -- persistence ---------------------------------------------------------
     def save_map(self, map_name: str, path) -> bool:
         """Map writeToDisk via the facade (reference binary formats)."""
-        from .maps.hierarchical import HierarchicalBitMap, HierarchicalProbMap
-        from .maps.paged import PagedHierarchicalMap
-        from .maps.voxellist import VoxelList
         from .utils import io as map_io
 
-        m = self._maps[map_name]
-        if isinstance(m, VoxelList):
-            map_io.write_voxel_list(m, path)
-        elif isinstance(m, PagedHierarchicalMap):
-            map_io.write_paged_map(m, path)
-        elif isinstance(m, (HierarchicalProbMap, HierarchicalBitMap)):
-            map_io.write_hierarchical_map(m, path)
-        else:
-            map_io.write_voxel_map(m, path)
+        map_io.write_map(self._maps[map_name], path)
         return True
 
     def load_map(self, map_name: str, path) -> bool:
         """Map readFromDisk via the facade; rebinds the named map."""
-        from .constants import MapType as MT
         from .utils import io as map_io
 
-        import numpy as np_
-
-        with open(path, "rb") as f:
-            map_type = MT(int(np_.frombuffer(f.read(4), "<i4")[0]))
-        if map_type in (MT.MT_PROBAB_OCTREE, MT.MT_BITVECTOR_OCTREE):
-            m = map_io.read_hierarchical_map(path)
-        elif map_type in (
-            MT.MT_BITVECTOR_VOXELLIST,
-            MT.MT_BITVECTOR_MORTON_VOXELLIST,
-            MT.MT_PROBAB_VOXELLIST,
-            MT.MT_PROBAB_MORTON_VOXELLIST,
-            MT.MT_COUNTING_VOXELLIST,
-        ):
-            m = map_io.read_voxel_list(path)
-        else:
-            m = map_io.read_voxel_map(path)
-        self._maps[map_name] = m
+        self._maps[map_name] = map_io.read_map(path)
         self._locks.setdefault(map_name, threading.RLock())
         self._vis.setdefault(map_name, VisProvider(map_name))
         return True
@@ -298,8 +270,16 @@ class GpuVoxels:
         return self._vis[map_name].visualize(self._maps[map_name], force_repaint)
 
     def visualize_primitives_array(self, array_name: str, force_repaint: bool = True) -> bool:
+        """Publish a primitive array into the live viewer manifest
+        (VisPrimitiveArray, vis_interface/VisPrimitiveArray.h)."""
+        import os
+
+        from .vis.serve import publish_primitives
+
         arr = self._prim_arrays[array_name]
-        LOG.info("primitive array '%s': %d primitives ready for readback", array_name, arr.size)
+        out_dir = os.environ.get("GPU_VOXELS_VIS_DIR", "/tmp/gpu_voxels_tpu_vis")
+        publish_primitives(out_dir, array_name, arr)
+        LOG.info("primitive array '%s': %d primitives published", array_name, arr.size)
         return True
 
 

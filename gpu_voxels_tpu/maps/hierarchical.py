@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.io import DiskIO
 from .. import probability
 from ..constants import (
     THRESHOLD_OCCUPANCY,
@@ -140,7 +141,7 @@ def _reject_octree_offset(offset) -> None:
         raise ValueError("offset not supported on octree x octree collides")
 
 
-class _PyramidQueries:
+class _PyramidQueries(DiskIO):
     """Probe/collide machinery shared by the hierarchical tiers. Operates on
     self.pyramid / self.levels / self.dims only."""
 

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.io import DiskIO
 from ..constants import (
     MAX_PROBABILITY,
     MIN_PROBABILITY,
@@ -467,7 +468,7 @@ def _paged_collide_dense(snap, other, offset):
     return jnp.sum(occ_map & valid & inside, dtype=jnp.uint32)
 
 
-class PagedHierarchicalMap:
+class PagedHierarchicalMap(DiskIO):
     """Sparse deterministic hierarchical map (GvlNTree-scale worlds).
 
     Not a pytree: the host grows the pool/page arrays between jitted steps.

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.io import DiskIO
 from .. import bitops, morton, probability
 from ..constants import NUM_BIT_PLANES, UNKNOWN_PROBABILITY, BitVoxelMeaning, MapType
 from ..ops.insert import linear_offset, map_to_voxels
@@ -97,7 +98,7 @@ def _pair_searchsorted(hi_arr, lo_arr, hi_q, lo_q):
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
-class VoxelList:
+class VoxelList(DiskIO):
     ids: jnp.ndarray  # uint32[C] low word, sorted (lexicographic with ids_hi)
     ids_hi: jnp.ndarray  # uint32[C] high word (0 in linear mode)
     payload: jnp.ndarray

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.io import DiskIO
 from .. import bitops, probability
 from ..constants import (
     UNKNOWN_PROBABILITY,
@@ -42,7 +43,7 @@ def _n(dims: Dims) -> int:
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
-class _DenseMap:
+class _DenseMap(DiskIO):
     data: jnp.ndarray
     dims: Dims = field(metadata=dict(static=True))
     side_length: float = field(metadata=dict(static=True))

@@ -149,28 +149,17 @@ def _shift3d(grid, off, fill):
     return g
 
 
-# The Pallas halo-round kernel (ops/edt_pallas) compiles and matches the XLA
-# round exactly on TPU, but measured no faster (the in-kernel dynamic sublane
-# slices force relayouts that eat the DMA traffic win), so the fused-slice
-# XLA round stays the default. Flip to experiment.
-USE_PALLAS_ROUNDS = False
-
-
 def _jfa_round(grid: jnp.ndarray, best_d2: jnp.ndarray, s: int, dims: Dims):
     """One JFA round: merge all 26 neighbors at step s in one fused pass.
 
-    Short-range rounds on tile-aligned grids run through the Pallas halo
-    kernel (ops/edt_pallas: tile+halo DMA'd to VMEM once, all 26 merges
-    on-chip). Otherwise the grid is padded once (uninitialised border) so
-    every neighbor is a static slice of one array — XLA fuses the whole
-    round into a single sweep instead of materializing 26 shifted copies.
+    The grid is padded once (uninitialised border) so every neighbor is a
+    static slice of one array — XLA fuses the whole round into a single
+    sweep instead of materializing 26 shifted copies. (A Pallas halo-DMA
+    round was prototyped and measured no faster — in-kernel dynamic sublane
+    slices forced relayouts that ate the DMA win — so the fused-slice XLA
+    round is the permanent form; the winning Pallas effort lives in the
+    envelope sweeps, ops/edt_envelope.py.)
     """
-    if USE_PALLAS_ROUNDS:
-        from . import edt_pallas
-
-        out = edt_pallas.jfa_round_pallas(grid, best_d2, s, dims)
-        if out is not None:
-            return out
     dz, dy, dx = grid.shape
     p = jnp.pad(grid, s, constant_values=int(PBA_UNINITIALISED_PACKED))
     px, py, pz = _position_grids(dims)

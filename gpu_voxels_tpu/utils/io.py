@@ -257,3 +257,59 @@ def read_voxel_list(path):
         payload=payload,
         count=jnp.int32(n),
     )
+
+
+def write_map(m, path) -> None:
+    """Single-map writeToDisk dispatch (GpuVoxelsMap.h:200-204): every map
+    type serializes to its reference binary format."""
+    from ..maps.hierarchical import _PyramidQueries
+    from ..maps.paged import PagedHierarchicalMap
+    from ..maps.voxellist import VoxelList
+
+    if isinstance(m, VoxelList):
+        write_voxel_list(m, path)
+    elif isinstance(m, PagedHierarchicalMap):
+        write_paged_map(m, path)
+    elif isinstance(m, _PyramidQueries):
+        write_hierarchical_map(m, path)
+    else:
+        write_voxel_map(m, path)
+
+
+def read_map(path):
+    """Single-map readFromDisk dispatch on the file's MapType header
+    (GpuVoxelsMap.h:205-209). Returns the loaded map instance."""
+    with open(path, "rb") as f:
+        map_type = MapType(int(np.frombuffer(f.read(4), "<i4")[0]))
+    if map_type in (MapType.MT_PROBAB_OCTREE, MapType.MT_BITVECTOR_OCTREE):
+        return read_hierarchical_map(path)
+    if map_type in (
+        MapType.MT_BITVECTOR_VOXELLIST,
+        MapType.MT_BITVECTOR_MORTON_VOXELLIST,
+        MapType.MT_PROBAB_VOXELLIST,
+        MapType.MT_PROBAB_MORTON_VOXELLIST,
+        MapType.MT_COUNTING_VOXELLIST,
+    ):
+        return read_voxel_list(path)
+    return read_voxel_map(path)
+
+
+class DiskIO:
+    """writeToDisk/readFromDisk map contract (GpuVoxelsMap.h:200-209),
+    mixed into every map tier. Immutable pytree maps cannot refill in
+    place, so read_from_disk returns the loaded instance (the repo-wide
+    operations-return-new-instances convention); a MapType mismatch raises
+    where the reference logs and returns false."""
+
+    def write_to_disk(self, path) -> bool:
+        write_map(self, path)
+        return True
+
+    def read_from_disk(self, path):
+        m = read_map(path)
+        if int(m.map_type) != int(self.map_type):
+            raise ValueError(
+                f"file holds {MapType(int(m.map_type)).name}, "
+                f"map is {MapType(int(self.map_type)).name}"
+            )
+        return m

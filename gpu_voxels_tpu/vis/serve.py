@@ -80,11 +80,19 @@ function rebuild() {
       if (ax !== undefined && (c[ax] < lo || c[ax] > hi)) return;
       keep.push(i);
     });
-    const geo = new THREE.BoxGeometry(layer.side, layer.side, layer.side);
+    // primitive-array layers (VisPrimitiveArray equivalent): unit geometry
+    // scaled per instance by its own diameter; voxel layers: uniform cubes
+    const geo = layer.prim === 'sphere'
+      ? new THREE.SphereGeometry(0.5, 12, 8)
+      : new THREE.BoxGeometry(layer.side, layer.side, layer.side);
     const mesh = new THREE.InstancedMesh(geo, new THREE.MeshLambertMaterial(), keep.length);
     const mtx = new THREE.Matrix4();
     keep.forEach((i, j) => {
       const c = layer.centers[i];
+      if (layer.scales) {
+        const s = layer.prim === 'sphere' ? layer.scales[i] : layer.scales[i] / layer.side;
+        mtx.makeScale(s, s, s);
+      } else { mtx.identity(); }
       mtx.setPosition(c[0], c[1], c[2]); mesh.setMatrixAt(j, mtx);
       const t = layer.types ? String(layer.types[i]) : null;
       const col = (t && colors[t]) ? colors[t] : layer.colors[i];
@@ -166,6 +174,39 @@ def publish_cubes(out_dir, name: str, m, threshold: float = 0.5, cubes=None) -> 
         # per-voxel meaning ids: drive the viewer's meaning_colors /
         # meaning_visible config and click-to-inspect
         types=[int(t) for t in types],
+    )
+    (out / f"{name}.cubes.json").write_text(json.dumps(payload))
+    manifest = {"maps": [], "ts": time.strftime("%H:%M:%S")}
+    mf = out / "manifest.json"
+    if mf.exists():
+        try:
+            manifest["maps"] = json.loads(mf.read_text()).get("maps", [])
+        except json.JSONDecodeError:
+            pass
+    if name not in manifest["maps"]:
+        manifest["maps"].append(name)
+    mf.write_text(json.dumps(manifest))
+
+
+def publish_primitives(out_dir, name: str, prim) -> None:
+    """Publish a PrimitiveArray overlay to the live viewer (the
+    VisPrimitiveArray path, vis_interface/VisPrimitiveArray.h): spheres or
+    cuboids at their positions, each scaled by its own diameter."""
+    import numpy as np
+
+    from ..primitive_array import PrimitiveType
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    pd = np.asarray(prim.positions_diameters, np.float32)
+    sphere = prim.prim_type == PrimitiveType.ePRIM_SPHERE
+    color = [255, 170, 40] if sphere else [80, 200, 255]
+    payload = dict(
+        side=1.0,
+        prim="sphere" if sphere else "cuboid",
+        centers=np.round(pd[:, :3], 4).tolist(),
+        scales=np.round(pd[:, 3], 4).tolist(),
+        colors=[color] * len(pd),
     )
     (out / f"{name}.cubes.json").write_text(json.dumps(payload))
     manifest = {"maps": [], "ts": time.strftime("%H:%M:%S")}

@@ -318,3 +318,59 @@ def test_vis_config_xml_roundtrip(tmp_path):
     from gpu_voxels_tpu.vis import serve
 
     assert "visconfig.json" in serve.INDEX and "slice" in serve.INDEX
+
+
+def test_per_map_write_read_disk_contract(tmp_path):
+    """writeToDisk/readFromDisk on the map objects themselves
+    (GpuVoxelsMap.h:200-209) — every tier, camelCase aliases included, and
+    the reference's map-type-mismatch rejection."""
+    import pytest
+
+    from gpu_voxels_tpu.maps.hierarchical import HierarchicalBitMap
+    from gpu_voxels_tpu.maps.paged import PagedHierarchicalMap
+    from gpu_voxels_tpu.maps.voxellist import bit_vector_voxel_list
+
+    pts = np.array([[1.5, 2.5, 3.5], [4.5, 5.5, 6.5]], np.float32)
+
+    m = ProbVoxelMap.create((8, 8, 8)).insert_point_cloud(pts)
+    assert m.writeToDisk(tmp_path / "p.bin")  # camelCase alias is installed
+    m2 = ProbVoxelMap.create((8, 8, 8)).readFromDisk(tmp_path / "p.bin")
+    np.testing.assert_array_equal(np.asarray(m2.data), np.asarray(m.data))
+
+    lst = bit_vector_voxel_list((8, 8, 8)).insert_point_cloud(pts, 50)
+    assert lst.write_to_disk(tmp_path / "l.bin")
+    l2 = bit_vector_voxel_list((8, 8, 8)).read_from_disk(tmp_path / "l.bin")
+    assert int(l2.collide_with(lst)) == 2
+
+    h = HierarchicalBitMap.create((32, 32, 32)).insert_point_cloud(pts)
+    assert h.write_to_disk(tmp_path / "h.bin")
+    h2 = HierarchicalBitMap.create((32, 32, 32)).read_from_disk(tmp_path / "h.bin")
+    assert bool(h2.probe(jnp.asarray([[1, 2, 3]], jnp.int32))[0][0])
+
+    pg = PagedHierarchicalMap((4096, 4096, 4096), 1.0)
+    pg.insert_point_cloud(pts * 100)
+    assert pg.write_to_disk(tmp_path / "pg.bin")
+    pg2 = PagedHierarchicalMap((4096, 4096, 4096), 1.0).read_from_disk(tmp_path / "pg.bin")
+    assert pg2.n_tiles() == pg.n_tiles()
+
+    # loading the wrong map type raises (reference logs + returns false)
+    with pytest.raises(ValueError):
+        ProbVoxelMap.create((8, 8, 8)).read_from_disk(tmp_path / "l.bin")
+
+
+def test_primitive_array_reaches_viewer_manifest(tmp_path, monkeypatch):
+    """visualizePrimitivesArray publishes spheres/cuboids into the live
+    viewer manifest (VisPrimitiveArray equivalent)."""
+    import json
+
+    monkeypatch.setenv("GPU_VOXELS_VIS_DIR", str(tmp_path))
+    gvl = fresh_gvl()
+    gvl.add_primitives(PrimitiveType.ePRIM_SPHERE, "balls")
+    gvl.modify_primitives("balls", np.array([[1, 2, 3], [4, 5, 6]], np.float32), diameter=0.5)
+    assert gvl.visualize_primitives_array("balls")
+    manifest = json.loads((tmp_path / "manifest.json").read_text())
+    assert "balls" in manifest["maps"]
+    layer = json.loads((tmp_path / "balls.cubes.json").read_text())
+    assert layer["prim"] == "sphere"
+    assert layer["centers"] == [[1, 2, 3], [4, 5, 6]]
+    assert layer["scales"] == [0.5, 0.5]

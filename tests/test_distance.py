@@ -158,27 +158,6 @@ def test_converged_jfa_exact_at_scale(n_obs):
         np.testing.assert_array_equal(got, expect, err_msg=fn.__name__)
 
 
-@pytest.mark.parametrize("s", [1, 4, 8])
-def test_pallas_round_matches_xla_round(s):
-    """The Pallas halo kernel must reproduce the XLA JFA round exactly."""
-    from gpu_voxels_tpu.ops import edt, edt_pallas
-    import jax.numpy as jnp
-
-    dims = (128, 128, 32)
-    n = dims[0] * dims[1] * dims[2]
-    rng = np.random.default_rng(s)
-    mask = np.zeros(n, bool)
-    mask[rng.integers(0, n, 200)] = True
-    packed = edt.init_from_obstacle_mask(jnp.asarray(mask), dims)
-    grid = packed.reshape(dims[2], dims[1], dims[0])
-    d2 = edt.squared_distance_grid(packed, dims)
-    ref_g, ref_d = edt._jfa_round(grid, d2, s, dims)
-    out = edt_pallas.jfa_round_pallas(grid, d2, s, dims)
-    assert out is not None
-    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref_g))
-    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref_d))
-
-
 def test_parallel_banding_is_exact():
     """The PBA replacement (Pallas envelope sweeps / XLA fallback) must match
     the brute oracle through the public API."""
