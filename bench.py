@@ -149,24 +149,30 @@ def main():
          & rng.integers(0, 4, (8, nb), dtype=np.uint64)).astype(np.uint32)
     )
 
-    def build_bit(k):
-        @jax.jit
-        def run(x, y):
-            def body(i, carry):
-                acc, a = carry
-                # identity barrier on the carried buffer: blocks loop
-                # hoisting without mutating (no per-iteration copy)
-                a = jax.lax.optimization_barrier(a)
-                return (acc + xla_collide.count_bit_bit(a, y), a)
+    def build_bit(count_fn):
+        def build(k):
+            @jax.jit
+            def run(x, y):
+                def body(i, carry):
+                    acc, a = carry
+                    # identity barrier on the carried buffer: blocks loop
+                    # hoisting without mutating (no per-iteration copy)
+                    a = jax.lax.optimization_barrier(a)
+                    return (acc + count_fn(a, y), a)
 
-            acc, _ = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), x))
-            return acc
+                acc, _ = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), x))
+                return acc
 
-        return run
+            return run
 
-    t_bit = _timed_loop(build_bit, 41, pa, pb)
+        return build
+
+    t_bit_xla = _timed_loop(build_bit(xla_collide.count_bit_bit), 41, pa, pb)
+    t_bit_pl = _timed_loop(build_bit(cp.count_bit_bit), 41, pa, pb)
+    t_bit = min(t_bit_xla, t_bit_pl)
     print(
-        f"bitvector collide 256^3: {t_bit*1e3:.3f} ms/sweep = {nb/t_bit:.3e} checks/s",
+        f"bitvector collide 256^3: xla {t_bit_xla*1e3:.3f} / pallas {t_bit_pl*1e3:.3f} "
+        f"ms/sweep = {nb/t_bit:.3e} checks/s (bound 1.34 ms)",
         file=sys.stderr,
     )
 
@@ -209,6 +215,165 @@ def main():
     print(
         f"insert 307k points into fresh 512^3: {t_ins*1e3:.3f} ms = "
         f"{pts_env.shape[0]/t_ins:.3e} points/s",
+        file=sys.stderr,
+    )
+
+    # --- the five BASELINE.md configs, one stderr line each ----------------
+    # config #1: gvl_linkage_test — exact 8000-count contract + call latency
+    import time as _time
+
+    from gpu_voxels_tpu.api import GpuVoxels
+    from gpu_voxels_tpu.constants import BitVoxelMeaning, MapType
+
+    GpuVoxels._instance = None
+    gvl = GpuVoxels.get_instance()
+    gvl.initialize(128, 128, 128, 0.01)
+    gvl.add_map(MapType.MT_PROBAB_VOXELMAP, "bA")
+    gvl.add_map(MapType.MT_PROBAB_VOXELMAP, "bB")
+    gvl.insert_box_into_map((0.2, 0.2, 0.2), (0.4, 0.4, 0.4), "bA", BitVoxelMeaning.eBVM_OCCUPIED, 1)
+    gvl.insert_box_into_map((0.3, 0.3, 0.3), (0.5, 0.5, 0.5), "bB", BitVoxelMeaning.eBVM_OCCUPIED, 1)
+    c1 = int(gvl.get_map("bA").collide_with(gvl.get_map("bB"), 0.1))
+    t0 = _time.perf_counter()
+    c1 = int(gvl.get_map("bA").collide_with(gvl.get_map("bB"), 0.1))
+    t_link = _time.perf_counter() - t0
+    print(
+        f"BASELINE #1 linkage scene: count={c1} (expect 8000) in {t_link*1e3:.1f} ms/call "
+        f"(~30 ms is relay fetch)",
+        file=sys.stderr,
+    )
+
+    # config #2: Kinect 640x480 -> 256^3 sensor fusion with the EXACT
+    # per-pixel carve (reference insertSensorData semantics, default path)
+    from gpu_voxels_tpu.ops import raycast as rc_ops
+
+    dims_s = (256, 256, 256)
+    ns = dims_s[0] * dims_s[1] * dims_s[2]
+    h_img, w_img = 480, 640
+    depth = np.full((h_img, w_img), 4.0, np.float32)
+    depth[100:300, 200:450] = 2.5
+    depth[350:460, 50:250] = 1.8
+    depth += rng.normal(0, 0.003, (h_img, w_img)).astype(np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [2.56, 2.56, 0.1]
+    depth_j = jnp.asarray(depth)
+    pose_j = jnp.asarray(pose)
+    fresh = jnp.full((ns,), jnp.int8(-128))
+
+    def build_fusion(k):
+        @jax.jit
+        def run(d):
+            def body(i, acc):
+                out = rc_ops.insert_depth_image(
+                    fresh, d + i.astype(jnp.float32) * 1e-6, pose_j,
+                    525.0, 525.0, 320.0, 240.0, 0.02, dims_s,
+                )
+                return acc + out[ns // 2].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        return run
+
+    t_fuse = _timed_loop(build_fusion, 8, depth_j)
+    print(
+        f"BASELINE #2 sensor fusion 640x480 -> 256^3 (EXACT carve, default): "
+        f"{t_fuse*1e3:.2f} ms = {1.0/t_fuse:.1f} Hz (target >=30)",
+        file=sys.stderr,
+    )
+
+    # config #3: UR10 swept-volume trajectory (64 steps, per-step SV bits)
+    from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap
+    from gpu_voxels_tpu.robot.presets import ur_robot
+    from gpu_voxels_tpu.robot.swept_volume import insert_swept_volume_batched
+
+    chain = ur_robot("ur10", spacing=0.02)
+    base = jnp.asarray([2.56, 2.56, 0.5], jnp.float32)
+
+    class _Placed:
+        def transformed_clouds_for(self, cfg):
+            from dataclasses import replace as _replace
+
+            full = jnp.concatenate([cfg, jnp.zeros((1,), jnp.float32)])
+            c = chain.transformed_clouds_for(full)
+            return _replace(c, points=c.points + base)
+
+    cfgs = np.linspace(
+        [0.3, -0.5, 0.5, 0, 0, 0], [-1.2, -0.2, 1.0, 0.4, 0.3, 0], 64
+    ).astype(np.float32)
+
+    def build_sv(k):
+        @jax.jit
+        def run(cs):
+            def body(i, acc):
+                m = insert_swept_volume_batched(
+                    BitVectorVoxelMap.create(dims_s, 0.02), _Placed(),
+                    cs + (acc % jnp.uint32(5)).astype(jnp.float32) * 1e-4,
+                )
+                return acc + xla_collide.count_bit_bit(m.data, pa)
+
+            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+        return run
+
+    t_sv = _timed_loop(build_sv, 4, jnp.asarray(cfgs))
+    print(
+        f"BASELINE #3 UR10 64-step swept volume + env collide at 256^3: "
+        f"{t_sv*1e3:.1f} ms/trajectory",
+        file=sys.stderr,
+    )
+
+    # config #4: PBA exact EDT at 512^3 (Pallas envelope sweeps)
+    ne5 = 512 ** 3
+    mask5 = np.zeros(ne5, bool)
+    mask5[rng.integers(0, ne5, 20000)] = True
+    packed5 = jax.jit(
+        lambda m: edt.init_from_obstacle_mask(m, (512, 512, 512))
+    )(jnp.asarray(mask5))
+
+    def build_pba(k):
+        @jax.jit
+        def run(p):
+            def body(i, acc):
+                pp = p.at[0].set(p[0] ^ (acc & jnp.uint32(1)))
+                out = edt.parallel_banding(pp, (512, 512, 512))
+                return acc + out[ne5 // 2]
+
+            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+        return run
+
+    t_pba = _timed_loop(build_pba, 3, packed5)
+    print(
+        f"BASELINE #4 exact PBA EDT 512^3 (20k obstacles): {t_pba*1e3:.1f} ms",
+        file=sys.stderr,
+    )
+
+    # config #5: motion-validity batch against a 1024^3 hierarchical env
+    from dataclasses import replace as _dc_replace
+
+    from gpu_voxels_tpu.geometry.pointcloud import MetaPointCloud
+    from gpu_voxels_tpu.maps.hierarchical import HierarchicalBitMap
+    from gpu_voxels_tpu.planning.validity import HierarchicalValidityChecker
+
+    env_pts = rng.uniform(0, 1024, (200000, 3)).astype(np.float32)
+    env_h = HierarchicalBitMap.create((1024, 1024, 1024)).insert_point_cloud(env_pts)
+    robot_cloud = MetaPointCloud.from_clouds(
+        [rng.uniform(-2, 2, (400, 3)).astype(np.float32)], names=("body",)
+    )
+
+    class _Translated:
+        def transformed_clouds_for(self, cfg):
+            return _dc_replace(robot_cloud, points=robot_cloud.points + cfg)
+
+    checker = HierarchicalValidityChecker(env_h, _Translated())
+    states = rng.uniform(100.0, 900.0, (315, 3)).astype(np.float32)
+    checker.batch_colliding_voxels(states)  # compile
+    t0 = _time.perf_counter()
+    cv = checker.batch_colliding_voxels(states)
+    t_val = _time.perf_counter() - t0
+    print(
+        f"BASELINE #5 motion validity at 1024^3: {len(states)} poses in "
+        f"{t_val*1e3:.1f} ms = {len(states)/t_val:.0f} checks/s "
+        f"(colliding={int((cv > 0).sum())})",
         file=sys.stderr,
     )
 

@@ -1,70 +1,199 @@
 """Port of examples/swept_fitter: multi-robot trajectory deconfliction.
 
-Each robot's trajectory is inserted as a swept volume (time encoded in SV
-bits); pairwise windowed bit collisions then tell whether two schedules
-conflict, and shifting one robot's sweep in time (shiftLeftSweptVolumeIDs /
-margin windows) finds a collision-free start delay — the reference Fitter's
-strategy, evaluated entirely on-device.
+The reference fitter (swept_fitter/main.cpp + Fitter.cpp) loads a .traj file
+per robot, renders each trajectory's 100-pose interpolation as a swept
+volume into its own map (Robot.cpp:115-160), then searches trajectory
+ORDERINGS: a schedule assigns each robot one trajectory per time slot, and
+slot-mates must not collide (Fitter::fitInternal / Fitter::collides,
+Trajectory::collidesWith == areColliding between the two swept maps).
+
+This port runs the same pipeline on two UR10s sharing a workspace:
+  * trajectories come from a reference-format .traj file through
+    robot.trajectory.load_trajectories (Robot.cpp:45-113 format) with the
+    reference's 100 intermediate poses (Robot.cpp:131-133);
+  * each trajectory renders as a time-in-bits swept volume via the fused
+    batched insert (one program per trajectory);
+  * the ordering search is the exact Fitter::fitInternal recursion;
+  * on top of the boolean reference answer, the time-in-bits encoding
+    answers the finer question the reference cannot: WHEN do conflicting
+    trajectories clash, and what start delay deconflicts them
+    (collide_with_bitcheck margin windows + shiftLeftSweptVolumeIDs).
+
+Defaults to the reference-scale 256^3 grid; pass dims to run small (the CPU
+test mesh uses 96^3).
 """
-from dataclasses import replace
+import os
+import tempfile
 
 import numpy as np
 
-from gpu_voxels_tpu.geometry.pointcloud import MetaPointCloud
 from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap
-from gpu_voxels_tpu.robot.dh import DHParameters, KinematicChain
-from gpu_voxels_tpu.robot.swept_volume import insert_swept_volume
+from gpu_voxels_tpu.robot.presets import ur_robot
+from gpu_voxels_tpu.robot.swept_volume import insert_swept_volume_batched
+from gpu_voxels_tpu.robot.trajectory import load_trajectories
 
-DIMS = (64, 64, 64)
-SIDE = 0.125
-STEPS = 10
+# two UR10s facing each other across a shared band of workspace
+BASES = {
+    "UR10_A": np.array([1.30, 1.30, 0.30], np.float32),
+    "UR10_B": np.array([1.30, 2.50, 0.30], np.float32),
+}
+
+# reference .traj format (Robot.cpp:45-113): per robot, two motions that
+# sweep through the shared band (conflict) and two that stay home-side
+TRAJ_A = """Trajectory_Num: 2
+Joint_Num: 6
+Name: A_reach_center
+shoulder_pan_joint   0.6   -1.1
+shoulder_lift_joint  -0.55 -0.45
+elbow_joint          1.15  1.05
+wrist_1_joint        0.0   0.0
+wrist_2_joint        0.0   0.0
+wrist_3_joint        0.0   0.0
+Joint_Num: 6
+Name: A_home_side
+shoulder_pan_joint   1.2   2.2
+shoulder_lift_joint  -0.9  -0.7
+elbow_joint          1.2   1.0
+wrist_1_joint        0.0   0.0
+wrist_2_joint        0.0   0.0
+wrist_3_joint        0.0   0.0
+"""
+TRAJ_B = """Trajectory_Num: 2
+Joint_Num: 6
+Name: B_reach_center
+shoulder_pan_joint   -0.6  1.1
+shoulder_lift_joint  -0.55 -0.45
+elbow_joint          1.15  1.05
+wrist_1_joint        0.0   0.0
+wrist_2_joint        0.0   0.0
+wrist_3_joint        0.0   0.0
+Joint_Num: 6
+Name: B_home_side
+shoulder_pan_joint   -1.2  -2.2
+shoulder_lift_joint  -0.9  -0.7
+elbow_joint          1.2   1.0
+wrist_1_joint        0.0   0.0
+wrist_2_joint        0.0   0.0
+wrist_3_joint        0.0   0.0
+"""
 
 
-class BasedArm:
-    """Planar arm whose base sits at `base` in world coordinates."""
+class PlacedUR:
+    """A UR chain whose base sits at a world position (Robot + base pose)."""
 
-    def __init__(self, base):
+    def __init__(self, name: str, base):
+        self.name = name
         self.base = np.asarray(base, np.float32)
-        params = [DHParameters(0, 0, 0.0, 0), DHParameters(0, 0, 1.2, 0), DHParameters(0, 0, 0.0, 0)]
-        cloud = np.linspace([0.1, 0, 0], [1.1, 0, 0], 11).astype(np.float32)
-        self.chain = KinematicChain(["base", "upper", "fore"], params,
-                                    MetaPointCloud.from_clouds([cloud, cloud], names=("upper", "fore")))
+        self.chain = ur_robot("ur10", spacing=0.04)
 
     def transformed_clouds_for(self, cfg):
+        from dataclasses import replace
+
         import jax.numpy as jnp
 
-        full = jnp.concatenate([jnp.asarray(cfg, jnp.float32), jnp.zeros((2,), jnp.float32)])[:3]
+        full = jnp.concatenate(
+            [jnp.asarray(cfg, jnp.float32), jnp.zeros((1,), jnp.float32)]
+        )  # + fixed tool0
         c = self.chain.transformed_clouds_for(full)
         return replace(c, points=c.points + self.base)
 
 
-def sweep_map(robot, start, end):
-    traj = [np.array([t], np.float32) for t in np.linspace(start, end, STEPS)]
-    return insert_swept_volume(BitVectorVoxelMap.create(DIMS, SIDE), robot, traj)
+def render_swept_volumes(robot, trajs, dims, side, steps):
+    """Robot::renderSweptVolumes: one swept map per trajectory, 100-pose
+    interpolation, time encoded in SV bits."""
+    maps = []
+    for t in trajs:
+        cfgs = t.interpolate(steps)
+        m = insert_swept_volume_batched(
+            BitVectorVoxelMap.create(dims, side), robot, cfgs
+        )
+        maps.append((t.name, m))
+    return maps
 
 
-def main():
-    # bases 3.5 m apart, reach 2.3 m each: workspaces overlap in a small
-    # middle band that robot A visits early (pointing +x) and robot B also
-    # visits early (pointing -x)
-    a = sweep_map(BasedArm([2.0, 4.0, 4.0]), 0.0, np.pi / 2)   # +x -> +y
-    b = sweep_map(BasedArm([5.5, 4.0, 4.0]), np.pi, np.pi / 2)  # -x -> +y
+def fit(robots, all_solutions=True, verbose=True):
+    """Fitter::fitInternal — search trajectory orderings; slot-mates of
+    earlier robots must not collide (Fitter.cpp:71-116)."""
+    n_traj = len(robots[0][1])
+    solutions = []
 
-    window = 1  # robots may not be in the same voxel within +-1 step
-    print("spatial overlap (any time):", int(a.collide_with(b)))
-    results = {}
+    def collides(solution, r, index):
+        _, maps = robots[r]
+        name, m = maps[solution[r][index]]
+        for r2 in range(r - 1, -1, -1):
+            name2, m2 = robots[r2][1][solution[r2][index]]
+            if int(m.collide_with(m2)) > 0:  # areColliding (GVL.cpp)
+                return True
+        return False
+
+    def rec(solution, robot, index, todo):
+        if index >= n_traj:
+            if robot == len(robots) - 1:
+                solutions.append([list(s) for s in solution])
+                return not all_solutions
+            return rec(solution, robot + 1, 0, todo)
+        for _ in range(len(todo[robot])):
+            traj = todo[robot].pop(0)
+            solution[robot].append(traj)
+            if not collides(solution, robot, index):
+                if rec(solution, robot, index + 1, todo):
+                    return True
+            todo[robot].append(traj)
+            solution[robot].pop()
+        return False
+
+    rec([[] for _ in robots], 0, 0, [list(range(n_traj)) for _ in robots])
+    if verbose:
+        for sol in solutions:
+            print("-------------------")
+            for (rname, maps), picks in zip(robots, sol):
+                print(f"{rname}:  " + " ".join(maps[i][0] for i in picks))
+    return solutions
+
+
+def main(dims=(256, 256, 256), side=0.015, steps=100, window=2, verbose=True):
+    d = tempfile.mkdtemp()
+    os.makedirs(os.path.join(d, "trajectories"), exist_ok=True)
+    for fname, content in (("ur_a.traj", TRAJ_A), ("ur_b.traj", TRAJ_B)):
+        with open(os.path.join(d, "trajectories", fname), "w") as f:
+            f.write(content)
+    os.environ["GPU_VOXELS_MODEL_PATH"] = d
+
+    robots = []
+    for name, traj_file in (("UR10_A", "ur_a.traj"), ("UR10_B", "ur_b.traj")):
+        r = PlacedUR(name, BASES[name])
+        trajs = load_trajectories(traj_file)
+        robots.append((name, render_swept_volumes(r, trajs, dims, side, steps)))
+
+    solutions = fit(robots, all_solutions=True, verbose=verbose)
+
+    # both robots reaching for the center concurrently must clash; the
+    # schedules pairing center-reach with home-side must survive
+    a_maps = dict(robots[0][1][i] for i in range(len(robots[0][1])))
+    b_maps = dict(robots[1][1][i] for i in range(len(robots[1][1])))
+    a_center, b_center = a_maps["A_reach_center"], b_maps["B_reach_center"]
+    assert int(a_center.collide_with(b_center)) > 0
+    assert len(solutions) == 2, solutions  # the two center/home interleavings
+
+    # time-in-bits refinement: delay B's conflicting start until the margin
+    # window clears (the question the boolean reference fitter cannot ask)
     best = None
-    for delay in range(0, 9):
-        shifted = b if delay == 0 else b.shift_left_swept_volume_ids(delay)
-        n = int(a.collide_with_bitcheck(shifted, margin=window))
-        results[delay] = n
-        print(f"delay {delay}: {n} conflicts")
+    conflicts0 = None
+    for delay in range(0, 57, 4):  # shift capped at 56 (BitVector.h:361)
+        shifted = b_center if delay == 0 else b_center.shift_left_swept_volume_ids(delay)
+        n = int(a_center.collide_with_bitcheck(shifted, margin=window))
+        if conflicts0 is None:
+            conflicts0 = n
+        if verbose:
+            print(f"delay {delay:3d}: {n} time-overlapping conflicts")
         if n == 0 and best is None:
             best = delay
-    assert results[0] > 0, "schedules should conflict when started together"
-    assert best is not None, "a conflict-free delay should exist"
-    print(f"first conflict-free delay: {best} steps")
-    return best
+            break
+    assert conflicts0 and conflicts0 > 0, "concurrent starts must conflict in time"
+    assert best is not None and best > 0, "a nonzero conflict-free delay must exist"
+    if verbose:
+        print(f"first conflict-free start delay for {robots[1][0]}: {best} steps")
+    return len(solutions), best
 
 
 if __name__ == "__main__":

@@ -255,6 +255,16 @@ def _pool_address(pages, skeys, srows, coords, inside, sdims: Dims, cap: int):
     return slot, within
 
 
+@functools.partial(jax.jit, static_argnames=("sdims",))
+def _needs_allocation(pages, skeys, srows, coords, inside, sdims: Dims, cap):
+    """True iff any in-bounds point lands outside every allocated tile —
+    the only case where the host allocator must run. Steady-state inserts
+    (all touched tiles exist) fetch this ONE scalar instead of the whole
+    coords array."""
+    slot, _ = _pool_address(pages, skeys, srows, coords, inside, sdims, cap)
+    return jnp.any(inside & (slot == cap))
+
+
 @functools.partial(jax.jit, static_argnames=("sdims", "occ_bit", "flag"))
 def _scatter_pool(pool, pages, skeys, srows, coords, inside, sdims: Dims,
                   occ_bit: int, flag: int):
@@ -335,9 +345,12 @@ def _empty_pyramid(coarse_shape, levels: int):
 def _free_ray_cells(pts, origin, side_length: float, dims: Dims, max_steps: int):
     """[S,N,3] visited voxel coords + [S,N] live mask for origin->point rays
     (one dominant-axis voxel per step, endpoint excluded)."""
-    side = jnp.float32(side_length)
-    start_v = origin / side
-    delta = pts / side - start_v[None, :]
+    # host-precomputed reciprocal, same rule as insert.map_to_voxels (see
+    # its docstring: f32 division-by-constant is not shape-deterministic
+    # under XLA CPU fast-math; the endpoint voxel must match the hit insert)
+    recip = jnp.float32(1.0 / float(side_length))
+    start_v = origin * recip
+    delta = pts * recip - start_v[None, :]
     dominant = jnp.max(jnp.abs(delta), axis=-1)
     # padded sentinel points (-1e9 from _pad_points_pow2) must not cast rays:
     # their origin->corner segments pass through real in-map cells and would
@@ -618,7 +631,16 @@ class PagedHierarchicalMap(DiskIO):
     def _allocate_for(self, coords, inside) -> None:
         """Host: allocate tiles for the blocks touched by device coords
         (dedup in int64 numpy — block keys exceed int32 past 8192^3 worlds);
-        ONE device fetch."""
+        ONE device fetch. Steady-state inserts (every touched tile already
+        allocated — the common sensor-loop case) skip that fetch: the
+        device-side pre-check answers with a single scalar."""
+        if self._n_slots and not bool(
+            _needs_allocation(
+                self.pages, self.skeys, self.srows, coords, inside,
+                self.sdims, self.pool.shape[0],
+            )
+        ):
+            return
         cx, cy, _ = self.cdims
         c_np = np.asarray(coords).reshape(-1, 3).astype(np.int64)
         in_np = np.asarray(inside).reshape(-1)

@@ -185,10 +185,8 @@ def collide_with_types_bit_bit(
         from . import collide_pallas
 
         cnt, meanings, new_a = collide_pallas.collide_types_bit_bit(
-            a_planes, b_planes, margin
+            a_planes, b_planes, margin, mark=bool(mark_collisions)
         )
-        if not mark_collisions:
-            new_a = a_planes
         return cnt, meanings, new_a
     if sv_offset == 0 and margin <= 24:
         hit, records = bitops.bit_margin_collision_check_packed(a_planes, b_planes, margin)

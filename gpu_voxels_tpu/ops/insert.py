@@ -25,8 +25,19 @@ def map_to_voxels(points: jnp.ndarray, side_length: float) -> jnp.ndarray:
     The pre-cast clamp keeps far-out-of-range points (and padding sentinels)
     deterministically out of range: float->int32 conversion of values beyond
     int32 is undefined and can wrap INTO the map on some backends. In-range
-    values (< 2^30 voxels per axis) are unaffected."""
-    v = jnp.floor(points / jnp.float32(side_length))
+    values (< 2^30 voxels per axis) are unaffected.
+
+    Voxelization is an explicit multiply by a host-precomputed f32
+    reciprocal, NOT a division: XLA's CPU fast-math lowers f32
+    division-by-constant shape-dependently (vectorized approximate
+    reciprocal vs exact divide), so `floor(p / side)` can voxelize the SAME
+    point into different cells between two call shapes (observed: padded
+    insert vs unpadded probe disagreeing at an integer boundary). One fixed
+    reciprocal gives one boundary rule everywhere — and is the native TPU
+    lowering anyway (no divide unit). At ulp-straddling boundaries this may
+    differ from the reference's CUDA `div.rn`; determinism across our own
+    call sites is the contract that matters."""
+    v = jnp.floor(points * jnp.float32(1.0 / float(side_length)))
     return jnp.clip(v, -(2.0**30), 2.0**30).astype(jnp.int32)
 
 

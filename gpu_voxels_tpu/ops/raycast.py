@@ -44,10 +44,12 @@ def ray_crossing_counts(
     n = dims[0] * dims[1] * dims[2]
     origin = jnp.asarray(origin, jnp.float32)
     points = jnp.asarray(points, jnp.float32)
-    side = jnp.float32(side_length)
+    # same host-precomputed reciprocal as insert.map_to_voxels so ray
+    # endpoints land in exactly the voxel the hit insert writes
+    recip = jnp.float32(1.0 / float(side_length))
 
-    start_v = origin / side
-    end_v = points / side
+    start_v = origin * recip
+    end_v = points * recip
     delta = end_v - start_v[None, :]
     dominant = jnp.max(jnp.abs(delta), axis=-1)  # in voxel units
     n_steps = jnp.ceil(dominant).astype(jnp.int32)  # cells to visit per ray
@@ -213,6 +215,15 @@ def insert_depth_image(
         free = projective_free_space_tpu(
             depth, pose, fx, fy, cx, cy, side_length, dims, invalid_value,
             pool=carve_pool,
+        )
+    elif jax.devices()[0].platform == "tpu":
+        # exact per-pixel carve, but through the Pallas band-refinement
+        # kernel: bit-identical to projective_free_space with none of its
+        # 16.7M depth gathers (raycast_pallas._carve_exact_kernel)
+        from .raycast_pallas import projective_free_space_exact_tpu
+
+        free = projective_free_space_exact_tpu(
+            depth, pose, fx, fy, cx, cy, side_length, dims, invalid_value
         )
     else:
         free = projective_free_space(

@@ -108,6 +108,240 @@ def projective_free_space_pooled(
     return free.reshape(-1)
 
 
+def max_pool_depth(
+    depth: jnp.ndarray, pool: int, invalid_value: float = 0.0
+) -> jnp.ndarray:
+    """PxP max-pool companion of min_pool_depth: invalid pixels -> -inf
+    (they carve nothing, so they never extend the ambiguity band upward);
+    edge-tile padding is -inf (max-neutral)."""
+    h, w = depth.shape
+    d = jnp.where(depth == invalid_value, jnp.float32(_NEG_INF), depth)
+    ph, pw = -(-h // pool), -(-w // pool)
+    if ph * pool != h or pw * pool != w:
+        d = jnp.pad(
+            d,
+            ((0, ph * pool - h), (0, pw * pool - w)),
+            constant_values=_NEG_INF,
+        )
+    return jnp.max(d.reshape(ph, pool, pw, pool), axis=(1, 3))
+
+
+def _cell_major_depth(
+    depth: jnp.ndarray, pool: int, invalid_value: float = 0.0
+) -> jnp.ndarray:
+    """f32[ph*pw, 128]: per pooled cell, its PxP pixel depths row-major in
+    the first P*P lanes. Invalid and out-of-image pixels are -inf (carve
+    nothing). Lives in VMEM; the refinement loop fetches one row by dynamic
+    sublane index (lane indices stay static)."""
+    h, w = depth.shape
+    d = jnp.where(depth == invalid_value, jnp.float32(_NEG_INF), depth)
+    ph, pw = -(-h // pool), -(-w // pool)
+    d = jnp.pad(
+        d, ((0, ph * pool - h), (0, pw * pool - w)), constant_values=_NEG_INF
+    )
+    t = d.reshape(ph, pool, pw, pool).transpose(0, 2, 1, 3).reshape(ph * pw, pool * pool)
+    return jnp.pad(t, ((0, 0), (0, 128 - pool * pool)), constant_values=_NEG_INF)
+
+
+def _carve_exact_kernel(
+    fx, fy, cx, cy, side, eps, w, h, pool, TZ, TY, dxp, max_cells,
+    pmin_ref, pmax_ref, rot_ref, org_ref, dcell_ref, out_ref, acc_ref, flag_ref,
+):
+    """One [TZ, TY, dxp] voxel tile: EXACT per-pixel carve
+    (raycast.projective_free_space semantics, bit-identical) with zero
+    full-grid depth gathers, in two phases over the tile's pooled-cell bbox:
+
+    Phase A: per cell, mark sz < pmin(cell) - eps voxels certainly free
+    (d(v,u) >= pmin and x - eps is monotone in f32, so sz < d - eps holds
+    for the voxel's own pixel) — the conservative pooled kernel's exact
+    cost — plus a PURE-SCALAR flag: does the cell's ambiguity band
+    [pmin-eps, pmax-eps) intersect the tile's own camera-depth window?
+    Voxels outside the band are decided (sz >= pmax-eps => d <= pmax =>
+    not free); per-cell vector work for ambiguity would dominate the whole
+    kernel (measured 4x the pooled cost on noisy frames, where EVERY cell's
+    band is nonempty), so ambiguity detection must cost scalars only.
+
+    Phase B: re-loop the bbox branching on the SMEM flags; guarded cells
+    compute the real per-voxel band mask, and only when a voxel truly is
+    ambiguous (depth discontinuity, noise shell, invalid-pixel beam) pay
+    the exact per-pixel resolve: one VMEM row of the cell's PxP true
+    depths, a select chain building each ambiguous voxel's own threshold
+    d(v,u) - eps, ONE exact compare.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ph = pmin_ref.shape[0]
+    pw = pmin_ref.shape[1]
+    zi = (jax.lax.broadcasted_iota(I32, (TZ, TY, dxp), 0) + i * TZ).astype(F32)
+    yi = (jax.lax.broadcasted_iota(I32, (TZ, TY, dxp), 1) + j * TY).astype(F32)
+    xi = jax.lax.broadcasted_iota(I32, (TZ, TY, dxp), 2).astype(F32)
+    ox = org_ref[0, 0]
+    oy = org_ref[0, 1]
+    oz = org_ref[0, 2]
+    wx = (xi + 0.5) * side - ox
+    wy = (yi + 0.5) * side - oy
+    wz = (zi + 0.5) * side - oz
+    sx = rot_ref[0, 0] * wx + rot_ref[0, 1] * wy + rot_ref[0, 2] * wz
+    sy = rot_ref[1, 0] * wx + rot_ref[1, 1] * wy + rot_ref[1, 2] * wz
+    sz = rot_ref[2, 0] * wx + rot_ref[2, 1] * wy + rot_ref[2, 2] * wz
+    in_front = sz > jnp.float32(1e-6)
+    safe_z = jnp.where(in_front, sz, 1.0)
+    u = jnp.floor(jnp.float32(fx) * sx / safe_z + jnp.float32(cx)).astype(I32)
+    v = jnp.floor(jnp.float32(fy) * sy / safe_z + jnp.float32(cy)).astype(I32)
+    in_fov = in_front & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    cu = jnp.clip(u // pool, 0, pw - 1)
+    cv = jnp.clip(v // pool, 0, ph - 1)
+    # fused single-compare keys: pooled cell id (out-of-FOV folded to -1 so
+    # one compare does match+fov) and in-cell pixel id
+    cell = jnp.where(in_fov, cv * pw + cu, -1)
+    pic = (v - cv * pool) * pool + (u - cu * pool)  # [0, P^2) when in-FOV
+
+    big = jnp.int32(1 << 30)
+    cu_min = jnp.min(jnp.where(in_fov, cu, big))
+    cu_max = jnp.max(jnp.where(in_fov, cu, -1))
+    cv_min = jnp.min(jnp.where(in_fov, cv, big))
+    cv_max = jnp.max(jnp.where(in_fov, cv, -1))
+    wb = jnp.maximum(cu_max - cu_min + 1, 0)
+    n_cells = jnp.minimum(
+        jnp.maximum(cv_max - cv_min + 1, 0) * wb, jnp.int32(max_cells)
+    )
+    acc_ref[...] = jnp.zeros((TZ, TY, dxp), jnp.uint8)
+
+    # the tile's own camera-depth window, once: a cell can hold ambiguous
+    # voxels only if its band intersects it. Tiles are 8 voxels thin along
+    # z, so for near-axis cameras this window is narrow and the PURE-SCALAR
+    # guard below skips nearly every cell's band work; an oblique camera
+    # widens the window, which costs time but never correctness.
+    tsz_min = jnp.min(jnp.where(in_fov, sz, jnp.float32(3e38)))
+    tsz_max = jnp.max(jnp.where(in_fov, sz, jnp.float32(-3e38)))
+
+    def cell_of(r):
+        rv = cv_min + r // jnp.maximum(wb, 1)
+        rc = cu_min + r % jnp.maximum(wb, 1)
+        return rv, rc
+
+    def body_a(r, _):
+        rv, rc = cell_of(r)
+        # same f32 "- eps" expression as the XLA spec (see _carve_kernel)
+        pmn_e = pmin_ref[rv, rc] - jnp.float32(eps)
+        pmx_e = pmax_ref[rv, rc] - jnp.float32(eps)
+        match = cell == rv * pw + rc
+        acc_ref[...] = acc_ref[...] | (match & (sz < pmn_e)).astype(jnp.uint8)
+        # scalar-only band test: nonempty and intersecting the tile window
+        flag_ref[r] = (
+            (pmx_e > pmn_e) & (pmx_e > tsz_min) & (pmn_e <= tsz_max)
+        ).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, n_cells, body_a, 0)
+
+    def body_b(r, _):
+        @pl.when(flag_ref[r] != 0)
+        def _():
+            rv, rc = cell_of(r)
+            rcell = rv * pw + rc
+            pmn_e = pmin_ref[rv, rc] - jnp.float32(eps)
+            pmx_e = pmax_ref[rv, rc] - jnp.float32(eps)
+            match = cell == rcell
+            amb = match & (sz < pmx_e) & jnp.logical_not(sz < pmn_e)
+
+            # the scalar guard is a superset (band may miss every voxel of
+            # this tile); pay the cross-lane reduce only for guarded cells,
+            # and the P^2 select chain only when a voxel really is ambiguous
+            @pl.when(jnp.any(amb))
+            def _():
+                row = dcell_ref[pl.ds(rcell, 1), :]  # [1,128] cell pixel depths
+                thr = jnp.full((TZ, TY, dxp), jnp.float32(_NEG_INF))
+                ambpic = jnp.where(amb, pic, -1)
+                for k in range(pool * pool):
+                    thr = jnp.where(ambpic == k, row[0, k] - jnp.float32(eps), thr)
+                acc_ref[...] = acc_ref[...] | (sz < thr).astype(jnp.uint8)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_cells, body_b, 0)
+    out_ref[...] = acc_ref[...]
+
+
+def projective_free_space_exact_tpu(
+    depth: jnp.ndarray,
+    pose: jnp.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    side_length: float,
+    dims: Dims,
+    invalid_value: float = 0.0,
+    eps_vox: float = 1.0,
+    tile_pool: int = 8,
+) -> jnp.ndarray:
+    """EXACT per-pixel projective carve, bit-identical to
+    raycast.projective_free_space, via the two-phase Pallas band kernel
+    (_carve_exact_kernel). tile_pool is an internal tiling parameter
+    (tile_pool^2 <= 128), not a semantics knob. Falls back to the XLA spec
+    implementation for awkward dims (identical output either way)."""
+    dx, dy, dz = dims
+    TZ, TY = 8, 8
+    if dz % TZ or dy % TY or dx % 128 or tile_pool * tile_pool > 128:
+        return projective_free_space_xla(
+            depth, pose, fx, fy, cx, cy, side_length, dims, invalid_value, eps_vox
+        )
+    h, w = depth.shape
+    pmin = min_pool_depth(depth, tile_pool, invalid_value)
+    pmax = max_pool_depth(depth, tile_pool, invalid_value)
+    dcell = _cell_major_depth(depth, tile_pool, invalid_value)
+    pose = jnp.asarray(pose, jnp.float32)
+    rot_t = pose[:3, :3].T
+    origin = pose[:3, 3].reshape(1, 3)
+    # the spec computes the threshold as f32(eps_vox) * f32(side) IN f32;
+    # fold the identical f32 product here so the band edges and the refine
+    # compare use the spec's exact value (a python-double product can be
+    # 1 ulp off, which would break the certainty claims)
+    import numpy as _np
+
+    eps = float(_np.float32(eps_vox) * _np.float32(side_length))
+    max_cells = pmin.shape[0] * pmin.shape[1]
+    kern = functools.partial(
+        _carve_exact_kernel,
+        float(fx), float(fy), float(cx), float(cy),
+        float(side_length), eps,
+        int(w), int(h), int(tile_pool), TZ, TY, dx, max_cells,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(dz // TZ, dy // TY),
+        in_specs=[
+            # scalar-indexed per cell -> SMEM
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pmin
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pmax
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rot
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # origin
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cell-major pixel depths
+        ],
+        out_specs=pl.BlockSpec(
+            (TZ, TY, dx), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((dz, dy, dx), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((TZ, TY, dx), jnp.uint8),
+            pltpu.SMEM((max_cells,), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(pmin, pmax, rot_t, origin, dcell)
+    return (out != 0).reshape(-1)
+
+
+def projective_free_space_xla(
+    depth, pose, fx, fy, cx, cy, side_length, dims, invalid_value=0.0, eps_vox=1.0
+):
+    from .raycast import projective_free_space
+
+    return projective_free_space(
+        depth, pose, fx, fy, cx, cy, side_length, dims, invalid_value, eps_vox
+    )
+
+
 def _carve_kernel(
     fx, fy, cx, cy, side, eps, w, h, pool, TZ, TY, dxp,
     pm_ref, rot_ref, org_ref, out_ref, acc_ref,

@@ -178,3 +178,89 @@ def sharded_collide_count(mesh: Mesh, data_a: jnp.ndarray, data_b: jnp.ndarray, 
 
     fn = jax.shard_map(_fn, mesh=mesh, in_specs=(P("z"), P("z")), out_specs=P())
     return jax.jit(fn)(data_a, data_b)
+
+
+def build_sharded_bit_cycle(
+    mesh: Mesh,
+    dims: Tuple[int, int, int],
+    side_length: float = 1.0,
+    meaning_a: int = 1,
+    meaning_b: int = 1,
+):
+    """Z-slab-sharded 256-bit voxel maps (SURVEY §2.4 grid scaling for the
+    bit tier): each chip scatters the replicated clouds' points landing in
+    its slab into a local uint32[8, zl*Y*X] plane block, folds noneButEmpty
+    locally and psums the bit x bit collision count over 'z'. Identical to
+    the single-device BitVectorVoxelMap insert + collide_with count."""
+    from .. import bitops
+
+    dx, dy, dz = dims
+    nz = mesh.shape["z"]
+    if dz % nz:
+        raise ValueError("dimz must divide the z mesh")
+    zl = dz // nz
+
+    def _insert(points, meaning: int, z0):
+        coords = map_to_voxels(points, side_length)
+        inside = (
+            (coords[:, 0] >= 0) & (coords[:, 0] < dx)
+            & (coords[:, 1] >= 0) & (coords[:, 1] < dy)
+            & (coords[:, 2] >= z0) & (coords[:, 2] < z0 + zl)
+        )
+        idx = (coords[:, 2] - z0) * (dx * dy) + coords[:, 1] * dx + coords[:, 0]
+        idx = jnp.where(inside, idx, zl * dx * dy)
+        planes = jnp.zeros((8, zl * dy * dx), jnp.uint32)
+        word = jnp.full(idx.shape, jnp.uint32(1 << (int(meaning) % 32)))
+        return planes.at[int(meaning) // 32, idx].set(word, mode="drop")
+
+    def _shard_fn(pa, pb):
+        z0 = jax.lax.axis_index("z") * zl
+        ma = _insert(pa, meaning_a, z0)
+        mb = _insert(pb, meaning_b, z0)
+        hit = bitops.occupied(ma) & bitops.occupied(mb)
+        return jax.lax.psum(jnp.sum(hit, dtype=jnp.uint32), "z")
+
+    fn = jax.shard_map(_shard_fn, mesh=mesh, in_specs=(P(), P()), out_specs=P())
+    return jax.jit(fn)
+
+
+def build_sharded_hier_probe(mesh: Mesh, levels: int, dims: Tuple[int, int, int]):
+    """Sharded hierarchy probe batch: the pyramid's coarse levels (tiny) are
+    replicated, level 0 shards over 'z' slabs. Each chip descends the
+    replicated coarse levels; queries that reach level 0 are answered by the
+    slab owner only, coarse-decided queries by chip 0, and the occupied
+    count psums over 'z' — exactly collide_with_coords on the single-device
+    pyramid.
+
+    Returns fn(l0 [Z,Y,X] z-sharded, coarse tuple (replicated), coords [Q,3]
+    replicated) -> uint32 count."""
+    from ..maps.hierarchical import NS_OCCUPIED, U8, _is_uniform
+
+    Z = dims[2]
+    nz = mesh.shape["z"]
+    if Z % nz:
+        raise ValueError("level-0 z extent must divide the z mesh")
+    zl = Z // nz
+
+    def _shard_fn(l0_local, coarse, coords):
+        x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+        decided = jnp.zeros(x.shape, bool)
+        status = jnp.zeros(x.shape, U8)
+        for l in range(levels, 0, -1):
+            s = coarse[l - 1][z >> l, y >> l, x >> l]
+            uni = _is_uniform(s)
+            take = uni & ~decided
+            status = jnp.where(take, s, status)
+            decided = decided | uni
+        zi = jax.lax.axis_index("z")
+        z0 = zi * zl
+        mine = (z >= z0) & (z < z0 + zl)
+        s0 = l0_local[jnp.clip(z - z0, 0, zl - 1), y, x]
+        occ_fine = (~decided) & mine & ((s0 & U8(NS_OCCUPIED)) != 0)
+        occ_coarse = decided & ((status & U8(NS_OCCUPIED)) != 0) & (zi == 0)
+        return jax.lax.psum(jnp.sum(occ_fine | occ_coarse, dtype=jnp.uint32), "z")
+
+    fn = jax.shard_map(
+        _shard_fn, mesh=mesh, in_specs=(P("z"), P(), P()), out_specs=P()
+    )
+    return jax.jit(fn)

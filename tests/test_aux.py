@@ -82,16 +82,6 @@ def test_heightmap_npy_loader(tmp_path):
     np.testing.assert_array_equal(back, arr)
 
 
-def test_swept_fitter_example():
-    import sys
-    from pathlib import Path
-
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
-    import swept_fitter
-
-    assert swept_fitter.main() == 3
-
-
 def test_provider_contract():
     from gpu_voxels_tpu.providers import Provider
     from gpu_voxels_tpu.sensors import Sensor, SyntheticDepthSource

@@ -63,3 +63,26 @@ def test_collide_types_one_pass_matches_xla():
         assert int(got_c) == int(ref_c), margin
         np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
         np.testing.assert_array_equal(np.asarray(got_a), np.asarray(ref_a))
+
+
+def test_collide_types_mark_false_skips_marked_output():
+    """mark=False returns count+meanings identical to mark=True with the
+    input planes untouched (the whole marked-plane write is skipped)."""
+    rng = np.random.default_rng(9)
+    n = 20_000
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        w = r.integers(0, 2**32, (8, n), dtype=np.uint64).astype(np.uint32)
+        return jnp.asarray(w * (r.random(n) < 0.3))
+    a, b = mk(9), mk(10)
+    for margin in (0, 3):
+        c1, m1, a1 = cp.collide_types_bit_bit(a, b, margin, mark=True)
+        c0, m0, a0 = cp.collide_types_bit_bit(a, b, margin, mark=False)
+        assert int(c0) == int(c1)
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a))
+        # the public path threads the flag through
+        from gpu_voxels_tpu.ops import collide as xc
+        c2, m2, a2 = xc.collide_with_types_bit_bit(a, b, margin=margin, mark_collisions=False)
+        assert int(c2) == int(c1)
+        np.testing.assert_array_equal(np.asarray(a2), np.asarray(a))

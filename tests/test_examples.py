@@ -77,5 +77,12 @@ def test_batch_worlds_demo():
 
 
 def test_swept_fitter():
-    # schedules conflict at delay 0; a conflict-free delay exists
-    assert _run("swept_fitter") >= 1
+    """The UR10-pair fitter finds exactly the two valid orderings and a
+    nonzero conflict-free start delay (96^3 here; the example defaults to
+    the reference-scale 256^3)."""
+    import importlib
+
+    mod = importlib.import_module("swept_fitter")
+    n_solutions, delay = mod.main(dims=(96, 96, 96), side=0.04, verbose=False)
+    assert n_solutions == 2
+    assert delay > 0

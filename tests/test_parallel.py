@@ -100,3 +100,49 @@ def test_sharded_sensor_cycle_matches_single_device():
     got = int(fn(jnp.asarray(depth), jnp.asarray(pose), env.data))
     assert got == expect
     assert got > 0
+
+
+def test_sharded_bit_cycle_matches_single_device():
+    """Z-slab-sharded 256-bit tier: insert + noneButEmpty collide count
+    equals the single-device BitVectorVoxelMap exactly."""
+    from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap
+    from gpu_voxels_tpu.parallel import build_sharded_bit_cycle
+
+    dims = (16, 16, 32)
+    rng = np.random.default_rng(3)
+    pa = rng.uniform(0, 16, (300, 3)).astype(np.float32) * np.array([1, 1, 2], np.float32)
+    pb = np.concatenate([pa[:90], rng.uniform(0, 16, (100, 3)).astype(np.float32)])
+    mesh = make_grid_mesh(8, world=1)
+    fn = build_sharded_bit_cycle(mesh, dims, 1.0)
+    got = int(fn(jnp.asarray(pa), jnp.asarray(pb)))
+    a = BitVectorVoxelMap.create(dims).insert_point_cloud(pa)
+    b = BitVectorVoxelMap.create(dims).insert_point_cloud(pb)
+    expect = int(a.collide_with(b))
+    assert got == expect and got > 0
+
+
+def test_sharded_hier_probe_matches_single_device():
+    """Sharded hierarchy probe (coarse replicated, level-0 z-sharded)
+    counts occupied queries exactly like the single-device pyramid."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gpu_voxels_tpu.maps.hierarchical import HierarchicalBitMap
+    from gpu_voxels_tpu.parallel import build_sharded_hier_probe
+
+    dims = (16, 16, 64)
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(0, 16, (200, 3)).astype(np.float32) * np.array([1, 1, 4], np.float32)
+    hier = HierarchicalBitMap.create(dims).insert_point_cloud(pts)
+    qs = np.concatenate(
+        [
+            np.stack([rng.integers(0, d, 256) for d in dims], axis=1),
+            np.floor(pts[:50]),  # guaranteed occupied hits
+        ]
+    ).astype(np.int32)
+    mesh = make_grid_mesh(8, world=1)
+    fn = build_sharded_hier_probe(mesh, hier.levels, hier.padded_dims)
+    l0 = jax.device_put(hier.pyramid[0], NamedSharding(mesh, P("z")))
+    got = int(fn(l0, tuple(hier.pyramid[1:]), jnp.asarray(qs)))
+    occ, _, _ = hier.probe(jnp.asarray(qs))
+    assert got == int(np.asarray(occ).sum()) and got > 0

@@ -170,3 +170,78 @@ def test_pooled_carve_matches_spec_and_is_conservative():
         rp.projective_free_space_pooled(jnp.asarray(depth), jnp.asarray(pose), 52.0, 52.0, 32.0, 24.0, 1.0, dims, pool=1)
     )
     np.testing.assert_array_equal(p1, exact)  # pool=1 == exact carve
+
+
+def test_exact_band_refinement_carve_bit_identical():
+    """The Pallas band-refinement kernel must equal the exact per-pixel
+    carve BIT-FOR-BIT — including depth discontinuities (ambiguity bands),
+    invalid patches, image edges, and off-axis poses — for any tiling
+    parameter."""
+    from gpu_voxels_tpu.ops import raycast as rc
+    from gpu_voxels_tpu.ops import raycast_pallas as rp
+
+    dims = (64, 64, 64)
+    rng = np.random.default_rng(7)
+
+    # scene 1: smooth + step discontinuity + invalid patch + noise band
+    d1 = np.full((48, 64), 40.0, np.float32)
+    d1[:, 32:] = 20.0  # step edge straight through pooled cells
+    d1[10:14, 5:9] = 0.0  # invalid patch
+    d1[30:34, :] += rng.uniform(-5, 5, (4, 64)).astype(np.float32)  # noisy rows
+    # scene 2: adversarial per-pixel noise (every cell ambiguous)
+    d2 = rng.uniform(5, 60, (48, 64)).astype(np.float32)
+    d2[d2 < 6] = 0.0
+
+    poses = []
+    p = np.eye(4, dtype=np.float32)
+    p[:3, 3] = [32, 32, 1]
+    poses.append(p)
+    th = 0.4  # tilted + shifted camera
+    rot = np.array(
+        [[1, 0, 0], [0, np.cos(th), -np.sin(th)], [0, np.sin(th), np.cos(th)]],
+        np.float32,
+    )
+    p2 = np.eye(4, dtype=np.float32)
+    p2[:3, :3] = rot
+    p2[:3, 3] = [20, 45, 3]
+    poses.append(p2)
+
+    for depth in (d1, d2):
+        for pose in poses:
+            exact = np.asarray(
+                rc.projective_free_space(
+                    jnp.asarray(depth), jnp.asarray(pose), 52.0, 52.0, 32.0, 24.0, 1.0, dims
+                )
+            )
+            for tp in (4, 8):
+                got = np.asarray(
+                    rp.projective_free_space_exact_tpu(
+                        jnp.asarray(depth), jnp.asarray(pose), 52.0, 52.0, 32.0, 24.0,
+                        1.0, dims, tile_pool=tp,
+                    )
+                )
+                np.testing.assert_array_equal(got, exact, err_msg=f"tile_pool={tp}")
+            assert exact.sum() > 0  # the scenes actually carve
+
+
+def test_exact_carve_invalid_beam_regions():
+    """Large invalid regions pull pmin to -inf, making whole beams ambiguous
+    — the refinement must still resolve them bit-identically."""
+    from gpu_voxels_tpu.ops import raycast as rc
+    from gpu_voxels_tpu.ops import raycast_pallas as rp
+
+    dims = (64, 64, 64)
+    rng = np.random.default_rng(9)
+    depth = rng.uniform(5, 60, (48, 64)).astype(np.float32)
+    depth[8:40, 16:48] = 0.0  # big invalid block
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [32, 32, 1]
+    exact = np.asarray(
+        rc.projective_free_space(jnp.asarray(depth), jnp.asarray(pose), 52.0, 52.0, 32.0, 24.0, 1.0, dims)
+    )
+    got = np.asarray(
+        rp.projective_free_space_exact_tpu(
+            jnp.asarray(depth), jnp.asarray(pose), 52.0, 52.0, 32.0, 24.0, 1.0, dims
+        )
+    )
+    np.testing.assert_array_equal(got, exact)
