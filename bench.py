@@ -154,13 +154,17 @@ def main():
             @jax.jit
             def run(x, y):
                 def body(i, carry):
-                    acc, a = carry
-                    # identity barrier on the carried buffer: blocks loop
-                    # hoisting without mutating (no per-iteration copy)
-                    a = jax.lax.optimization_barrier(a)
-                    return (acc + count_fn(a, y), a)
+                    # 4-byte in-place bumps defeat loop hoisting/CSE with no
+                    # buffer copy (loop-state aliasing keeps the update in
+                    # place). The earlier optimization_barrier form forced a
+                    # full 536 MB copy of the carried map every iteration
+                    # (~0.7 ms at stream speed) and inflated every sweep.
+                    acc, a, b = carry
+                    a = a.at[0, 0].add(1)
+                    b = b.at[0, 0].add(1)
+                    return (acc + count_fn(a, b), a, b)
 
-                acc, _ = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), x))
+                acc, _, _ = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), x, y))
                 return acc
 
             return run
@@ -172,7 +176,7 @@ def main():
     t_bit = min(t_bit_xla, t_bit_pl)
     print(
         f"bitvector collide 256^3: xla {t_bit_xla*1e3:.3f} / pallas {t_bit_pl*1e3:.3f} "
-        f"ms/sweep = {nb/t_bit:.3e} checks/s (bound 1.34 ms)",
+        f"ms/sweep = {nb/t_bit:.3e} checks/s (measured 2-map stream bound 1.46 ms)",
         file=sys.stderr,
     )
 

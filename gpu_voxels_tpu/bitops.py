@@ -53,23 +53,40 @@ def is_zero(planes: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(planes == 0, axis=0)
 
 
-def none_but_empty(planes: jnp.ndarray) -> jnp.ndarray:
-    """True if no bit except eBVM_FREE (bit 0) is set (BitVector.h:184-198).
+def masked_fold(planes: jnp.ndarray) -> jnp.ndarray:
+    """OR of every meaning bit except eBVM_FREE (plane-0 bit 0) — the
+    single-sweep core of noneButEmpty (BitVector.h:184-198; the reference
+    masks byte 0 with 254).
 
-    The reference masks byte 0 with 254, i.e. only bit 0 is excluded.
-    Formulated as one OR-reduce + compare: XLA lowers this to a single
-    sweep, where the chained first&all(...) form ran ~33% slower on TPU
-    (3.75 -> 2.82 ms for a 256^3 bit x bit collide).
+    Formulated as ONE broadcast-masked OR-reduce over the plane axis: the
+    per-plane bit-0 mask rides the reduce input, so XLA fuses the whole
+    fold into a single sweep. The earlier `planes[0] & m | reduce(planes[1:])`
+    form materialized the planes[1:] slice as a copy of 7/8 of the map
+    (2.9 -> 1.9 ms for a 256^3 bit x bit collide on TPU); the chained
+    first&all(...) form was slower still (3.75 ms).
     """
-    folded = (planes[0] & UINT32(0xFFFFFFFE)) | jnp.bitwise_or.reduce(
-        planes[1:], axis=0
-    )
-    return folded == 0
+    nplanes = planes.shape[0]
+    mask = jnp.asarray(
+        [0xFFFFFFFE] + [0xFFFFFFFF] * (nplanes - 1), jnp.uint32
+    ).reshape((nplanes,) + (1,) * (planes.ndim - 1))
+    return jnp.bitwise_or.reduce(planes & mask, axis=0)
+
+
+def nonzero_u32(v: jnp.ndarray) -> jnp.ndarray:
+    """uint32 0/1 of (v != 0) computed arithmetically (or/neg/shift): keeps
+    count reductions on the integer path — the predicate form measured ~6%
+    slower inside the fused collide sweep on TPU."""
+    return (v | (jnp.uint32(0) - v)) >> jnp.uint32(31)
+
+
+def none_but_empty(planes: jnp.ndarray) -> jnp.ndarray:
+    """True if no bit except eBVM_FREE (bit 0) is set (BitVector.h:184-198)."""
+    return masked_fold(planes) == 0
 
 
 def occupied(planes: jnp.ndarray) -> jnp.ndarray:
     """Dense-collide occupancy: !noneButEmpty (DefaultCollider.hpp:76-81)."""
-    return ~none_but_empty(planes)
+    return masked_fold(planes) != 0
 
 
 def bv_or(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -63,12 +63,17 @@ def count_prob_prob(a, b, t1, t2, dims=None, offset=(0, 0, 0)) -> jnp.ndarray:
 
 
 def count_bit_bit(a_planes, b_planes, dims=None, offset=(0, 0, 0)) -> jnp.ndarray:
-    """Counting collide, bit x bit: both !noneButEmpty (DefaultCollider.hpp:76-81)."""
+    """Counting collide, bit x bit: both !noneButEmpty (DefaultCollider.hpp:76-81).
+
+    Two masked folds + an arithmetic 0/1 AND-count: one fused HBM sweep per
+    map, 1.83 ms at 256^3 on v5e vs the 1.46 ms measured pure-stream bound
+    (docs/PERFORMANCE.md)."""
     n = a_planes.shape[-1]
     off = linear_offset(offset, dims) if dims else 0
     sa, sb = _offset_slices(n, off)
-    hit = bitops.occupied(a_planes[:, sa]) & bitops.occupied(b_planes[:, sb])
-    return jnp.sum(hit, dtype=jnp.uint32)
+    fa = bitops.masked_fold(a_planes[:, sa])
+    fb = bitops.masked_fold(b_planes[:, sb])
+    return jnp.sum(bitops.nonzero_u32(fa) & bitops.nonzero_u32(fb), dtype=jnp.uint32)
 
 
 def count_prob_bit(prob, t1, bit_planes, dims=None, offset=(0, 0, 0)) -> jnp.ndarray:
