@@ -66,7 +66,16 @@ class DistanceVoxelMap(_DenseMap):
 
     # -- EDT algorithms --------------------------------------------------------
     def jump_flood(self, extra_rounds: int = 1) -> "DistanceVoxelMap":
-        """jumpFlood3D (DistanceVoxelMap.hpp:136)."""
+        """jumpFlood3D (DistanceVoxelMap.hpp:136).
+
+        Large coarsenable grids route through the multi-resolution variant
+        (ops/edt.jump_flood_multires): the long-range JFA rounds run at 1/64
+        resolution, ~10x cheaper at 256^3+ with the same (empirically exact,
+        test-cross-checked) results. Small or non-divisible grids keep the
+        flat capped-fixpoint schedule; extra_rounds > 1 also pins the flat
+        path since multires has its own fixed refinement schedule."""
+        if extra_rounds == 1 and min(self.dims) >= 128 and all(d % 4 == 0 for d in self.dims):
+            return replace(self, data=edt.jump_flood_multires(self.data, self.dims))
         return replace(self, data=edt.jump_flood(self.data, self.dims, extra_rounds))
 
     def parallel_banding(self, m1: int = 1, m2: int = 1, m3: int = 1) -> "DistanceVoxelMap":

@@ -127,10 +127,19 @@ def _ring_order(C: int) -> Tuple[np.ndarray, np.ndarray]:
     )
 
 
-def _envelope_kernel(n_yt: int, rings_ref, order_ref, g_ref, p_ref, od_ref, op_ref):
+def _envelope_kernel(
+    n_yt: int, transpose_out: bool, rings_ref, order_ref, g_ref, p_ref, od_ref, op_ref
+):
     """One z-slice x-strip: envelope along the sublane (y) axis for all
     n_yt output tiles. g_ref int32[1, dyp, TX] (>= MISS marks "no site"),
-    p_ref uint32[1, dyp, TX] packed site payloads."""
+    p_ref uint32[1, dyp, TX] packed site payloads.
+
+    transpose_out writes each [TILE_Y, TX] result tile transposed into a
+    [1, TX, dyp] output block: the per-tile transpose happens in VMEM (the
+    block writes back to HBM whole), which fuses the full-grid XLA transpose
+    between the Y and X passes (and after the X pass) into the kernel —
+    the analogue of the reference's kernelPBA3DTransposeXY
+    (VoxelMapOperationsPBA.h:106-107) at zero extra HBM traffic."""
     dyp = g_ref.shape[1]
     tx = g_ref.shape[2]
     C = dyp // _CHUNK
@@ -170,11 +179,15 @@ def _envelope_kernel(n_yt: int, rings_ref, order_ref, g_ref, p_ref, od_ref, op_r
         bp0 = jnp.full((TILE_Y, tx), jnp.uint32(PBA_UNINITIALISED_PACKED))
         bd, bp = jax.lax.fori_loop(0, rings, body, (bd0, bp0))
         valid = bd < miss_f
+        out_d = jnp.where(valid, bd.astype(I32), I32(MISS))
+        out_p = jnp.where(valid, bp, jnp.uint32(PBA_UNINITIALISED_PACKED))
         sl = slice(k * TILE_Y, (k + 1) * TILE_Y)
-        od_ref[0, sl, :] = jnp.where(valid, bd.astype(I32), I32(MISS))
-        op_ref[0, sl, :] = jnp.where(
-            valid, bp, jnp.uint32(PBA_UNINITIALISED_PACKED)
-        )
+        if transpose_out:
+            od_ref[0, :, sl] = out_d.T
+            op_ref[0, :, sl] = out_p.T
+        else:
+            od_ref[0, sl, :] = out_d
+            op_ref[0, sl, :] = out_p
 
 
 def envelope_pass(
@@ -182,18 +195,26 @@ def envelope_pass(
     payload: jnp.ndarray,
     bound: jnp.ndarray | None = None,
     tx_max: int = 256,
+    transpose_out: bool = False,
+    bound_c: int = _C,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lower envelope along axis 1 of [dz, dy, dx] grids.
 
     g2 int32 (MISS convention), payload uint32. `bound` is an optional int32
-    upper bound on this pass's *output* at 1/8 resolution in every axis
-    ([cdiv(dz,8), cdiv(dy,8), cdiv(dx,8)]), with -1 meaning "output there is
+    upper bound on this pass's *output* at 1/bound_c resolution in every axis
+    ([cdiv(dz,c), cdiv(dy,c), cdiv(dx,c)]), with -1 meaning "output there is
     MISS" (contributes nothing). Without it every tile scans all rings.
-    Returns (d2 int32 [dz,dy,dx], payload uint32 [dz,dy,dx]).
+    Returns (d2 int32 [dz,dy,dx], payload uint32 [dz,dy,dx]); with
+    transpose_out the results come back axis-swapped ([dz,dx,dy]) at no HBM
+    cost (tiles transpose in VMEM on write-back) — chaining per-axis passes
+    then needs no separate full-grid transposes.
     """
     dz, dy, dx = g2.shape
     if not _use_pallas():
-        return _envelope_xla(g2, payload)
+        od, op = _envelope_xla(g2, payload)
+        if transpose_out:
+            return jnp.transpose(od, (0, 2, 1)), jnp.transpose(op, (0, 2, 1))
+        return od, op
     dyp = _round_up(dy, TILE_Y)
     dxp = _round_up(dx, 128)
     tx = min(dxp, tx_max)
@@ -220,21 +241,27 @@ def envelope_pass(
         # per-tile max of the bound over the tile's coarse footprint, then
         # ring count = #floors <= bound (floors ascending)
         cz, cyc, cxc = bound.shape
-        ty_c = TILE_Y // _C  # coarse cells per y tile
-        tx_c = tx // _C  # coarse cells per x strip
+        ty_c = TILE_Y // bound_c  # coarse cells per y tile
+        tx_c = tx // bound_c  # coarse cells per x strip
         pyc = _round_up(max(cyc, n_yt * ty_c), ty_c)
         pxc = _round_up(max(cxc, nxb * tx_c), tx_c)
         b = jnp.full((cz, pyc, pxc), I32(-1)).at[:, :cyc, :cxc].set(bound)
         b = b.reshape(cz, pyc // ty_c, ty_c, pxc // tx_c, tx_c)
         b = jnp.max(jnp.max(b, axis=4), axis=2)[:, :n_yt, :nxb]
         # expand coarse z rows to fine z slices
-        b = jnp.repeat(b, _C, axis=0)[:dz]  # [dz, n_yt, nxb]
+        b = jnp.repeat(b, bound_c, axis=0)[:dz]  # [dz, n_yt, nxb]
         rcount = jnp.searchsorted(
             jnp.asarray(floors, np.int32), b.reshape(-1), side="right"
         ).astype(I32)
         rcount = jnp.where(b.reshape(-1) < 0, I32(0), rcount)
         rings = rcount.reshape(dz, n_yt, nxb).transpose(0, 2, 1).reshape(-1)
 
+    if transpose_out:
+        out_block = pl.BlockSpec((1, tx, dyp), lambda i, j, *_: (i, j, 0))
+        out_shape = (dz, dxp, dyp)
+    else:
+        out_block = pl.BlockSpec((1, dyp, tx), lambda i, j, *_: (i, 0, j))
+        out_shape = (dz, dyp, dxp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(dz, nxb),
@@ -242,20 +269,19 @@ def envelope_pass(
             pl.BlockSpec((1, dyp, tx), lambda i, j, *_: (i, 0, j)),
             pl.BlockSpec((1, dyp, tx), lambda i, j, *_: (i, 0, j)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, dyp, tx), lambda i, j, *_: (i, 0, j)),
-            pl.BlockSpec((1, dyp, tx), lambda i, j, *_: (i, 0, j)),
-        ],
+        out_specs=[out_block, out_block],
     )
     od, op = pl.pallas_call(
-        functools.partial(_envelope_kernel, n_yt),
+        functools.partial(_envelope_kernel, n_yt, transpose_out),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((dz, dyp, dxp), jnp.int32),
-            jax.ShapeDtypeStruct((dz, dyp, dxp), jnp.uint32),
+            jax.ShapeDtypeStruct(out_shape, jnp.int32),
+            jax.ShapeDtypeStruct(out_shape, jnp.uint32),
         ),
         interpret=_interpret(),
     )(rings, jnp.asarray(order), g2, payload)
+    if transpose_out:
+        return od[:, :dx, :dy], op[:, :dx, :dy]
     return od[:, :dy, :dx], op[:, :dy, :dx]
 
 
@@ -284,17 +310,19 @@ def _nearest_scan(flag: jnp.ndarray, axis0_size: int):
     return d2, near
 
 
-def _block_any(mask: jnp.ndarray, axes=(0, 1, 2)) -> jnp.ndarray:
-    """OR-reduce an [A,B,C] bool mask by factor 8 along the given axes
-    (strided pairwise ORs; 6D reshapes force catastrophic TPU layouts)."""
+def _block_any(mask: jnp.ndarray, axes=(0, 1, 2), c: int = _C) -> jnp.ndarray:
+    """OR-reduce an [A,B,C] bool mask by factor c (a power of two) along the
+    given axes (strided pairwise ORs; 6D reshapes force catastrophic TPU
+    layouts)."""
     m = mask
+    halvings = c.bit_length() - 1
     for ax in axes:
-        pad = (-m.shape[ax]) % _C
+        pad = (-m.shape[ax]) % c
         if pad:
             padding = [(0, 0)] * 3
             padding[ax] = (0, pad)
             m = jnp.pad(m, padding, constant_values=False)
-        for _ in range(3):  # 8 = 2^3
+        for _ in range(halvings):
             sl0 = [slice(None)] * 3
             sl1 = [slice(None)] * 3
             sl0[ax] = slice(0, None, 2)
@@ -303,23 +331,48 @@ def _block_any(mask: jnp.ndarray, axes=(0, 1, 2)) -> jnp.ndarray:
     return m
 
 
-def _bound_from_d2(d2c: jnp.ndarray, n_axes: int) -> jnp.ndarray:
-    """Upper bound on the fine squared distance given the coarse squared
-    index distance d2c over n_axes axes: each axis offset a satisfies
-    sum a_i^2 = d2c, fine offset per axis <= 8*a_i + 7, so
-    fine_d2 <= 64*d2c + 112*sum(a_i) + 49*n <= 64*d2c + 112*sqrt(n*d2c) + 49n.
-    MISS coarse cells map to -1 ("output is MISS, constrains nothing")."""
+def _bound_from_d2(d2c: jnp.ndarray, n_axes: int, c: int = _C) -> jnp.ndarray:
+    """Upper bound on the fine squared distance given the 1/c-resolution
+    coarse squared index distance d2c over n_axes axes: each axis offset a
+    satisfies sum a_i^2 = d2c, fine offset per axis <= c*a_i + (c-1), so
+    fine_d2 <= c^2*d2c + 2c(c-1)*sum(a_i) + (c-1)^2*n
+            <= c^2*d2c + 2c(c-1)*sqrt(n*d2c) + (c-1)^2*n.
+    A smaller c gives tighter bounds (fewer rings to scan) at a c^3-larger
+    coarse-EDT cost. MISS coarse cells map to -1 ("output is MISS,
+    constrains nothing")."""
     miss = (d2c >= MISS) | (d2c < 0)
     d = jnp.maximum(d2c, 0).astype(jnp.float32)
-    bound = 64.0 * d + 112.0 * jnp.ceil(jnp.sqrt(jnp.float32(n_axes) * d)) + 49.0 * n_axes
+    bound = (
+        float(c * c) * d
+        + float(2 * c * (c - 1)) * jnp.ceil(jnp.sqrt(jnp.float32(n_axes) * d))
+        + float((c - 1) * (c - 1)) * n_axes
+    )
     return jnp.where(miss, I32(-1), bound.astype(I32))
 
 
-def parallel_banding(packed_flat: jnp.ndarray, dims: Dims) -> jnp.ndarray:
+def parallel_banding(
+    packed_flat: jnp.ndarray,
+    dims: Dims,
+    *,
+    bound_c: int = _C,
+    fuse_transposes: bool = False,
+) -> jnp.ndarray:
     """Exact 3D EDT: PBA phase 1 as Z scans, phases 2/3 as Pallas min-plus
     envelope sweeps with coarse-EDT ring bounds (replaces parallelBanding3D,
     DistanceVoxelMap.hpp:279, with identical results — tests cross-check vs
-    the brute oracle)."""
+    the brute oracle).
+
+    Both knobs are measured dead ends at 512^3/20k obstacles on v5e and keep
+    their fastest defaults; all four combinations are exact (interpret-mode
+    cross-checked vs the numpy oracle):
+      * fuse_transposes=True writes phase outputs pre-transposed inside the
+        kernels instead of XLA transposes between passes: 114.7 vs 106.9 ms
+        — the per-tile in-kernel transposes cost more than the 3.5 ms/grid
+        XLA transposes they save (VPU shuffle-bound either way).
+      * bound_c=4 tightens ring bounds via 1/4-res coarse EDTs: 108.5 vs
+        106.9 ms — the 8x-larger bound grids eat the ~20% ring savings
+        (215-218 ms either way at 1k obstacles).
+    """
     dx, dy, dz = dims
     grid = packed_flat.reshape(dz, dy, dx).astype(U32)
     ox, oy, oz = grid & U32(0x3FF), (grid >> U32(10)) & U32(0x3FF), grid >> U32(20)
@@ -337,40 +390,48 @@ def parallel_banding(packed_flat: jnp.ndarray, dims: Dims) -> jnp.ndarray:
 
     # --- ring bounds for the Y pass (per-fine-x semi-coarse 2D EDT: the Y
     # pass only sees sites sharing the query's x) ----------------------------
-    semi = _block_any(is_site, axes=(0, 1))  # [cz, cy, dx]
+    semi = _block_any(is_site, axes=(0, 1), c=bound_c)  # [cz, cy, dx]
     d1s, _ = _nearest_scan(semi, semi.shape[0])  # along cz
     dummy_pay = jnp.zeros(semi.shape, U32)
-    d2s, _ = envelope_pass(d1s, dummy_pay)  # along cy (full scan; tiny grid)
-    boundY = _bound_from_d2(_max_x_blocks(d2s), 2)  # [cz, cy, cx]
+    d2s, _ = envelope_pass(d1s, dummy_pay)  # along cy (full scan; small grid)
+    boundY = _bound_from_d2(_max_x_blocks(d2s, bound_c), 2, bound_c)
 
-    # --- phase 2: envelope along Y ------------------------------------------
-    d2, pay2 = envelope_pass(g1, pay1, boundY)
+    # --- phase 2: envelope along Y; fused mode writes the output
+    # pre-transposed to [dz, dx, dy] (the X pass's layout) inside the kernel
+    d2t, pay2t = envelope_pass(
+        g1, pay1, boundY, transpose_out=fuse_transposes, bound_c=bound_c
+    )
+    if not fuse_transposes:
+        d2t = jnp.transpose(d2t, (0, 2, 1))
+        pay2t = jnp.transpose(pay2t, (0, 2, 1))
 
     # --- ring bounds for the X pass (full coarse 3D EDT) ---------------------
-    cmask = _block_any(is_site, axes=(0, 1, 2))  # [cz, cy, cx]
+    cmask = _block_any(is_site, axes=(0, 1, 2), c=bound_c)  # [cz, cy, cx]
     c1, _ = _nearest_scan(cmask, cmask.shape[0])
     zero_pay = jnp.zeros(cmask.shape, U32)
-    c2, _ = envelope_pass(c1, zero_pay)  # along cy
-    c2t = jnp.transpose(c2, (0, 2, 1))
+    c2t, _ = envelope_pass(c1, zero_pay, transpose_out=True)  # along cy
     c3t, _ = envelope_pass(c2t, jnp.transpose(zero_pay, (0, 2, 1)))  # along cx
     # bounds live on the X pass's transposed layout [dz, dx, dy]:
-    boundX = _bound_from_d2(c3t, 3)  # [cz, cx, cy]
+    boundX = _bound_from_d2(c3t, 3, bound_c)  # [cz, cx, cy]
 
-    # --- phase 3: envelope along X (transpose y<->x, same kernel) ------------
-    d2t = jnp.transpose(d2, (0, 2, 1))
-    pay2t = jnp.transpose(pay2, (0, 2, 1))
-    d3t, pay3t = envelope_pass(d2t, pay2t, boundX)
+    # --- phase 3: envelope along X (transposed layout, same kernel) ----------
+    d3t, pay3t = envelope_pass(
+        d2t, pay2t, boundX, transpose_out=fuse_transposes, bound_c=bound_c
+    )
+    if fuse_transposes:
+        out = jnp.where(d3t >= MISS, jnp.uint32(PBA_UNINITIALISED_PACKED), pay3t)
+        return out.reshape(-1)
     outt = jnp.where(d3t >= MISS, jnp.uint32(PBA_UNINITIALISED_PACKED), pay3t)
     return jnp.transpose(outt, (0, 2, 1)).reshape(-1)
 
 
-def _max_x_blocks(d2s: jnp.ndarray) -> jnp.ndarray:
-    """[cz, cy, dx] per-fine-x values -> [cz, cy, cdiv(dx,8)] per-block max
+def _max_x_blocks(d2s: jnp.ndarray, c: int = _C) -> jnp.ndarray:
+    """[cz, cy, dx] per-fine-x values -> [cz, cy, cdiv(dx,c)] per-block max
     with MISS treated as -inf (a MISS output constrains no rings)."""
     v = jnp.where(d2s >= MISS, I32(-1), d2s)
-    pad = (-v.shape[2]) % _C
+    pad = (-v.shape[2]) % c
     if pad:
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad)), constant_values=-1)
-    for _ in range(3):
+    for _ in range(c.bit_length() - 1):
         v = jnp.maximum(v[:, :, 0::2], v[:, :, 1::2])
     return v

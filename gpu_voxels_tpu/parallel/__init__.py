@@ -2,6 +2,8 @@ from .sharded import (
     build_sharded_bit_cycle,
     build_sharded_cycle,
     build_sharded_hier_probe,
+    build_sharded_list_collide,
+    build_sharded_paged_probe,
     build_sharded_sensor_cycle,
     make_grid_mesh,
     sharded_collide_count,
@@ -11,6 +13,8 @@ __all__ = [
     "build_sharded_bit_cycle",
     "build_sharded_cycle",
     "build_sharded_hier_probe",
+    "build_sharded_list_collide",
+    "build_sharded_paged_probe",
     "build_sharded_sensor_cycle",
     "make_grid_mesh",
     "sharded_collide_count",

@@ -224,6 +224,56 @@ def build_sharded_bit_cycle(
     return jax.jit(fn)
 
 
+def build_sharded_paged_probe(mesh: Mesh, min_level: int = 0, offset=(0, 0, 0)):
+    """Sharded paged-octree probe batch: the snapshot pytree (page pyramid,
+    sorted directory, tile pool — the octree itself, compact by construction)
+    is replicated; the query coordinate batch shards over 'z'. Each chip runs
+    the single-device descent (`PagedSnapshot.probe`) on its slice and the
+    occupied/unknown counts psum — exactly `collide_with_coords` /
+    `collide_with_counting_unknown` on the single-device map (the
+    intersect_sparse analogue, NTree.hpp:817-1004, distributed over queries).
+
+    Returns fn(snap: PagedSnapshot, coords int32[Q, 3]) -> (occupied uint32,
+    unknown uint32); Q must divide over the 'z' mesh axis.
+    """
+    from ..maps.paged import _count_probe_hits
+
+    def _shard_fn(snap, coords):
+        valid = jnp.ones(coords.shape[:-1], bool)
+        occ, unk = _count_probe_hits(snap, coords, valid, min_level, offset)
+        return jax.lax.psum(occ, "z"), jax.lax.psum(unk, "z")
+
+    fn = jax.shard_map(
+        _shard_fn, mesh=mesh, in_specs=(P(), P("z")), out_specs=(P(), P())
+    )
+    return jax.jit(fn)
+
+
+def build_sharded_list_collide(mesh: Mesh):
+    """Sharded list x list collide: list A's sorted id rows shard over 'z',
+    list B's are replicated; each chip binary-searches its slice and the
+    match count psums — identical to `VoxelList.collide_with(list)` (the
+    thrust::binary_search stencil, TemplateVoxelList.hpp:228-275, distributed
+    over A's entries; EMPTY padding never matches).
+
+    Returns fn(lo_a, hi_a, lo_b, hi_b) -> uint32 count, where (lo, hi) are a
+    list's `(ids, ids_hi)` arrays and A's capacity divides the 'z' axis.
+    """
+    from ..maps.voxellist import EMPTY_ID, _pair_searchsorted
+
+    def _shard_fn(lo_a, hi_a, lo_b, hi_b):
+        pos = jnp.clip(
+            _pair_searchsorted(hi_b, lo_b, hi_a, lo_a), 0, lo_b.shape[0] - 1
+        )
+        found = (lo_b[pos] == lo_a) & (hi_b[pos] == hi_a) & (lo_a != EMPTY_ID)
+        return jax.lax.psum(jnp.sum(found, dtype=jnp.uint32), "z")
+
+    fn = jax.shard_map(
+        _shard_fn, mesh=mesh, in_specs=(P("z"), P("z"), P(), P()), out_specs=P()
+    )
+    return jax.jit(fn)
+
+
 def build_sharded_hier_probe(mesh: Mesh, levels: int, dims: Tuple[int, int, int]):
     """Sharded hierarchy probe batch: the pyramid's coarse levels (tiny) are
     replicated, level 0 shards over 'z' slabs. Each chip descends the

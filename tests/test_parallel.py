@@ -146,3 +146,55 @@ def test_sharded_hier_probe_matches_single_device():
     got = int(fn(l0, tuple(hier.pyramid[1:]), jnp.asarray(qs)))
     occ, _, _ = hier.probe(jnp.asarray(qs))
     assert got == int(np.asarray(occ).sum()) and got > 0
+
+
+def test_sharded_paged_probe_matches_single_device():
+    """Sharded paged-octree probe batch (snapshot replicated, queries
+    z-sharded): occupied + unknown counts match the single-device
+    collide_with_coords / counting-unknown probes exactly."""
+    from gpu_voxels_tpu.maps.paged import PagedHierarchicalMap, _count_probe_hits
+    from gpu_voxels_tpu.parallel import build_sharded_paged_probe
+
+    rng = np.random.default_rng(11)
+    m = PagedHierarchicalMap((4096, 4096, 4096), 1.0)
+    pts = rng.uniform(0, 4096, (1500, 3)).astype(np.float32)
+    m.insert_point_cloud(pts)
+    qs = np.concatenate(
+        [
+            rng.integers(0, 4096, (464, 3)),
+            np.floor(pts[:48]),  # guaranteed occupied hits
+        ]
+    ).astype(np.int32)  # 512 queries -> 64 per chip
+    mesh = make_grid_mesh(8, world=1)
+    fn = build_sharded_paged_probe(mesh)
+    snap = m.snapshot()
+    occ, unk = fn(snap, jnp.asarray(qs))
+    e_occ, e_unk = _count_probe_hits(
+        snap, jnp.asarray(qs), jnp.ones((qs.shape[0],), bool), 0, (0, 0, 0)
+    )
+    assert int(occ) == int(e_occ) and int(occ) > 0
+    assert int(unk) == int(e_unk) and int(unk) > 0
+
+
+def test_sharded_list_collide_matches_single_device():
+    """Sharded list x list collide (A's id rows z-sharded, B replicated)
+    equals VoxelList.collide_with for both linear and morton id modes."""
+    from gpu_voxels_tpu.maps.voxellist import VoxelList
+    from gpu_voxels_tpu.parallel import build_sharded_list_collide
+
+    rng = np.random.default_rng(12)
+    dims = (64, 64, 64)
+    pa = rng.uniform(0, 64, (300, 3)).astype(np.float32)
+    pb = np.concatenate([pa[:80], rng.uniform(0, 64, (150, 3)).astype(np.float32)])
+    mesh = make_grid_mesh(8, world=1)
+    fn = build_sharded_list_collide(mesh)
+    for id_mode in ("linear", "morton"):
+        la = VoxelList.create(dims, 1.0, capacity=512, id_mode=id_mode).insert_point_cloud(
+            pa, grow=False
+        )
+        lb = VoxelList.create(dims, 1.0, capacity=512, id_mode=id_mode).insert_point_cloud(
+            pb, grow=False
+        )
+        got = int(fn(la.ids, la.ids_hi, lb.ids, lb.ids_hi))
+        expect = int(la.collide_with(lb))
+        assert got == expect and got > 0, id_mode

@@ -172,3 +172,64 @@ def test_collide_types_one_pass_kernel_on_tpu():
         )
         assert int(got_c) == ref_c, margin
         np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
+
+
+def test_prob_paged_octree_scale_on_tpu():
+    """GvlNTreeProb at full NTree scale on hardware: exact insertSensorData
+    log-odds arithmetic (UNKNOWN -> -128+72 -> +72 -> occupied at >= 10,
+    crossings clamp at -127; EnvNodesProbCommon.h:30-45, SensorModel
+    magnitudes VoxelMapOperations.h:38-39) at 32768^3, sparse."""
+    from gpu_voxels_tpu.maps.paged import PagedHierarchicalMap
+
+    m = PagedHierarchicalMap((32768, 32768, 32768), 1.0, probabilistic=True)
+    origin = (20000.5, 20000.5, 20000.5)
+    hits = np.array([[20020.5, 20000.5, 20000.5]], np.float32)
+    m.insert_point_cloud_with_free_space(hits, origin)
+    hit_q = jnp.asarray([[20020, 20000, 20000]], jnp.int32)
+    ray_q = jnp.asarray([[20010, 20000, 20000]], jnp.int32)
+    assert int(np.asarray(m.probe_occupancy(hit_q))[0]) == -56  # -128 + 72
+    assert int(np.asarray(m.probe_occupancy(ray_q))[0]) == -127
+    o1, _, f1 = m.probe(jnp.concatenate([hit_q, ray_q]))
+    assert not bool(o1[0]) and bool(f1[1])
+    m.insert_point_cloud_with_free_space(hits, origin)
+    assert int(np.asarray(m.probe_occupancy(hit_q))[0]) == 16  # -56 + 72
+    assert bool(m.probe(hit_q)[0][0])  # 16 >= THRESHOLD_OCCUPANCY
+    assert bool(m.probe(jnp.asarray([[1, 1, 1]], jnp.int32))[1][0])  # unknown
+    assert m.memory_usage() < 300 * 1024 * 1024
+
+
+def test_exact_carve_band_refinement_on_tpu():
+    """The compiled (non-interpreted) Pallas band-refinement carve is
+    bit-identical to the exact per-pixel reference carve on hardware,
+    including depth edges, invalid patches and an off-axis pose
+    (ProbVoxelMap::insertSensorData raycast semantics,
+    VoxelMapOperations.h:199-334)."""
+    from gpu_voxels_tpu.ops import raycast as rc
+    from gpu_voxels_tpu.ops import raycast_pallas as rp
+
+    dims = (64, 64, 64)
+    rng = np.random.default_rng(7)
+    depth = np.full((48, 64), 40.0, np.float32)
+    depth[:, 32:] = 20.0
+    depth[10:14, 5:9] = 0.0
+    depth[30:34, :] += rng.uniform(-5, 5, (4, 64)).astype(np.float32)
+    th = 0.4
+    rot = np.array(
+        [[1, 0, 0], [0, np.cos(th), -np.sin(th)], [0, np.sin(th), np.cos(th)]],
+        np.float32,
+    )
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = rot
+    pose[:3, 3] = [20, 45, 3]
+    exact = np.asarray(
+        rc.projective_free_space(
+            jnp.asarray(depth), jnp.asarray(pose), 52.0, 52.0, 32.0, 24.0, 1.0, dims
+        )
+    )
+    got = np.asarray(
+        rp.projective_free_space_exact_tpu(
+            jnp.asarray(depth), jnp.asarray(pose), 52.0, 52.0, 32.0, 24.0, 1.0, dims
+        )
+    )
+    np.testing.assert_array_equal(got, exact)
+    assert exact.sum() > 0
