@@ -32,7 +32,8 @@ def distance_map_to_bit_map(dm: DistanceVoxelMap, clearance: float = 0.0,
     p = bitops.bit_plane(int(meaning))
     word = bitops.UINT32(bitops.bit_word(int(meaning)))
     planes = planes.at[p].set(jnp.where(mask, word, bitops.UINT32(0)))
-    return BitVectorVoxelMap(planes, dm.dims, dm.side_length)
+    occ = (mask & (int(meaning) != 0)).astype(jnp.uint8)
+    return BitVectorVoxelMap(planes, dm.dims, dm.side_length, occ=occ)
 
 
 def prob_map_to_bit_map(pm: ProbVoxelMap, threshold: float = 0.5,
@@ -45,11 +46,12 @@ def prob_map_to_bit_map(pm: ProbVoxelMap, threshold: float = 0.5,
     p = bitops.bit_plane(int(meaning))
     word = bitops.UINT32(bitops.bit_word(int(meaning)))
     planes = planes.at[p].set(jnp.where(mask, word, bitops.UINT32(0)))
-    return BitVectorVoxelMap(planes, pm.dims, pm.side_length)
+    occ = (mask & (int(meaning) != 0)).astype(jnp.uint8)
+    return BitVectorVoxelMap(planes, pm.dims, pm.side_length, occ=occ)
 
 
 def bit_map_to_prob_map(bm: BitVectorVoxelMap) -> ProbVoxelMap:
     from . import bitops
 
-    occ = jnp.where(bitops.occupied(bm.data), jnp.int8(127), jnp.int8(-128))
+    occ = jnp.where(bm.occupied_mask(), jnp.int8(127), jnp.int8(-128))
     return ProbVoxelMap(occ, bm.dims, bm.side_length)

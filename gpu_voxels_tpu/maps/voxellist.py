@@ -422,7 +422,7 @@ class VoxelList(DiskIO):
         if isinstance(other, ProbVoxelMap):
             mask = collide_ops.prob_occupied(other.data, float_to_probability(coll_threshold))
         elif isinstance(other, BitVectorVoxelMap):
-            mask = bitops.occupied(other.data)
+            mask = other.occupied_mask()
         else:
             raise TypeError(f"cannot collide VoxelList with {type(other)}")
         dx, dy, dz = other.dims
@@ -542,7 +542,12 @@ class VoxelList(DiskIO):
             t = float_to_probability(coll_threshold)
             occ = dense_map.data[idx].astype(jnp.int32) >= t
         elif isinstance(dense_map, BitVectorVoxelMap):
-            occ = bitops.occupied(dense_map.data[:, idx])
+            # gather the maintained summary (1 byte/entry) when present
+            # instead of 8 plane words per entry
+            if dense_map.occ is not None:
+                occ = dense_map.occ[idx] != 0
+            else:
+                occ = bitops.occupied(dense_map.data[:, idx])
         else:
             raise TypeError(type(dense_map))
         return jnp.sum(occ & valid & matches, dtype=jnp.uint32)

@@ -196,6 +196,8 @@ class ProbVoxelMap(_DenseMap):
         if isinstance(other, ProbVoxelMap):
             return collide_ops.count_prob_prob(self.data, other.data, t, t, self.dims, off)
         if isinstance(other, BitVectorVoxelMap):
+            if other.occ is not None:
+                return collide_ops.count_prob_occ(self.data, t, other.occ, self.dims, off)
             return collide_ops.count_prob_bit(self.data, t, other.data, self.dims, off)
         raise TypeError(f"cannot collide ProbVoxelMap with {type(other)}")
 
@@ -219,7 +221,7 @@ class ProbVoxelMap(_DenseMap):
         if isinstance(other, ProbVoxelMap):
             theirs = collide_ops.prob_occupied(other.data, t)
         elif isinstance(other, BitVectorVoxelMap):
-            theirs = bitops.occupied(other.data)
+            theirs = other.occupied_mask()
         else:
             raise TypeError(f"cannot collide ProbVoxelMap with {type(other)}")
         return collide_ops.count_with_resolution(
@@ -254,23 +256,47 @@ class ProbVoxelMap(_DenseMap):
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class BitVectorVoxelMap(_DenseMap):
-    """Dense 256-bit deterministic map; data is uint32[8, N] bit planes."""
+    """Dense 256-bit deterministic map; data is uint32[8, N] bit planes.
+
+    `occ` is a maintained occupancy summary: uint8[N], 1 exactly where the
+    voxel is !noneButEmpty (eBVM_FREE masked out — BitVector.h:184-198).
+    Every mutating operation keeps it coherent (inserts derive it from the
+    scatter delta they already materialize; bit-clearing ops recompute it in
+    the same sweep they pay anyway), so the plain `collideWith` count — whose
+    contract is exactly both-voxels-!noneButEmpty — reads 2 bytes/voxel-pair
+    instead of folding 64 (docs/PERFORMANCE.md lever #2). A map built with
+    occ=None (e.g. hand-constructed planes) falls back to the plane fold
+    everywhere; operations then propagate None."""
 
     map_type: MapType = field(default=MapType.MT_BITVECTOR_VOXELMAP, metadata=dict(static=True))
+    occ: jnp.ndarray | None = None
 
     @staticmethod
     def create(dims: Dims, side_length: float = 1.0) -> "BitVectorVoxelMap":
         data = bitops.zeros((_n(dims),))
-        return BitVectorVoxelMap(data, tuple(dims), float(side_length))
+        occ = jnp.zeros((_n(dims),), jnp.uint8)
+        return BitVectorVoxelMap(data, tuple(dims), float(side_length), occ=occ)
+
+    @staticmethod
+    def from_planes(planes, dims: Dims, side_length: float = 1.0) -> "BitVectorVoxelMap":
+        """Wrap raw uint32[8, N] planes, computing the occupancy summary."""
+        occ = bitops.occupied(planes).astype(jnp.uint8)
+        return BitVectorVoxelMap(planes, tuple(dims), float(side_length), occ=occ)
+
+    def _occ_from(self, data) -> jnp.ndarray | None:
+        """Recomputed summary (one fold) — for ops that can clear bits."""
+        return None if self.occ is None else bitops.occupied(data).astype(jnp.uint8)
 
     def clear_map(self) -> "BitVectorVoxelMap":
-        return replace(self, data=jnp.zeros_like(self.data))
+        occ = None if self.occ is None else jnp.zeros_like(self.occ)
+        return replace(self, data=jnp.zeros_like(self.data), occ=occ)
 
     # -- insertion ----------------------------------------------------------
     @compiled("meaning", arrays=("points",))
     def insert_point_cloud(self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED) -> "BitVectorVoxelMap":
-        new, _ = insert_ops.insert_bit(self.data, jnp.asarray(points, jnp.float32), self.side_length, self.dims, int(meaning))
-        return replace(self, data=new)
+        new, _, occ_d = insert_ops.insert_bit(self.data, jnp.asarray(points, jnp.float32), self.side_length, self.dims, int(meaning))
+        occ = None if self.occ is None else self.occ | occ_d
+        return replace(self, data=new, occ=occ)
 
     def insert_meta_point_cloud(self, meta, meanings=None) -> "BitVectorVoxelMap":
         if meanings is None:
@@ -283,13 +309,14 @@ class BitVectorVoxelMap(_DenseMap):
     # -- bit maintenance ----------------------------------------------------
     def clear_bit(self, bit_index: int) -> "BitVectorVoxelMap":
         """clearBit: clear one meaning in every voxel (BitVoxelMap.hpp:58-72)."""
-        return replace(self, data=bitops.clear_bit(self.data, bit_index))
+        new = bitops.clear_bit(self.data, bit_index)
+        return replace(self, data=new, occ=self._occ_from(new))
 
     def clear_bits(self, bit_indices) -> "BitVectorVoxelMap":
         d = self.data
         for b in bit_indices:
             d = bitops.clear_bit(d, b)
-        return replace(self, data=d)
+        return replace(self, data=d, occ=self._occ_from(d))
 
     def clear_voxel_meaning(self, meaning) -> "BitVectorVoxelMap":
         return self.clear_bit(int(meaning))
@@ -297,7 +324,8 @@ class BitVectorVoxelMap(_DenseMap):
     @compiled("shift_size")
     def shift_left_swept_volume_ids(self, shift_size: int) -> "BitVectorVoxelMap":
         """shiftLeftSweptVolumeIDs (BitVoxelMap.hpp:226-240)."""
-        return replace(self, data=bitops.perform_left_shift(self.data, shift_size))
+        new = bitops.perform_left_shift(self.data, shift_size)
+        return replace(self, data=new, occ=self._occ_from(new))
 
     # -- collision ----------------------------------------------------------
     @compiled("coll_threshold", "offset")
@@ -305,10 +333,17 @@ class BitVectorVoxelMap(_DenseMap):
         t = float_to_probability(coll_threshold)
         off = self._offset(offset)
         if isinstance(other, BitVectorVoxelMap):
+            if self.occ is not None and other.occ is not None:
+                # summary fast path: plain bit x bit is exactly both-
+                # !noneButEmpty, which the maintained summaries answer alone
+                return collide_ops.count_occ_occ(self.occ, other.occ, self.dims, off)
             return collide_ops.count_bit_bit(self.data, other.data, self.dims, off)
         if isinstance(other, ProbVoxelMap):
             # DefaultCollider bit x prob: threshold applies to the prob side
-            return collide_ops.count_prob_bit(other.data, t, self.data, self.dims, tuple(-v for v in off))
+            roff = tuple(-v for v in off)
+            if self.occ is not None:
+                return collide_ops.count_prob_occ(other.data, t, self.occ, self.dims, roff)
+            return collide_ops.count_prob_bit(other.data, t, self.data, self.dims, roff)
         raise TypeError(f"cannot collide BitVectorVoxelMap with {type(other)}")
 
     def collides_with(self, other, coll_threshold: float = 1.0, offset=(0, 0, 0)):
@@ -321,9 +356,9 @@ class BitVectorVoxelMap(_DenseMap):
     ):
         """collideWithResolution (CollisionInterfaces.h:37-60) at a
         2^level-coarsened resolution (see ops.collide.count_with_resolution)."""
-        mine = bitops.occupied(self.data)
+        mine = self.occupied_mask()
         if isinstance(other, BitVectorVoxelMap):
-            theirs = bitops.occupied(other.data)
+            theirs = other.occupied_mask()
         elif isinstance(other, ProbVoxelMap):
             theirs = collide_ops.prob_occupied(other.data, float_to_probability(coll_threshold))
         else:
@@ -341,12 +376,20 @@ class BitVectorVoxelMap(_DenseMap):
             cnt, meanings, new = collide_ops.collide_with_types_bit_bit(
                 self.data, other.data, margin=sv_window, sv_offset=sv_offset
             )
-            return cnt, meanings, replace(self, data=new)
+            return cnt, meanings, replace(self, data=new, occ=self._occ_marked(new))
         if isinstance(other, ProbVoxelMap):
             t = float_to_probability(coll_threshold)
             cnt, meanings, new = collide_ops.collide_with_types_bit_prob(self.data, other.data, t)
-            return cnt, meanings, replace(self, data=new)
+            return cnt, meanings, replace(self, data=new, occ=self._occ_marked(new))
         raise TypeError(f"cannot collide BitVectorVoxelMap with {type(other)}")
+
+    def _occ_marked(self, new_data) -> jnp.ndarray | None:
+        """Summary after a marking collide: marking only ever ADDS the
+        eBVM_COLLISION bit (bit 2), and any voxel holding it is occupied."""
+        if self.occ is None:
+            return None
+        bit2 = ((new_data[0] >> bitops.UINT32(2)) & bitops.UINT32(1)).astype(jnp.uint8)
+        return self.occ | bit2
 
     @compiled("margin", "sv_offset")
     def collide_with_bitcheck(self, other: "BitVectorVoxelMap", margin: int = 0, sv_offset: int = 0):
@@ -363,6 +406,8 @@ class BitVectorVoxelMap(_DenseMap):
 
     # -- queries ------------------------------------------------------------
     def occupied_mask(self) -> jnp.ndarray:
+        if self.occ is not None:
+            return self.occ != 0
         return bitops.occupied(self.data)
 
     def get_bit_mask(self, meaning) -> jnp.ndarray:
@@ -371,12 +416,21 @@ class BitVectorVoxelMap(_DenseMap):
     def merge(self, other: "BitVectorVoxelMap", new_meaning=None) -> "BitVectorVoxelMap":
         """Voxel::reduce = bitwise OR; optional re-meaning of merged voxels."""
         if new_meaning is None:
-            return replace(self, data=self.data | other.data)
-        occ = bitops.occupied(other.data)
+            new = self.data | other.data
+            if self.occ is not None and other.occ is not None:
+                occ = self.occ | other.occ
+            else:
+                occ = self._occ_from(new)
+            return replace(self, data=new, occ=occ)
+        occ_m = other.occupied_mask()
         word = bitops.UINT32(bitops.bit_word(int(new_meaning)))
         p = bitops.bit_plane(int(new_meaning))
-        plane = jnp.where(occ, self.data[p] | word, self.data[p])
-        return replace(self, data=self.data.at[p].set(plane))
+        plane = jnp.where(occ_m, self.data[p] | word, self.data[p])
+        if self.occ is None or int(new_meaning) == 0:
+            occ = self.occ  # bit 0 never flips noneButEmpty
+        else:
+            occ = self.occ | occ_m.astype(jnp.uint8)
+        return replace(self, data=self.data.at[p].set(plane), occ=occ)
 
 
 @jax.tree_util.register_dataclass

@@ -85,6 +85,28 @@ def count_prob_bit(prob, t1, bit_planes, dims=None, offset=(0, 0, 0)) -> jnp.nda
     return jnp.sum(hit, dtype=jnp.uint32)
 
 
+def count_occ_occ(occ_a, occ_b, dims=None, offset=(0, 0, 0)) -> jnp.ndarray:
+    """Counting collide over maintained occupancy summaries (uint8[N] 0/1,
+    kept coherent by every BitVectorVoxelMap mutation): plain bit x bit
+    collision is exactly both-!noneButEmpty (DefaultCollider.hpp:76-81), so
+    the summaries alone answer it — a 2N-byte sweep instead of the 64N-byte
+    plane fold (~30x less HBM traffic)."""
+    n = occ_a.shape[-1]
+    off = linear_offset(offset, dims) if dims else 0
+    sa, sb = _offset_slices(n, off)
+    return jnp.sum(occ_a[sa] & occ_b[sb], dtype=jnp.uint32)
+
+
+def count_prob_occ(prob, t1, occ_b, dims=None, offset=(0, 0, 0)) -> jnp.ndarray:
+    """prob x bit through the bit side's occupancy summary (same contract as
+    count_prob_bit; reads N bytes instead of the 32N-byte plane fold)."""
+    n = prob.shape[-1]
+    off = linear_offset(offset, dims) if dims else 0
+    sa, sb = _offset_slices(n, off)
+    hit = prob_occupied(prob[sa], t1) & (occ_b[sb] != 0)
+    return jnp.sum(hit, dtype=jnp.uint32)
+
+
 def any_collision(hit_count) -> jnp.ndarray:
     return hit_count > 0
 

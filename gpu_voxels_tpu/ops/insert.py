@@ -89,30 +89,21 @@ def insert_bit(planes, points, side_length, dims, meaning: int):
     Deterministic formulation of the reference's atomic byte-OR: a one-hot
     scatter-max builds the hit set, then a single vector OR merges it into
     the target plane.
+
+    Returns (planes, any_outside, occ_delta) where occ_delta is uint8[N]
+    1 for voxels this insert made !noneButEmpty — derived elementwise from
+    the already-materialized scatter delta (no second scatter), so
+    maintaining the map's occupancy summary costs only bandwidth. Inserting
+    eBVM_FREE (bit 0, masked out of noneButEmpty) contributes nothing.
     """
     idx, outside = voxelize(points, side_length, dims)
     n = planes.shape[1]
     word = UINT32(bit_word(meaning))
     delta = jnp.zeros((n,), dtype=UINT32).at[idx].max(word, mode="drop")
     p = bit_plane(meaning)
-    return planes.at[p].set(planes[p] | delta), outside
-
-
-def insert_bit_dynamic(planes, idx, meaning):
-    """Bit insert where `meaning` is a traced scalar (e.g. per-step SV id).
-
-    One scatter per plane; only the plane selected by meaning>>5 receives a
-    non-zero word, so XLA folds the rest away when meaning is constant.
-    """
-    n = planes.shape[1]
-    word = UINT32(1) << (jnp.asarray(meaning, UINT32) & UINT32(31))
-    out = []
-    plane_of = jnp.asarray(meaning, UINT32) >> UINT32(5)
-    for p in range(planes.shape[0]):
-        w = jnp.where(plane_of == p, word, UINT32(0))
-        delta = jnp.zeros((n,), dtype=UINT32).at[idx].max(w, mode="drop")
-        out.append(planes[p] | delta)
-    return jnp.stack(out, axis=0)
+    occ_word = delta & UINT32(0xFFFFFFFE) if p == 0 else delta
+    occ_delta = (occ_word != 0).astype(jnp.uint8)
+    return planes.at[p].set(planes[p] | delta), outside, occ_delta
 
 
 def insert_count(data, points, side_length, dims, saturate_int8=True):

@@ -94,11 +94,17 @@ def insert_swept_volume_batched(
 
     data = bitmap.data
     out_planes = []
+    occ_delta = jnp.zeros((n,), jnp.uint8)
     for p in range(data.shape[0]):
         sel = jnp.where((plane == p) & first, word, jnp.uint32(0))
         tgt = jnp.where((plane == p) & first & (idx_s < n), idx_s, n)
         delta = jnp.zeros((n,), jnp.uint32).at[tgt].add(sel, mode="drop")
         out_planes.append(data[p] | delta)
+        # SV meanings are all >= SV_START (4), so any delta marks occupancy
+        # for the maintained summary (noneButEmpty masks only bit 0)
+        occ_word = delta & jnp.uint32(0xFFFFFFFE) if p == 0 else delta
+        occ_delta = occ_delta | (occ_word != 0).astype(jnp.uint8)
     from dataclasses import replace
 
-    return replace(bitmap, data=jnp.stack(out_planes, axis=0))
+    occ = None if bitmap.occ is None else bitmap.occ | occ_delta
+    return replace(bitmap, data=jnp.stack(out_planes, axis=0), occ=occ)

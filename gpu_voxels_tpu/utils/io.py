@@ -71,7 +71,7 @@ def read_voxel_map(path):
         return ProbVoxelMap(jnp.asarray(data), dims, side)
     if map_type == MapType.MT_BITVECTOR_VOXELMAP:
         planes = _voxel_bytes_to_planes(np.frombuffer(raw, np.uint8, n * 32), n)
-        return BitVectorVoxelMap(jnp.asarray(planes), dims, side)
+        return BitVectorVoxelMap.from_planes(jnp.asarray(planes), dims, side)
     if map_type == MapType.MT_DISTANCE_VOXELMAP:
         data = np.frombuffer(raw, "<u4", n)
         return DistanceVoxelMap(jnp.asarray(data), dims, side)

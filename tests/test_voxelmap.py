@@ -221,3 +221,95 @@ def test_collide_with_resolution_dense():
     assert int(ab.collide_with_resolution(bb, resolution_level=1)) == 1
     assert int(ab.collide_with_resolution(b, resolution_level=1)) == 1
     assert int(a.collide_with_resolution(bb, resolution_level=1)) == 1
+
+
+def _assert_occ_coherent(m, where=""):
+    expect = np.asarray(bitops.occupied(m.data)).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(m.occ), expect, err_msg=where)
+
+
+def test_occupancy_summary_stays_coherent():
+    """The maintained occ summary (uint8[N] !noneButEmpty) must match the
+    plane fold after every mutating operation, and the summary fast-path
+    collide counts must equal the fold-path counts."""
+    from gpu_voxels_tpu.ops import collide as collide_ops
+
+    dims = (16, 16, 16)
+    rng = np.random.default_rng(9)
+    pts_a = rng.uniform(0, 16, (200, 3)).astype(np.float32)
+    pts_b = rng.uniform(0, 16, (200, 3)).astype(np.float32)
+
+    m = BitVectorVoxelMap.create(dims)
+    _assert_occ_coherent(m, "create")
+    m = m.insert_point_cloud(pts_a)
+    _assert_occ_coherent(m, "insert occupied")
+    m = m.insert_point_cloud(pts_b[:50], BitVoxelMeaning.eBVM_FREE)
+    _assert_occ_coherent(m, "insert eBVM_FREE (bit 0 must not mark occ)")
+    m = m.insert_point_cloud(pts_b, 35)  # plane 1
+    _assert_occ_coherent(m, "insert plane-1 meaning")
+    m = m.shift_left_swept_volume_ids(4)
+    _assert_occ_coherent(m, "shift_left_swept_volume_ids")
+    m = m.clear_bit(35)
+    _assert_occ_coherent(m, "clear_bit")
+    other = BitVectorVoxelMap.create(dims).insert_point_cloud(pts_b, 7)
+    m2 = m.merge(other)
+    _assert_occ_coherent(m2, "merge")
+    m3 = m.merge(other, new_meaning=9)
+    _assert_occ_coherent(m3, "merge with new_meaning")
+    m4 = m.merge(other, new_meaning=BitVoxelMeaning.eBVM_FREE)
+    _assert_occ_coherent(m4, "merge re-meaned to eBVM_FREE")
+    cnt, _, marked = m2.collide_with_types(other)
+    _assert_occ_coherent(marked, "collide_with_types marking")
+
+    # summary fast path == fold path, incl. offsets
+    for off in ((0, 0, 0), (1, -2, 3)):
+        fast = int(m2.collide_with(other, offset=off))
+        slow = int(collide_ops.count_bit_bit(m2.data, other.data, dims, off))
+        assert fast == slow, off
+    # bit x prob both directions: summary path == plane-fold path
+    from gpu_voxels_tpu.constants import float_to_probability
+
+    pm = ProbVoxelMap.create(dims).insert_point_cloud(pts_a)
+    t = float_to_probability(0.5)
+    expect_pb = int(collide_ops.count_prob_bit(pm.data, t, m2.data, dims))
+    assert int(pm.collide_with(m2, 0.5)) == expect_pb
+    assert int(m2.collide_with(pm, 0.5)) == expect_pb
+
+
+def test_occupancy_summary_none_fallback():
+    """Hand-constructed maps (occ=None) keep working through the fold path
+    and propagate None."""
+    dims = (8, 8, 8)
+    rng = np.random.default_rng(3)
+    planes = jnp.asarray(
+        rng.integers(0, 2 ** 32, (8, 512), dtype=np.uint64).astype(np.uint32)
+    )
+    raw = BitVectorVoxelMap(planes, dims, 1.0)
+    assert raw.occ is None
+    counted = int(raw.collide_with(raw))
+    expect = int(np.asarray(bitops.occupied(planes)).sum())
+    assert counted == expect
+    assert raw.clear_bit(3).occ is None
+    # from_planes computes the summary for raw planes
+    wrapped = BitVectorVoxelMap.from_planes(planes, dims, 1.0)
+    _assert_occ_coherent(wrapped, "from_planes")
+    assert int(wrapped.collide_with(wrapped)) == expect
+
+
+def test_occupancy_summary_swept_volume_batched():
+    from gpu_voxels_tpu.robot.swept_volume import insert_swept_volume_batched
+
+    dims = (16, 16, 16)
+
+    class _Trans:
+        def transformed_clouds_for(self, cfg):
+            class _C:
+                points = jnp.asarray([[1.0, 1.0, 1.0], [2.0, 2.0, 2.0]]) + cfg[0]
+
+            return _C()
+
+    m = insert_swept_volume_batched(
+        BitVectorVoxelMap.create(dims), _Trans(), np.arange(6, dtype=np.float32)[:, None]
+    )
+    _assert_occ_coherent(m, "swept volume batched")
+    assert int(np.asarray(m.occ).sum()) > 0
