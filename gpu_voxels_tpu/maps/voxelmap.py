@@ -394,6 +394,16 @@ class BitVectorVoxelMap(_DenseMap):
     @compiled("margin", "sv_offset")
     def collide_with_bitcheck(self, other: "BitVectorVoxelMap", margin: int = 0, sv_offset: int = 0):
         """Same-bit collision with +-margin window, count only."""
+        if sv_offset == 0 and margin <= 24 and collide_ops._use_types_pallas():
+            # same hit predicate as the one-pass types kernel (SVCollider's
+            # bitMarginCollisionCheck window); count-only skips the meanings
+            # fold and the marked-map output
+            from ..ops import collide_pallas
+
+            cnt, _, _ = collide_pallas.collide_types_bit_bit(
+                self.data, other.data, margin, mark=False
+            )
+            return cnt
         if sv_offset == 0:
             hit, _ = bitops.bit_margin_collision_check_packed(self.data, other.data, margin)
         else:

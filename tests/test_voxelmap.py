@@ -313,3 +313,24 @@ def test_occupancy_summary_swept_volume_batched():
     )
     _assert_occ_coherent(m, "swept volume batched")
     assert int(np.asarray(m.occ).sum()) > 0
+
+
+def test_dense_bitcheck_routes_through_types_kernel(monkeypatch):
+    """collide_with_bitcheck's Pallas route (count-only one-pass margin
+    kernel) must equal the packed XLA hit count (unique shape so the jit
+    cache cannot serve a program traced without the interpret flag)."""
+    monkeypatch.setenv("GVTPU_TYPES_INTERPRET", "1")
+    dims = (8, 8, 24)  # unique N for a fresh trace under the env flag
+    a = BitVectorVoxelMap.create(dims).insert_point_cloud(
+        np.array([[1.5, 1.5, 1.5], [3.5, 2.5, 1.5]], np.float32), SV_START + 4
+    )
+    b = BitVectorVoxelMap.create(dims).insert_point_cloud(
+        np.array([[1.5, 1.5, 1.5], [5.5, 5.5, 5.5]], np.float32), SV_START + 6
+    )
+    for margin in (0, 1, 2, 4):
+        got = int(a.collide_with_bitcheck(b, margin=margin))
+        hit, _ = bitops.bit_margin_collision_check_packed(a.data, b.data, margin)
+        assert got == int(np.asarray(hit).sum()), margin
+    # the window semantics themselves: ids 2 apart need margin >= 2
+    assert int(a.collide_with_bitcheck(b, margin=1)) == 0
+    assert int(a.collide_with_bitcheck(b, margin=2)) == 1
