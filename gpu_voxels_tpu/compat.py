@@ -49,6 +49,7 @@ _MAP_ALIASES = {
     "insertPointCloudWithFreespaceCalculation": "insert_point_cloud_with_free_space",
     "writeToDisk": "write_to_disk",
     "readFromDisk": "read_from_disk",
+    "getMemoryUsage": "memory_usage",
 }
 
 _LIST_ALIASES = {
@@ -61,6 +62,7 @@ _LIST_ALIASES = {
     "collideWithTypeMask": "collide_with_type_mask",
     "clearMap": "clear_map",
     "subtractFromCountingVoxelList": "subtract",
+    "getMemoryUsage": "memory_usage",
 }
 
 _DISTANCE_ALIASES = {

@@ -18,7 +18,12 @@ Coordinates are derived from ids on demand instead of being stored.
 The make_unique step (sort_by_key + unique_by_key with Voxel::reduce_op)
 becomes argsort + a segmented associative scan that merges duplicate-id
 payloads (bitwise OR / saturating add), then a prefix-sum compaction —
-all fixed-shape, all on device.
+all fixed-shape, all on device. Saturation note: ProbabilisticVoxel's
+reduce_op is a clamped add (ProbabilisticVoxel.hpp:52-57), which is NOT
+associative, yet thrust::unique_by_key requires associativity — the
+reference's result is combination-order-dependent (hence unspecified)
+whenever an intermediate sum clamps. This port computes the int32 sum and
+clamps once, a valid linearization that is additionally deterministic.
 
 IDs: "linear" mode uses the dense map linear index (MapVoxelID, uint32);
 "morton" mode uses the reference's 60-bit Morton codes — the reference's
@@ -332,7 +337,7 @@ class VoxelList(DiskIO):
         if tuple(offset) != (0, 0, 0):
             if self.id_mode == "morton":
                 raise ValueError("offset not supported for morton lists")
-            my_lo = my_lo + jnp.uint32(np.uint32(linear_offset(offset, self.dims)))
+            my_lo = my_lo + jnp.uint32(np.uint32(linear_offset(offset, self.dims) & 0xFFFFFFFF))
         _, found = self._find_positions(other, my_hi, my_lo)
         return found
 
@@ -503,7 +508,7 @@ class VoxelList(DiskIO):
 
         lin = self._linear_ids_for(dense_map.dims)
         if tuple(offset) != (0, 0, 0):
-            lin = lin + jnp.uint32(np.uint32(linear_offset(offset, dense_map.dims)))
+            lin = lin + jnp.uint32(np.uint32(linear_offset(offset, dense_map.dims) & 0xFFFFFFFF))
         n = dense_map.voxelmap_size
         valid = (lin < n) & (self.ids != EMPTY_ID)
         idx = jnp.where(valid, lin, 0).astype(jnp.int32)
@@ -534,7 +539,7 @@ class VoxelList(DiskIO):
 
         lin = self._linear_ids_for(dense_map.dims)
         if tuple(offset) != (0, 0, 0):
-            lin = lin + jnp.uint32(np.uint32(linear_offset(offset, dense_map.dims)))
+            lin = lin + jnp.uint32(np.uint32(linear_offset(offset, dense_map.dims) & 0xFFFFFFFF))
         n = dense_map.voxelmap_size
         valid = (lin < n) & (self.ids != EMPTY_ID)
         idx = jnp.where(valid, lin, 0).astype(jnp.int32)
@@ -560,20 +565,72 @@ class VoxelList(DiskIO):
         return self.payload.astype(jnp.int32) > 0
 
     # -- set operations -----------------------------------------------------
-    def merge(self, other: "VoxelList") -> "VoxelList":
-        """Append + make_unique (TemplateVoxelList.hpp:537-607)."""
+    def merge(
+        self,
+        other: "VoxelList",
+        offset=(0, 0, 0),
+        new_meaning=None,
+        metric_offset=None,
+    ) -> "VoxelList":
+        """Append + make_unique (TemplateVoxelList.hpp:537-607).
+
+        The appended entries may be shifted by a signed voxel offset
+        (applyOffsetOperator, TemplateVoxelList.h:66-89: the linear id gets
+        the signed linear offset added, uint32 wraparound for out-of-range)
+        and/or overwritten with a single-meaning payload before dedup
+        (thrust::fill of a one-bit voxel, TemplateVoxelList.hpp:585-590 —
+        bit lists only, as in the reference). `metric_offset` is the
+        Vector3f overload (hpp:603-607): floor(metric / side_length) per
+        axis via mapToVoxelsSigned (kernels/VoxelMapOperations.h:137-145).
+        """
         assert self.kind == other.kind
-        hi = jnp.concatenate([self.ids_hi, other.ids_hi])
-        lo = jnp.concatenate([self.ids, other.ids])
-        payload = jnp.concatenate([self.payload, other.payload], axis=-1)
+        if metric_offset is not None:
+            offset = tuple(
+                int(np.floor(float(m) / self.side_length)) for m in metric_offset
+            )
+        o_hi, o_lo, o_payload = other.ids_hi, other.ids, other.payload
+        valid = o_lo != EMPTY_ID
+        if tuple(offset) != (0, 0, 0):
+            if self.id_mode == "morton":
+                raise ValueError("offset not supported for morton lists")
+            shift = jnp.uint32(np.uint32(linear_offset(offset, self.dims) & 0xFFFFFFFF))
+            o_lo = jnp.where(valid, o_lo + shift, o_lo)
+        if new_meaning is not None:
+            if self.kind != KIND_BIT:
+                raise TypeError("new_meaning applies to bit lists only")
+            fill = jnp.zeros_like(o_payload).at[bitops.bit_plane(int(new_meaning))].set(
+                bitops.UINT32(bitops.bit_word(int(new_meaning)))
+            )
+            o_payload = jnp.where(valid[None, :], fill, o_payload)
+        hi = jnp.concatenate([self.ids_hi, o_hi])
+        lo = jnp.concatenate([self.ids, o_lo])
+        payload = jnp.concatenate([self.payload, o_payload], axis=-1)
         u_hi, u_lo, u_payload, count = self._make_unique(hi, lo, payload)
         merged = replace(self, ids=u_lo, ids_hi=u_hi, payload=u_payload, count=count)
         return merged.with_capacity(self.capacity + other.capacity)
 
-    def subtract(self, other: "VoxelList", offset=(0, 0, 0)) -> "VoxelList":
-        """Remove entries present in other (TemplateVoxelList.hpp:610-643)."""
+    def memory_usage(self) -> int:
+        """getMemoryUsage (TemplateVoxelList.h): device bytes of the list."""
+        return int(
+            self.ids.size * self.ids.dtype.itemsize
+            + self.ids_hi.size * self.ids_hi.dtype.itemsize
+            + self.payload.size * self.payload.dtype.itemsize
+        )
+
+    def subtract(self, other: "VoxelList", offset=(0, 0, 0), metric_offset=None) -> "VoxelList":
+        """Remove entries present in other (TemplateVoxelList.hpp:610-643).
+        `metric_offset` is the Vector3f overload: floor(metric/side) voxels."""
+        if metric_offset is not None:
+            offset = tuple(
+                int(np.floor(float(m) / self.side_length)) for m in metric_offset
+            )
         member = self._membership(other, offset)
         return self._compact(~member & (self.ids != EMPTY_ID))
+
+    def shrink_to_fit(self) -> "VoxelList":
+        """shrinkToFit (TemplateVoxelList.h:153): re-fix capacity to the live
+        entry count (host sync on the traced count)."""
+        return self.with_capacity(max(int(self.count), 1))
 
     def remove_underpopulated(self, threshold: int) -> "VoxelList":
         """CountingVoxelList::remove_underpopulated (CountingVoxelList.h:58)."""

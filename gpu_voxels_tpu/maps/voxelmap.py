@@ -60,6 +60,14 @@ class _DenseMap(DiskIO):
     def metric_dimensions(self) -> Tuple[float, float, float]:
         return tuple(d * self.side_length for d in self.dims)
 
+    def memory_usage(self) -> int:
+        """getMemoryUsage (GpuVoxelsMap.h:253): device bytes of voxel data."""
+        total = self.data.size * self.data.dtype.itemsize
+        occ = getattr(self, "occ", None)
+        if occ is not None:
+            total += occ.size * occ.dtype.itemsize
+        return int(total)
+
     def as_3d(self) -> jnp.ndarray:
         """View as [Z, Y, X] (x fastest, reference layout)."""
         x, y, z = self.dims

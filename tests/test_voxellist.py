@@ -234,3 +234,46 @@ def test_collide_with_resolution_lists():
     )
     assert int(am.collide_with_resolution(bm, resolution_level=0)) == 0
     assert int(am.collide_with_resolution(bm, resolution_level=1)) == 1
+
+
+def test_merge_with_offset_and_new_meaning():
+    """merge's voxel_offset shifts appended entries by the signed linear id
+    delta (applyOffsetOperator, TemplateVoxelList.h:66-89) and new_meaning
+    overwrites their payload with a single-bit voxel
+    (TemplateVoxelList.hpp:585-590); metric_offset is the Vector3f overload
+    via mapToVoxelsSigned's floor (hpp:603-607)."""
+    a = bit_vector_voxel_list(DIMS).insert_point_cloud(
+        np.array([[1.5, 1.5, 1.5]], np.float32), 50
+    )
+    b = bit_vector_voxel_list(DIMS).insert_point_cloud(
+        np.array([[1.5, 1.5, 1.5], [4.5, 4.5, 4.5]], np.float32), 60
+    )
+    m = a.merge(b, offset=(2, 0, -1))
+    assert int(m.count) == 3  # (1,1,1), (3,1,0), (6,4,3) all distinct
+    coords = {tuple(c) for c in np.asarray(m.entry_coords()[:3]).tolist()}
+    assert coords == {(1, 1, 1), (3, 1, 0), (6, 4, 3)}
+
+    # new_meaning: appended entries carry ONLY bit 70; the duplicate voxel
+    # (1,1,1) merges a's bit 50 with the re-meaned bit 70
+    m2 = a.merge(b, new_meaning=70)
+    assert int(m2.count) == 2
+    pay = m2.payload[:, :2]
+    assert bool(bitops.get_bit(pay[:, 0], 50)) and bool(bitops.get_bit(pay[:, 0], 70))
+    assert not bool(bitops.get_bit(pay[:, 0], 60))
+    assert bool(bitops.get_bit(pay[:, 1], 70)) and not bool(bitops.get_bit(pay[:, 1], 60))
+
+    # metric overload: floor(3.7/1.0) = 3 voxels along x
+    m3 = a.merge(b, metric_offset=(3.7, 0.0, 0.0))
+    got = {tuple(c) for c in np.asarray(m3.entry_coords()[: int(m3.count)]).tolist()}
+    assert got == {(1, 1, 1), (4, 1, 1), (7, 4, 4)}
+
+
+def test_memory_usage_contract():
+    lst = bit_vector_voxel_list(DIMS, capacity=64)
+    # ids + ids_hi (4 B each) + 8 uint32 planes
+    assert lst.memory_usage() == 64 * (4 + 4 + 32)
+    m = BitVectorVoxelMap.create((8, 8, 8))
+    n = 8 * 8 * 8
+    assert m.memory_usage() == n * (32 + 1)  # 8 planes + occupancy summary
+    p = ProbVoxelMap.create((8, 8, 8))
+    assert p.memory_usage() == n
