@@ -382,7 +382,8 @@ class BitVectorVoxelMap(_DenseMap):
         map with eBVM_COLLISION marked)."""
         if isinstance(other, BitVectorVoxelMap):
             cnt, meanings, new = collide_ops.collide_with_types_bit_bit(
-                self.data, other.data, margin=sv_window, sv_offset=sv_offset
+                self.data, other.data, margin=sv_window, sv_offset=sv_offset,
+                occ_a=self.occ, occ_b=other.occ,
             )
             return cnt, meanings, replace(self, data=new, occ=self._occ_marked(new))
         if isinstance(other, ProbVoxelMap):
@@ -409,7 +410,8 @@ class BitVectorVoxelMap(_DenseMap):
             from ..ops import collide_pallas
 
             cnt, _, _ = collide_pallas.collide_types_bit_bit(
-                self.data, other.data, margin, mark=False
+                self.data, other.data, margin, mark=False,
+                occ_a=self.occ, occ_b=other.occ,
             )
             return cnt
         if sv_offset == 0:

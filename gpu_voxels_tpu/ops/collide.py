@@ -190,7 +190,8 @@ def count_and_mark_bit(a_planes, b_planes, dims=None, offset=(0, 0, 0)):
 
 
 def collide_with_types_bit_bit(
-    a_planes, b_planes, margin: int = 0, sv_offset: int = 0, mark_collisions: bool = True
+    a_planes, b_planes, margin: int = 0, sv_offset: int = 0, mark_collisions: bool = True,
+    occ_a=None, occ_b=None,
 ):
     """kernelCollideVoxelMapsBitvector with SVCollider (BitVoxelMap.hpp:85-135).
 
@@ -212,7 +213,8 @@ def collide_with_types_bit_bit(
         from . import collide_pallas
 
         cnt, meanings, new_a = collide_pallas.collide_types_bit_bit(
-            a_planes, b_planes, margin, mark=bool(mark_collisions)
+            a_planes, b_planes, margin, mark=bool(mark_collisions),
+            occ_a=occ_a, occ_b=occ_b,
         )
         return cnt, meanings, new_a
     if sv_offset == 0 and margin <= 24:

@@ -186,11 +186,21 @@ def _shift_planes(planes, s: int):
     return out
 
 
-def _types_kernel(margin: int, mark: bool, a_ref, b_ref, count_ref, meanings_ref,
-                  *rest):
+def _types_kernel(margin: int, mark: bool, gated: bool, *refs):
     """One pass: windowed SV collide (sv_offset=0, margin<=24) producing
     count + per-plane colliding-meanings OR (+ marked plane 0 when `mark`;
-    callers with mark_collisions=False skip that whole output write)."""
+    callers with mark_collisions=False skip that whole output write).
+
+    When `gated`, refs[0] is the scalar-prefetched int32[2, grid] meta table
+    (row 0: tile liveness from the maps' occupancy summaries; row 1: the
+    remapped block index the in_specs use) and dead tiles skip ALL window
+    math — their input blocks were remapped to the previous live block, so
+    the pipeline issues no new copies for them either."""
+    if gated:
+        meta_ref, a_ref, b_ref, count_ref, meanings_ref, *rest = refs
+    else:
+        meta_ref = None
+        a_ref, b_ref, count_ref, meanings_ref, *rest = refs
     if mark:
         marked_ref, cacc_ref, macc_ref = rest
     else:
@@ -203,45 +213,66 @@ def _types_kernel(margin: int, mark: bool, a_ref, b_ref, count_ref, meanings_ref
         macc_ref[:] = jnp.zeros_like(macc_ref)
 
     nplanes = a_ref.shape[0]
-    v2 = [b_ref[p] for p in range(nplanes)]
-    v2[0] = v2[0] & jnp.uint32(0xFFFFFFF0)  # non-SV nibble never matches
-    # window[b] = OR of v2 bits [b-margin, b+margin], built by OR-shift
-    # doubling per direction. Each direction composes shifts of the SAME sign
-    # only: same-sign composition never loses clipped contributions (the
-    # intermediate index lies between the endpoints), whereas shifting the
-    # down-window back up would zero-fill bits < margin that the per-shift
-    # reference (bitops.bit_margin_collision_check_packed) keeps.
-    def one_sided(sign: int):
-        w = list(v2)
-        covered = 1
-        while covered < margin + 1:
-            step = min(covered, margin + 1 - covered)
-            w = [x | s for x, s in zip(w, _shift_planes(w, sign * step))]
-            covered += step
-        return w
 
-    if margin:
-        down, up = one_sided(+1), one_sided(-1)
-        win = [d | u for d, u in zip(down, up)]
+    def _body():
+        v2 = [b_ref[p] for p in range(nplanes)]
+        v2[0] = v2[0] & jnp.uint32(0xFFFFFFF0)  # non-SV nibble never matches
+        # window[b] = OR of v2 bits [b-margin, b+margin], built by OR-shift
+        # doubling per direction. Each direction composes shifts of the SAME
+        # sign only: same-sign composition never loses clipped contributions
+        # (the intermediate index lies between the endpoints), whereas
+        # shifting the down-window back up would zero-fill bits < margin that
+        # the per-shift reference (bitops.bit_margin_collision_check_packed)
+        # keeps.
+        def one_sided(sign: int):
+            w = list(v2)
+            covered = 1
+            while covered < margin + 1:
+                step = min(covered, margin + 1 - covered)
+                w = [x | s for x, s in zip(w, _shift_planes(w, sign * step))]
+                covered += step
+            return w
+
+        if margin:
+            down, up = one_sided(+1), one_sided(-1)
+            win = [d | u for d, u in zip(down, up)]
+        else:
+            win = list(v2)
+
+        rec = [a_ref[p] & win[p] for p in range(nplanes)]
+        nz = rec[0] != 0
+        for p in range(1, nplanes):
+            nz |= rec[p] != 0
+        # vector count accumulator (vertical adds only): a per-step scalar sum
+        # into SMEM would stall the pipeline on a cross-lane reduce each step
+        nzi = nz.astype(jnp.int32)
+        cacc_ref[...] = cacc_ref[...] + jnp.sum(
+            nzi.reshape(nzi.shape[0] // 8, 8, nzi.shape[1]), axis=0
+        )
+        # meanings accumulator: halving-fold each plane's record to 8 rows
+        # (log2(R)-3 vector ORs — cheaper than OR-ing the full tile into a
+        # full-tile scratch, and 32x less VMEM, freeing room for big tiles)
+        for p in range(nplanes):
+            r = rec[p]
+            rr = r.shape[0]
+            while rr > 8:
+                rr //= 2
+                r = r[:rr] | r[rr:]
+            macc_ref[p] = macc_ref[p] | r
+        if mark:
+            marked_ref[:] = jnp.where(nz, a_ref[0] | jnp.uint32(1 << 2), a_ref[0])
+
+    if gated:
+        live = meta_ref[0, pl.program_id(0)] != 0
+        pl.when(live)(_body)
+        if mark:
+            # dead tiles still own their marked-output block: pass a through
+            # (a's block is NOT remapped when mark=True, see in_specs)
+            @pl.when(jnp.logical_not(live))
+            def _():
+                marked_ref[:] = a_ref[0]
     else:
-        win = list(v2)
-
-    rec = [a_ref[p] & win[p] for p in range(nplanes)]
-    nz = rec[0] != 0
-    for p in range(1, nplanes):
-        nz |= rec[p] != 0
-    # vector count accumulator (vertical adds only): a per-step scalar sum
-    # into SMEM would stall the pipeline on a cross-lane reduce every step
-    nzi = nz.astype(jnp.int32)
-    cacc_ref[...] = cacc_ref[...] + jnp.sum(
-        nzi.reshape(nzi.shape[0] // 8, 8, nzi.shape[1]), axis=0
-    )
-    # full-rows OR accumulator: one vector OR per plane per tile; the
-    # rows-fold happens once at the last grid step, not per tile
-    for p in range(nplanes):
-        macc_ref[p] = macc_ref[p] | rec[p]
-    if mark:
-        marked_ref[:] = jnp.where(nz, a_ref[0] | jnp.uint32(1 << 2), a_ref[0])
+        _body()
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
@@ -252,16 +283,30 @@ def _types_kernel(margin: int, mark: bool, a_ref, b_ref, count_ref, meanings_ref
 
 @functools.partial(jax.jit, static_argnames=("margin", "mark"))
 def collide_types_bit_bit(
-    a_planes: jnp.ndarray, b_planes: jnp.ndarray, margin: int = 0, mark: bool = True
+    a_planes: jnp.ndarray,
+    b_planes: jnp.ndarray,
+    margin: int = 0,
+    mark: bool = True,
+    occ_a: jnp.ndarray | None = None,
+    occ_b: jnp.ndarray | None = None,
 ):
     """kernelCollideVoxelMapsBitvector (BitVoxelMap.hpp:85-135) as ONE Pallas
     pass over both maps: count + colliding-meanings OR-reduce + eBVM_COLLISION
     marking, instead of XLA's separate count/reduce/mark sweeps. sv_offset=0,
     margin <= 24 (the hot swept-volume path); other domains take the packed
     XLA formulation. Bit-identical to ops.collide.collide_with_types_bit_bit's
-    XLA path (asserted in tests on both platforms)."""
+    XLA path (asserted in tests on both platforms).
+
+    When both maps' maintained occupancy summaries (uint8[N] !noneButEmpty,
+    see BitVectorVoxelMap.occ) are given, tiles where either map is all-empty
+    are provably hit-free and are skipped entirely: a scalar-prefetched meta
+    table gates the window math, and the in_specs' index maps remap dead
+    tiles' blocks to the previous live block so the Pallas pipeline issues no
+    new HBM copies for them (with mark=True, `a` still streams every tile —
+    dead tiles' marked output is the unchanged plane 0)."""
     if not (0 <= margin <= 24):
         raise ValueError("pallas path covers margin <= 24, sv_offset == 0")
+    gated = occ_a is not None and occ_b is not None
     n = a_planes.shape[-1]
     per_tile = TYPES_TILE_ROWS * LANES
     rows = -(-n // per_tile) * per_tile // LANES
@@ -271,7 +316,7 @@ def collide_types_bit_bit(
     nplanes = a_planes.shape[0]
     out_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((nplanes, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nplanes, LANES), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((1,), jnp.int32),
@@ -279,27 +324,67 @@ def collide_types_bit_bit(
     ]
     if mark:
         out_specs.append(
-            pl.BlockSpec((TYPES_TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((TYPES_TILE_ROWS, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.uint32))
-    outs = pl.pallas_call(
-        functools.partial(_types_kernel, margin, mark),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((nplanes, TYPES_TILE_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nplanes, TYPES_TILE_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
-        scratch_shapes=[
-            pltpu.VMEM((8, LANES), jnp.int32),
-            pltpu.VMEM((nplanes, TYPES_TILE_ROWS, LANES), jnp.uint32),
-        ],
-        interpret=_interpret(),
-    )(a2, b2)
+    scratch_shapes = [
+        pltpu.VMEM((8, LANES), jnp.int32),
+        pltpu.VMEM((nplanes, 8, LANES), jnp.uint32),
+    ]
+    kernel = functools.partial(_types_kernel, margin, mark, gated)
+    if gated:
+        live_a = _as_tiles(occ_a, rows, 0).reshape(grid, -1).max(axis=1) > 0
+        live_b = _as_tiles(occ_b, rows, 0).reshape(grid, -1).max(axis=1) > 0
+        if margin >= 4:
+            # the occupancy summary is !noneButEmpty, which EXCLUDES bit 0
+            # (eBVM_FREE) — but the oracle's hit predicate is v1 & window and
+            # window bit 0 can be set once margin reaches the SV nibble
+            # boundary (b bit >= 4 shifted down to 0). Bit-0-only voxels of
+            # `a` therefore can hit at margin >= 4: OR plane 0's bit 0 into
+            # the liveness so those tiles stay live (one extra plane read).
+            a0 = (_as_tiles(a_planes[0], rows, 0) & jnp.uint32(1)).reshape(grid, -1)
+            live_a = live_a | (a0.max(axis=1) > 0)
+        flags = (live_a & live_b).astype(jnp.int32)
+        idx = jnp.arange(grid, dtype=jnp.int32)
+        # dead tiles re-present the previous live block index -> no new copy
+        blk = jnp.maximum(
+            jax.lax.cummax(jnp.where(flags != 0, idx, jnp.int32(-1))), 0
+        )
+        meta = jnp.stack([flags, blk])
+        a_blk = (lambda i, m: (0, i, 0)) if mark else (lambda i, m: (0, m[1, i], 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((nplanes, TYPES_TILE_ROWS, LANES), a_blk),
+                pl.BlockSpec((nplanes, TYPES_TILE_ROWS, LANES), lambda i, m: (0, m[1, i], 0)),
+            ],
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch_shapes,
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=tuple(out_shape),
+            interpret=_interpret(),
+        )(meta, a2, b2)
+    else:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((nplanes, TYPES_TILE_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nplanes, TYPES_TILE_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=scratch_shapes,
+            interpret=_interpret(),
+        )(a2, b2)
     count, meanings_lanes = outs[0], outs[1]
     meanings = jnp.bitwise_or.reduce(meanings_lanes, axis=1)
     if mark:
+        # gated: dead-tile blocks hold the unchanged plane 0 (passthrough)
         new_a = a_planes.at[0].set(outs[2].reshape(-1)[:n])
     else:
         new_a = a_planes

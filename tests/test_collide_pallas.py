@@ -86,3 +86,42 @@ def test_collide_types_mark_false_skips_marked_output():
         c2, m2, a2 = xc.collide_with_types_bit_bit(a, b, margin=margin, mark_collisions=False)
         assert int(c2) == int(c1)
         np.testing.assert_array_equal(np.asarray(a2), np.asarray(a))
+
+
+def test_gated_types_matches_ungated(monkeypatch):
+    """Occupancy-gated tile skipping (scalar-prefetched liveness + block
+    remap) must be bit-identical to the ungated kernel — including the
+    margin>=4 hazard where a bit-0-only voxel of `a` (occ summary 0, since
+    !noneButEmpty excludes eBVM_FREE) collides with a b SV bit shifted down
+    into the low nibble."""
+    monkeypatch.setattr(cp, "TYPES_TILE_ROWS", 8)  # many small tiles
+    rng = np.random.default_rng(11)
+    n = 5000
+
+    def occ_of(p):
+        x = p[0] & jnp.uint32(0xFFFFFFFE)
+        for q in range(1, 8):
+            x = x | p[q]
+        return (x != 0).astype(jnp.uint8)
+
+    for density in (0.0, 0.002, 0.2):
+        a = np.zeros((8, n), np.uint32)
+        b = np.zeros((8, n), np.uint32)
+        k = max(1, int(n * density))
+        ia, ib = rng.choice(n, k, replace=False), rng.choice(n, k, replace=False)
+        a[rng.integers(0, 8, k), ia] = np.uint32(1) << rng.integers(0, 32, k).astype(np.uint32)
+        b[rng.integers(0, 8, k), ib] = np.uint32(1) << rng.integers(0, 32, k).astype(np.uint32)
+        a, b = jnp.asarray(a), jnp.asarray(b)
+        a = a.at[0, 5].set(jnp.uint32(1))       # bit-0-only voxel: occ == 0
+        b = b.at[0, 5].set(jnp.uint32(1) << 6)  # SV bit 6 at the same index
+        oa, ob = occ_of(a), occ_of(b)
+        for margin in (0, 4, 8):
+            for mark in (True, False):
+                cg, mg, ng = cp.collide_types_bit_bit(a, b, margin, mark=mark, occ_a=oa, occ_b=ob)
+                cu, mu, nu = cp.collide_types_bit_bit(a, b, margin, mark=mark)
+                assert int(cg) == int(cu), (density, margin, mark)
+                np.testing.assert_array_equal(np.asarray(mg), np.asarray(mu))
+                np.testing.assert_array_equal(np.asarray(ng), np.asarray(nu))
+        # margin 8 reaches the hazard voxel: it MUST be counted
+        c8, _, _ = cp.collide_types_bit_bit(a, b, 8, mark=False, occ_a=oa, occ_b=ob)
+        assert int(c8) >= 1

@@ -233,3 +233,64 @@ def test_exact_carve_band_refinement_on_tpu():
     )
     np.testing.assert_array_equal(got, exact)
     assert exact.sum() > 0
+
+
+def test_gated_types_collide_on_tpu():
+    """Occupancy-gated tile skipping (scalar-prefetched liveness + block
+    remap, the REAL compiled Mosaic path — the CPU suite only interprets it)
+    is bit-identical to the ungated kernel and the packed oracle on a
+    realistic sparse scene, including the margin>=4 eBVM_FREE hazard voxel."""
+    from gpu_voxels_tpu.ops import collide_pallas as cp
+
+    dims = (128, 128, 128)
+    r = np.random.default_rng(5)
+    band = lambda z0, z1, m: np.stack(
+        [r.uniform(4, 124, m), r.uniform(4, 124, m), r.uniform(z0, z1, m)], axis=-1
+    ).astype(np.float32)
+    a = BitVectorVoxelMap.create(dims).insert_point_cloud(band(20, 60, 40_000), 10)
+    b = BitVectorVoxelMap.create(dims).insert_point_cloud(band(50, 90, 40_000), 12)
+    # hazard: bit-0-only voxel in a dead region of a, SV bit at margin reach
+    ap = a.data.at[0, 7].set(jnp.uint32(1))
+    bp = b.data.at[0, 7].set(jnp.uint32(1) << 6)
+    oa = bitops.occupied(ap).astype(jnp.uint8)
+    ob = bitops.occupied(bp).astype(jnp.uint8)
+    for margin in (0, 4, 8):
+        cg, mg, ng = collide_pallas.collide_types_bit_bit(
+            ap, bp, margin, mark=True, occ_a=oa, occ_b=ob
+        )
+        hit, rec = bitops.bit_margin_collision_check_packed(ap, bp, margin)
+        ref_c = int(jnp.sum(hit.astype(jnp.int32)))
+        ref_m = jnp.bitwise_or.reduce(jnp.where(hit[None, :], rec, jnp.uint32(0)), axis=1)
+        assert int(cg) == ref_c, margin
+        np.testing.assert_array_equal(np.asarray(mg), np.asarray(ref_m))
+        cn, _, _ = collide_pallas.collide_types_bit_bit(ap, bp, margin, mark=False)
+        assert int(cn) == ref_c, margin
+    c8, _, _ = collide_pallas.collide_types_bit_bit(ap, bp, 8, mark=False, occ_a=oa, occ_b=ob)
+    hit8, _ = bitops.bit_margin_collision_check_packed(ap, bp, 8)
+    assert bool(np.asarray(hit8)[7])  # the hazard voxel really hits at 8
+    assert int(c8) == int(jnp.sum(hit8.astype(jnp.int32)))
+
+
+def test_occupancy_summary_coherence_on_tpu():
+    """The maintained uint8 occupancy summary stays exactly
+    !noneButEmpty(data) through insert -> shift -> types-mark -> merge on
+    hardware (the plain collideWith contract reads ONLY the summary, so any
+    drift silently corrupts counts)."""
+    dims = (96, 96, 96)
+    r = np.random.default_rng(8)
+    pts = r.uniform(2, 94, (30_000, 3)).astype(np.float32)
+    m = BitVectorVoxelMap.create(dims).insert_point_cloud(pts, 10)
+    other = BitVectorVoxelMap.create(dims).insert_point_cloud(pts[:5000] + 0.5, 12)
+
+    def check(mm, tag):
+        want = bitops.occupied(mm.data).astype(jnp.uint8)
+        np.testing.assert_array_equal(np.asarray(mm.occ), np.asarray(want)), tag
+
+    check(m, "insert")
+    m2 = m.shift_left_swept_volume_ids(3)
+    check(m2, "shift")
+    _, _, m3 = m2.collide_with_types(other, sv_window=2)
+    check(m3, "types-mark")
+    check(m3.merge(other, new_meaning=20), "merge-remeaned")
+    check(m3.merge(other), "merge")
+    check(m3.clear_bit(10), "clear_bit")
