@@ -294,10 +294,10 @@ def main():
 
     def build_fusion(k):
         @jax.jit
-        def run(d):
+        def run(d, fresh_map):
             def body(i, acc):
                 out = rc_ops.insert_depth_image(
-                    fresh, d + i.astype(jnp.float32) * 1e-6, pose_j,
+                    fresh_map, d + i.astype(jnp.float32) * 1e-6, pose_j,
                     525.0, 525.0, 320.0, 240.0, 0.02, dims_s,
                 )
                 return acc + out[ns // 2].astype(jnp.int32)
@@ -306,7 +306,7 @@ def main():
 
         return run
 
-    t_fuse = _timed_loop(build_fusion, 8, depth_j)
+    t_fuse = _timed_loop(build_fusion, 8, depth_j, fresh)
     print(
         f"BASELINE #2 sensor fusion 640x480 -> 256^3 (EXACT carve, default): "
         f"{t_fuse*1e3:.2f} ms = {1.0/t_fuse:.1f} Hz (target >=30)",
@@ -335,19 +335,21 @@ def main():
 
     def build_sv(k):
         @jax.jit
-        def run(cs):
+        def run(cs, env_planes):
+            # env map passed as an argument: closing over it would embed
+            # 536 MB of constants in the program (HTTP 413 on remote compile)
             def body(i, acc):
                 m = insert_swept_volume_batched(
                     BitVectorVoxelMap.create(dims_s, 0.02), _Placed(),
                     cs + (acc % jnp.uint32(5)).astype(jnp.float32) * 1e-4,
                 )
-                return acc + xla_collide.count_bit_bit(m.data, pa)
+                return acc + xla_collide.count_bit_bit(m.data, env_planes)
 
             return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
         return run
 
-    t_sv = _timed_loop(build_sv, 4, jnp.asarray(cfgs))
+    t_sv = _timed_loop(build_sv, 4, jnp.asarray(cfgs), pa)
     print(
         f"BASELINE #3 UR10 64-step swept volume + env collide at 256^3: "
         f"{t_sv*1e3:.1f} ms/trajectory",

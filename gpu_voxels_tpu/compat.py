@@ -50,6 +50,7 @@ _MAP_ALIASES = {
     "writeToDisk": "write_to_disk",
     "readFromDisk": "read_from_disk",
     "getMemoryUsage": "memory_usage",
+    "printVoxelMapData": "print_voxel_map_data",
 }
 
 _LIST_ALIASES = {

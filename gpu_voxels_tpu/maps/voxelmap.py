@@ -48,6 +48,8 @@ class _DenseMap(DiskIO):
     dims: Dims = field(metadata=dict(static=True))
     side_length: float = field(metadata=dict(static=True))
 
+    _default_value = 0  # "empty" voxel value; ProbVoxelMap overrides (-128)
+
     @property
     def voxelmap_size(self) -> int:
         return _n(self.dims)
@@ -73,6 +75,35 @@ class _DenseMap(DiskIO):
         x, y, z = self.dims
         return self.data.reshape(self.data.shape[:-1] + (z, y, x))
 
+    def clone(self) -> "_DenseMap":
+        """DistanceVoxelMap.h `clone`: maps are immutable pytrees, so a clone
+        shares buffers safely (copy-on-write by construction)."""
+        return replace(self)
+
+    def print_voxel_map_data(self, max_entries: int = 32) -> str:
+        """printVoxelMapData (TemplateVoxelMap.hpp:282-286): readable dump of
+        the non-default voxels (the device printer's practical equivalent —
+        printing all N raw values is useless at 512^3)."""
+        import numpy as np_
+
+        arr = np_.asarray(self.data)
+        default = getattr(self, "_default_value", 0)
+        flat = arr if arr.ndim == 1 else (arr != default).any(axis=0)
+        nz = np_.flatnonzero(
+            (arr != default) if arr.ndim == 1 else flat
+        )[:max_entries]
+        dx, dy, _ = self.dims
+        lines = [f"VoxelMap dump ({type(self).__name__} {self.dims}):"]
+        for i in nz:
+            x = int(i) % dx
+            y = (int(i) // dx) % dy
+            z = int(i) // (dx * dy)
+            val = arr[..., int(i)]
+            lines.append(f"  ({x},{y},{z}) = {val}")
+        out = "\n".join(lines)
+        print(out)
+        return out
+
     # -- shared helpers -----------------------------------------------------
     def _offset(self, offset) -> Dims:
         return tuple(int(v) for v in offset)
@@ -84,6 +115,7 @@ class ProbVoxelMap(_DenseMap):
     """Dense probabilistic map; voxels are int8 log-odds, UNKNOWN=-128."""
 
     map_type: MapType = field(default=MapType.MT_PROBAB_VOXELMAP, metadata=dict(static=True))
+    _default_value = UNKNOWN_PROBABILITY
 
     @staticmethod
     def create(dims: Dims, side_length: float = 1.0) -> "ProbVoxelMap":

@@ -74,12 +74,19 @@ def insert_swept_volume_batched(
 
     pts = jax.vmap(lambda cfg: robot.transformed_clouds_for(cfg).points)(traj)  # [T,P,3]
     P = pts.shape[1]
-    meanings = (
-        SV_START + (jnp.arange(T, dtype=jnp.int32) % jnp.int32(num_ids))
-    )[:, None].repeat(P, axis=1)
+    # per-step meanings are a STATIC function of (T, num_ids): compute them in
+    # numpy so the set of touched bit planes is known at trace time. A T-step
+    # trajectory touches ceil(min(T, num_ids)/32)-ish planes (3 of 8 for 64
+    # steps), and only those pay scatter + OR traffic below.
+    meanings_np = (SV_START + (np.arange(T, dtype=np.int32) % int(num_ids)))
+    touched = sorted({int(m) >> 5 for m in meanings_np})
+    slot_of_plane = np.full(8, -1, np.int32)
+    for s, p in enumerate(touched):
+        slot_of_plane[p] = s
+    K = len(touched)
+    meaning = jnp.asarray(np.repeat(meanings_np, P))
 
     idx, _ = voxelize(pts.reshape(-1, 3), bitmap.side_length, bitmap.dims)
-    meaning = meanings.reshape(-1)
     n = bitmap.voxelmap_size
 
     # dedup (voxel, meaning) pairs: sort by a fused key, keep first of runs
@@ -90,21 +97,31 @@ def insert_swept_volume_batched(
     idx_s = idx[order]
     meaning_s = meaning[order]
     word = jnp.where(first, jnp.uint32(1) << (meaning_s.astype(jnp.uint32) & 31), 0)
-    plane = meaning_s >> 5
+    slot = jnp.asarray(slot_of_plane)[meaning_s >> 5]
+
+    # ONE scatter for all touched planes (dedup makes add == OR): slot-major
+    # flat targets, invalid/duplicate rows dropped past the end. One pass of
+    # ~len(pairs) scatter updates instead of one full pass per plane.
+    tgt = jnp.where(first & (idx_s < n), slot * n + idx_s, K * n)
+    delta = (
+        jnp.zeros((K * n,), jnp.uint32).at[tgt].add(word, mode="drop").reshape(K, n)
+    )
 
     data = bitmap.data
-    out_planes = []
-    occ_delta = jnp.zeros((n,), jnp.uint8)
-    for p in range(data.shape[0]):
-        sel = jnp.where((plane == p) & first, word, jnp.uint32(0))
-        tgt = jnp.where((plane == p) & first & (idx_s < n), idx_s, n)
-        delta = jnp.zeros((n,), jnp.uint32).at[tgt].add(sel, mode="drop")
-        out_planes.append(data[p] | delta)
-        # SV meanings are all >= SV_START (4), so any delta marks occupancy
-        # for the maintained summary (noneButEmpty masks only bit 0)
-        occ_word = delta & jnp.uint32(0xFFFFFFFE) if p == 0 else delta
-        occ_delta = occ_delta | (occ_word != 0).astype(jnp.uint8)
+    out_planes = [
+        data[p] if slot_of_plane[p] < 0 else data[p] | delta[slot_of_plane[p]]
+        for p in range(data.shape[0])
+    ]
     from dataclasses import replace
 
-    occ = None if bitmap.occ is None else bitmap.occ | occ_delta
+    occ = bitmap.occ
+    if occ is not None:
+        # SV meanings are all >= SV_START (4), so any delta marks occupancy
+        # for the maintained summary (noneButEmpty masks only bit 0)
+        occ_words = delta
+        if slot_of_plane[0] >= 0:
+            occ_words = occ_words.at[slot_of_plane[0]].set(
+                delta[slot_of_plane[0]] & jnp.uint32(0xFFFFFFFE)
+            )
+        occ = occ | jnp.any(occ_words != 0, axis=0).astype(jnp.uint8)
     return replace(bitmap, data=jnp.stack(out_planes, axis=0), occ=occ)

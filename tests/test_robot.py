@@ -154,6 +154,26 @@ def test_batched_swept_volume_matches_loop():
     np.testing.assert_array_equal(np.asarray(looped.data), np.asarray(batched.data))
 
 
+def test_batched_swept_volume_multi_plane_and_wraparound():
+    """70 steps with num_ids=40 spans bit planes 0-1 AND wraps meanings
+    (step 40 reuses SV bit 4): the fused single-scatter path must match the
+    per-step loop bit-for-bit and keep the occupancy summary coherent."""
+    from gpu_voxels_tpu.robot.swept_volume import insert_swept_volume_batched
+
+    arm = two_link_arm()
+    traj = np.stack(
+        [np.array([t, 0.3 * t], np.float32) for t in np.linspace(0, np.pi / 2, 70)]
+    )
+    base = BitVectorVoxelMap.create((8, 8, 8), 0.25)
+    looped = insert_swept_volume(base, arm, list(traj), num_ids=40)
+    batched = insert_swept_volume_batched(base, arm, traj, num_ids=40)
+    np.testing.assert_array_equal(np.asarray(looped.data), np.asarray(batched.data))
+    want_occ = bitops.occupied(batched.data).astype(jnp.uint8)
+    np.testing.assert_array_equal(np.asarray(batched.occ), np.asarray(want_occ))
+    # bits above the touched planes stayed zero (untouched planes pass through)
+    assert not bool(jnp.any(batched.data[3:]))
+
+
 def test_ur_presets_reach_and_sweep():
     from gpu_voxels_tpu.robot.presets import ur_robot
 

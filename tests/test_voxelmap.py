@@ -334,3 +334,22 @@ def test_dense_bitcheck_routes_through_types_kernel(monkeypatch):
     # the window semantics themselves: ids 2 apart need margin >= 2
     assert int(a.collide_with_bitcheck(b, margin=1)) == 0
     assert int(a.collide_with_bitcheck(b, margin=2)) == 1
+
+
+def test_clone_and_print_voxel_map_data(capsys):
+    """clone (DistanceVoxelMap.h:103) + printVoxelMapData
+    (TemplateVoxelMap.hpp:282-286): the dump lists only non-default voxels
+    with correct (x,y,z) decode, and the camelCase aliases are installed."""
+    m = ProbVoxelMap.create((4, 4, 4)).insert_point_cloud(
+        np.array([[1.5, 2.5, 3.5]], np.float32)
+    )
+    c = m.clone()
+    np.testing.assert_array_equal(np.asarray(c.data), np.asarray(m.data))
+    out = m.print_voxel_map_data()
+    assert "(1,2,3)" in out and len(out.splitlines()) == 2  # header + one voxel
+    import gpu_voxels_tpu.api  # noqa: F401 — installs the camelCase aliases
+
+    b = BitVectorVoxelMap.create((4, 4, 4)).insert_point_cloud(
+        np.array([[0.5, 1.5, 2.5]], np.float32), SV_START
+    )
+    assert "(0,1,2)" in b.printVoxelMapData()
