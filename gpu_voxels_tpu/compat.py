@@ -51,6 +51,15 @@ _MAP_ALIASES = {
     "readFromDisk": "read_from_disk",
     "getMemoryUsage": "memory_usage",
     "printVoxelMapData": "print_voxel_map_data",
+    "clearBitVoxelMeaning": "clear_voxel_meaning",
+    "clearBits": "clear_bits",
+    "initSensorSettings": "init_sensor_settings",
+    "updateSensorPose": "update_sensor_pose",
+    "insertRobotConfiguration": "insert_robot_configuration",
+    "clearCollisionFlags": "clear_collision_flags",
+    "needsRebuild": "needs_rebuild",
+    "checkTree": "check_tree",
+    "collideWithTypesConsideringUnknownCells": "collide_with_counting_unknown",
 }
 
 _LIST_ALIASES = {
@@ -64,6 +73,10 @@ _LIST_ALIASES = {
     "clearMap": "clear_map",
     "subtractFromCountingVoxelList": "subtract",
     "getMemoryUsage": "memory_usage",
+    "clearBitVoxelMeaning": "clear_voxel_meaning",
+    "shrinkToFit": "shrink_to_fit",
+    "findMatchingVoxels": "find_matching",
+    "shiftLeftSweptVolumeIDs": "shift_left_swept_volume_ids",
 }
 
 _DISTANCE_ALIASES = {

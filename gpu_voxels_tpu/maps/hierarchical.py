@@ -256,6 +256,46 @@ class _PyramidQueries(DiskIO):
             total += leaf.size * leaf.dtype.itemsize
         return int(total)
 
+    # -- NTree maintenance contract (NTree.h:267-301, NTree.hpp:2941) --------
+    def needs_rebuild(self) -> bool:
+        """NTree::needsRebuild — the dense pyramid is contiguous by
+        construction and never fragments, so a rebuild is never needed."""
+        return False
+
+    def rebuild(self):
+        """NTree::rebuild (NTree.hpp:2941): defragmentation no-op here —
+        there is no pointer soup to compact."""
+        return self
+
+    def check_tree(self) -> bool:
+        """NTree::checkTree (NTree.h:267-271): validate the tree invariant —
+        every coarse status byte must equal the getNewStatus fusion of its
+        2x2x2 children. True unless someone mutated pyramid levels directly."""
+        want = _build_pyramid(self.pyramid[0], self.levels)
+        return all(bool(jnp.all(w == p)) for w, p in zip(want, self.pyramid))
+
+    def clear_collision_flags(self):
+        """NTree::clearCollisionFlags (NTree.h:301): probes here RETURN
+        collision results instead of writing ns_COLLISION into nodes, so
+        there is nothing stored to clear."""
+        return self
+
+    def _bbox_mask_flat(self, points) -> jnp.ndarray:
+        """Boolean mask (flat over padded dims) of the points' voxel AABB."""
+        pts = jnp.asarray(points, jnp.float32)
+        lo = jnp.floor(jnp.min(pts, axis=0) / self.side_length).astype(jnp.int32)
+        hi = jnp.floor(jnp.max(pts, axis=0) / self.side_length).astype(jnp.int32)
+        px, py, pz = self.padded_dims
+        ix = jnp.arange(px, dtype=jnp.int32)[None, None, :]
+        iy = jnp.arange(py, dtype=jnp.int32)[None, :, None]
+        iz = jnp.arange(pz, dtype=jnp.int32)[:, None, None]
+        inside = (
+            (ix >= lo[0]) & (ix <= hi[0])
+            & (iy >= lo[1]) & (iy <= hi[1])
+            & (iz >= lo[2]) & (iz <= hi[2])
+        )
+        return inside.reshape(-1)
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -340,6 +380,18 @@ class HierarchicalProbMap(_PyramidQueries):
             carve_pool=carve_pool,
         )
         return self._rebuilt(flat.reshape(self.occupancy.shape))
+
+    def build(self, points, free_bounding_box: bool = False) -> "HierarchicalProbMap":
+        """NTree::build (NTree.hpp:385-540): (re)construct from a point set.
+        With free_bounding_box the points' voxel AABB is first set FREE
+        (NTree.h:127), then the points overwrite their cells OCCUPIED."""
+        m = self.clear_map()
+        if free_bounding_box:
+            occ = m.occupancy.reshape(-1)
+            free_val = jnp.int8(meaning_to_probability(BitVoxelMeaning.eBVM_FREE))
+            occ = jnp.where(m._bbox_mask_flat(points), free_val, occ)
+            m = m._rebuilt(occ.reshape(m.occupancy.shape))
+        return m.insert_point_cloud(points)
 
     # -- maintenance -------------------------------------------------------------
     def propagate(self) -> "HierarchicalProbMap":
@@ -466,6 +518,16 @@ class HierarchicalBitMap(_PyramidQueries):
             )
         out = self._hard_set(free & ~hits, NS_FREE, NS_DYNAMIC_MAP)
         return out._hard_set(hits, NS_OCCUPIED, NS_DYNAMIC_MAP)
+
+    def build(self, points, free_bounding_box: bool = False) -> "HierarchicalBitMap":
+        """NTree::build (NTree.hpp:385-540): (re)construct from a point set.
+        With free_bounding_box the points' voxel AABB is first marked hard
+        FREE (NTree.h:127), then the points overwrite their cells OCCUPIED —
+        both tagged ns_STATIC_MAP like an environment build."""
+        m = self.clear_map()
+        if free_bounding_box:
+            m = m._hard_set(m._bbox_mask_flat(points), NS_FREE, NS_STATIC_MAP)
+        return m.insert_point_cloud(points, static_map=True)
 
     def propagate(self) -> "HierarchicalBitMap":
         """Re-establish the tree invariant (NTree::propagate)."""

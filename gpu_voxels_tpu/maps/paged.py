@@ -808,6 +808,59 @@ class PagedHierarchicalMap(DiskIO):
         self.__init__(self.dims, self.side_length, self.probabilistic)
         return self
 
+    def build(self, points, free_bounding_box: bool = False) -> "PagedHierarchicalMap":
+        """NTree::build (NTree.hpp:385-540): (re)construct from a point set.
+        free_bounding_box (NTree.h:127) carves the points' voxel AABB FREE
+        before inserting — here as explicit free points over the box
+        (tractable for the sensor-scale boxes the reference builds from;
+        the virtual remainder of a 32768^3 world stays implicit UNKNOWN)."""
+        self.clear_map()
+        if free_bounding_box:
+            pts = np.asarray(points, np.float32)
+            lo = np.floor(pts.min(axis=0) / self.side_length).astype(np.int64)
+            hi = np.floor(pts.max(axis=0) / self.side_length).astype(np.int64)
+            n_box = int(np.prod(hi - lo + 1))
+            if n_box > 64 * 1024 * 1024:
+                raise ValueError(
+                    f"free bounding box spans {n_box} voxels; carve free space "
+                    "incrementally via insert_point_cloud_with_free_space instead"
+                )
+            xs, ys, zs = (np.arange(lo[i], hi[i] + 1) for i in range(3))
+            gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+            free = (np.stack([gx, gy, gz], axis=-1).reshape(-1, 3) + 0.5) * self.side_length
+            self.insert_point_cloud(free.astype(np.float32), BitVoxelMeaning.eBVM_FREE)
+        return self.insert_point_cloud(points, BitVoxelMeaning.eBVM_OCCUPIED)
+
+    # -- NTree maintenance contract -------------------------------------------
+    def needs_rebuild(self) -> bool:
+        """NTree::needsRebuild — the pool is compact by construction (tiles
+        are never freed individually), so a defrag rebuild is never needed."""
+        return False
+
+    def rebuild(self) -> "PagedHierarchicalMap":
+        """NTree::rebuild (NTree.hpp:2941): defragmentation no-op."""
+        return self
+
+    def check_tree(self) -> bool:
+        """NTree::checkTree (NTree.h:267-271): validate the summary
+        invariant — recompute block summaries + page pyramid from the tile
+        pool and compare against the maintained ones."""
+        if self._n_slots == 0:
+            return True
+        want_blocks, want_pyr = _rebuild_programs(
+            self.pool, self.slot_page, self.slot_within, self.page_coord,
+            jnp.int32(self._n_slots), jnp.int32(self._n_pages),
+            self._coarse_shape, self.levels,
+        )
+        if not bool(jnp.all(want_blocks == self.block_summaries)):
+            return False
+        return all(bool(jnp.all(w == p)) for w, p in zip(want_pyr, self.pyramid))
+
+    def clear_collision_flags(self) -> "PagedHierarchicalMap":
+        """NTree::clearCollisionFlags (NTree.h:301): collide results are
+        returned, never written into nodes — nothing to clear."""
+        return self
+
     def collide_with_coords(self, coords, min_level: int = 0, offset=(0, 0, 0)) -> jnp.ndarray:
         return _paged_collide_coords(
             self.snapshot(), jnp.asarray(coords, jnp.int32), min_level,

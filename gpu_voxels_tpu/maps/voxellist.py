@@ -632,6 +632,23 @@ class VoxelList(DiskIO):
         entry count (host sync on the traced count)."""
         return self.with_capacity(max(int(self.count), 1))
 
+    def resize(self, new_size: int) -> "VoxelList":
+        """resize (TemplateVoxelList.h:151): re-fix the backing capacity —
+        growing pads EMPTY entries, shrinking truncates the sorted tail."""
+        return self.with_capacity(int(new_size))
+
+    def clear_voxel_meaning(self, meaning) -> "VoxelList":
+        """clearBitVoxelMeaning. The reference stubs this NOT_YET_SUPPORTED
+        on lists (BitVoxelList.hpp:65-68); here it clears the meaning bit in
+        every entry and drops entries whose bitvector becomes empty."""
+        assert self.kind == KIND_BIT
+        m = int(meaning)
+        newp = self.payload.at[m >> 5].set(
+            self.payload[m >> 5] & ~jnp.uint32(1 << (m & 31))
+        )
+        live = jnp.any(newp != 0, axis=0) & (self.ids != EMPTY_ID)
+        return replace(self, payload=newp)._compact(live)
+
     def remove_underpopulated(self, threshold: int) -> "VoxelList":
         """CountingVoxelList::remove_underpopulated (CountingVoxelList.h:58)."""
         assert self.kind == KIND_COUNT

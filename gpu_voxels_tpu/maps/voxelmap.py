@@ -104,6 +104,24 @@ class _DenseMap(DiskIO):
         print(out)
         return out
 
+    def init_sensor_settings(self, sensor) -> None:
+        """initSensorSettings (TemplateVoxelMap.hpp:836-856): store the
+        Sensor whose pose transforms subsequent insert_sensor_data batches.
+        Host-side convenience state like the reference's m_sensor member —
+        NOT part of the pytree (it does not survive jit or replace())."""
+        object.__setattr__(self, "_sensor", sensor)
+
+    def update_sensor_pose(self, sensor) -> None:
+        """updateSensorPose (TemplateVoxelMap.hpp:858-876): refresh the
+        stored sensor's position/orientation; errors if uninitialized."""
+        cur = getattr(self, "_sensor", None)
+        if cur is None:
+            raise RuntimeError("Initialize Sensor first! (init_sensor_settings)")
+        import numpy as np_
+
+        cur.position = np_.asarray(sensor.position, np_.float32)
+        cur.orientation_rpy = np_.asarray(sensor.orientation_rpy, np_.float32)
+
     # -- shared helpers -----------------------------------------------------
     def _offset(self, offset) -> Dims:
         return tuple(int(v) for v in offset)
@@ -158,6 +176,30 @@ class ProbVoxelMap(_DenseMap):
         new = self.insert_point_cloud(meta.points, meaning)
         return new, clash
 
+    def clear_voxel_meaning(self, meaning) -> "ProbVoxelMap":
+        """clearBitVoxelMeaning (ProbVoxelMap.hpp:110-117): probabilistic
+        maps only support clearing eBVM_OCCUPIED, which resets the map."""
+        if int(meaning) != int(BitVoxelMeaning.eBVM_OCCUPIED):
+            from ..utils.logging import log_stream
+
+            log_stream("voxelmap").error(
+                "ProbVoxelMap only supports clearing eBVM_OCCUPIED"
+            )
+            return self
+        return self.clear_map()
+
+    def insert_robot_configuration(self, robot_links, with_self_collision_test: bool = False):
+        """insertRobotConfiguration (GpuVoxelsMap contract). The reference
+        stubs this as NOT_SUPPORTED on every map (ProbVoxelMap.hpp:104-108);
+        here it works: inserts the robot MetaPointCloud, optionally with the
+        self-collision check. Returns (new_map, ok) — ok False on detected
+        self-collision (insert still applied, like the reference's
+        insertMetaPointCloudWithSelfcollisionCheck)."""
+        if with_self_collision_test:
+            new, clash = self.insert_meta_point_cloud_with_self_collision_check(robot_links)
+            return new, ~clash
+        return self.insert_meta_point_cloud(robot_links), jnp.array(True)
+
     def update_occupancy(self, points, delta) -> "ProbVoxelMap":
         """Log-odds additive update for every hit voxel (sensor path)."""
         idx, _ = insert_ops.voxelize(jnp.asarray(points, jnp.float32), self.side_length, self.dims)
@@ -168,7 +210,7 @@ class ProbVoxelMap(_DenseMap):
     def insert_sensor_data(
         self,
         points,
-        sensor_origin=(0.0, 0.0, 0.0),
+        sensor_origin=None,
         enable_raycasting: bool = True,
         cut_real_robot: bool = False,
         robot_map=None,
@@ -177,10 +219,25 @@ class ProbVoxelMap(_DenseMap):
         """ProbVoxelMap::insertSensorData (ProbVoxelMap.hpp:52-102): occupied
         hits (+72) plus optional free-space carving (-10 per crossing ray).
 
-        `points` are world-frame endpoints; transform by the sensor pose
-        first (geometry.transforms.transform_points)."""
+        With an explicit `sensor_origin`, `points` are world-frame endpoints.
+        With sensor_origin=None and a sensor stored via init_sensor_settings,
+        `points` are SENSOR-frame and get transformed by the stored pose (the
+        reference's copySensorDataToDevice → transformSensorData flow,
+        TemplateVoxelMap.hpp:879-905); otherwise the origin defaults to 0."""
         from ..ops import raycast
 
+        sensor = getattr(self, "_sensor", None)
+        if sensor_origin is None:
+            if sensor is not None:
+                from ..geometry import transforms
+
+                points = transforms.transform_points(
+                    jnp.asarray(sensor.pose(), jnp.float32),
+                    jnp.asarray(points, jnp.float32),
+                )
+                sensor_origin = tuple(float(v) for v in sensor.position)
+            else:
+                sensor_origin = (0.0, 0.0, 0.0)
         robot_mask = None
         if cut_real_robot and robot_map is not None:
             robot_mask = (
@@ -360,6 +417,29 @@ class BitVectorVoxelMap(_DenseMap):
 
     def clear_voxel_meaning(self, meaning) -> "BitVectorVoxelMap":
         return self.clear_bit(int(meaning))
+
+    def clear_collision_flags(self) -> "BitVectorVoxelMap":
+        """NTree::clearCollisionFlags analogue (NTree.h:301): reset the
+        eBVM_COLLISION marks written by the marking collides."""
+        return self.clear_bit(int(BitVoxelMeaning.eBVM_COLLISION))
+
+    def insert_robot_configuration(self, robot_links, with_self_collision_test: bool = False):
+        """insertRobotConfiguration (GpuVoxelsMap contract). The reference
+        stubs this NOT_SUPPORTED on BitVoxelMap (BitVoxelMap.hpp:221-227);
+        here it inserts the robot MetaPointCloud, optionally with a pairwise
+        sub-cloud self-collision check. Returns (new_map, ok)."""
+        clash = jnp.zeros((), bool)
+        if with_self_collision_test:
+            n = self.voxelmap_size
+            union = jnp.zeros((n,), jnp.int8)
+            for i in range(robot_links.num_clouds):
+                idx, _ = insert_ops.voxelize(
+                    robot_links.get_cloud(i), self.side_length, self.dims
+                )
+                hits = insert_ops.occupancy_mask(idx, n)
+                clash = clash | jnp.any((hits > 0) & (union > 0))
+                union = jnp.maximum(union, hits)
+        return self.insert_meta_point_cloud(robot_links), ~clash
 
     @compiled("shift_size")
     def shift_left_swept_volume_ids(self, shift_size: int) -> "BitVectorVoxelMap":

@@ -267,3 +267,24 @@ def test_hierarchy_collide_offset_forwarded():
     )
     assert int(h.collide_with(dense, offset=(3, -2, 0))) == 1
     assert int(h.collide_with(dense)) == 0
+
+
+def test_build_with_free_bounding_box_and_maintenance_contract():
+    """NTree::build (NTree.hpp:385-540) + free_bounding_box (NTree.h:127):
+    the AABB of the built points reads FREE, the points OCCUPIED, space
+    outside the box stays UNKNOWN; checkTree/needsRebuild/rebuild/
+    clearCollisionFlags round out the NTree maintenance contract."""
+    pts = np.array([[2.5, 2.5, 2.5], [5.5, 5.5, 5.5]], np.float32)
+    for cls in (HierarchicalBitMap, HierarchicalProbMap):
+        m = cls.create((16, 16, 16), 1.0).build(pts, free_bounding_box=True)
+        occ, unk, free = m.probe(jnp.array([[2, 2, 2], [4, 4, 4], [10, 10, 10]]))
+        assert bool(occ[0]) and not bool(free[0])
+        assert bool(free[1]) and not bool(occ[1]) and not bool(unk[1])
+        assert bool(unk[2])
+        assert m.check_tree()
+        assert not m.needs_rebuild()
+        assert m.rebuild() is m and m.clear_collision_flags() is m
+    # without the flag the box interior stays unknown
+    m = HierarchicalBitMap.create((16, 16, 16), 1.0).build(pts)
+    _, unk, _ = m.probe(jnp.array([[4, 4, 4]]))
+    assert bool(unk[0])

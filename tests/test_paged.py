@@ -482,3 +482,17 @@ def test_paged_counting_unknown_and_list_dispatch():
     assert int(m.collide_with(lst, offset=(-20, 20, 0))) == 1
     occ2, unk2 = m.collide_with_counting_unknown(lst, offset=(-20, 20, 0))
     assert int(occ2) == 1
+
+
+def test_paged_build_free_bounding_box_and_check_tree():
+    """NTree::build + free_bounding_box on the sparse tier: box interior
+    reads FREE, hits OCCUPIED, the virtual remainder stays UNKNOWN; the
+    checkTree invariant holds and oversized boxes are rejected."""
+    m = PagedHierarchicalMap((4096, 4096, 4096), 1.0)
+    pts = (np.array([[100, 100, 100], [110, 110, 110]], np.float32) + 0.5)
+    m.build(pts, free_bounding_box=True)
+    occ, unk, free = m.probe(jnp.array([[100, 100, 100], [105, 105, 105], [2000, 2000, 2000]]))
+    assert bool(occ[0]) and bool(free[1]) and not bool(occ[1]) and bool(unk[2])
+    assert m.check_tree() and not m.needs_rebuild()
+    with pytest.raises(ValueError):
+        m.build(np.array([[0.5] * 3, [4000.5] * 3], np.float32), free_bounding_box=True)

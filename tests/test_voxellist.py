@@ -277,3 +277,22 @@ def test_memory_usage_contract():
     assert m.memory_usage() == n * (32 + 1)  # 8 planes + occupancy summary
     p = ProbVoxelMap.create((8, 8, 8))
     assert p.memory_usage() == n
+
+
+def test_resize_and_clear_voxel_meaning():
+    """resize (TemplateVoxelList.h:151) re-fixes capacity; clearBitVoxelMeaning
+    (stubbed NOT_YET_SUPPORTED in the reference, BitVoxelList.hpp:65-68) clears
+    the bit everywhere and drops entries left empty."""
+    pts = np.array([[1.5, 1.5, 1.5], [2.5, 2.5, 2.5]], np.float32)
+    lst = bit_vector_voxel_list((8, 8, 8)).insert_point_cloud(pts, 9)
+    lst = lst.insert_point_cloud(pts[:1], 10)  # voxel 0 carries bits {9, 10}
+    big = lst.resize(64)
+    assert big.capacity == 64 and int(big.count) == 2
+    small = big.resize(2)
+    assert small.capacity == 2 and int(small.count) == 2
+    cleared = small.clear_voxel_meaning(9)
+    assert int(cleared.count) == 1  # the bit-9-only voxel vanished
+    coords = np.asarray(cleared.entry_coords()[:1])
+    np.testing.assert_array_equal(coords, [[1, 1, 1]])
+    assert not bool(jnp.any(cleared.payload[9 >> 5] & jnp.uint32(1 << 9)))
+    assert bool(jnp.any(cleared.payload[10 >> 5] & jnp.uint32(1 << 10)))

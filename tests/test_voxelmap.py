@@ -353,3 +353,58 @@ def test_clone_and_print_voxel_map_data(capsys):
         np.array([[0.5, 1.5, 2.5]], np.float32), SV_START
     )
     assert "(0,1,2)" in b.printVoxelMapData()
+
+
+def test_sensor_settings_flow_and_robot_configuration():
+    """initSensorSettings/updateSensorPose (TemplateVoxelMap.hpp:836-876):
+    with a stored sensor, insert_sensor_data takes SENSOR-frame points and
+    transforms them by the stored pose. insertRobotConfiguration works here
+    (the reference stubs it NOT_SUPPORTED, ProbVoxelMap.hpp:104-108)."""
+    from gpu_voxels_tpu.geometry.pointcloud import MetaPointCloud
+    from gpu_voxels_tpu.sensors import Sensor
+
+    m = ProbVoxelMap.create((16, 16, 16), 1.0)
+    s = Sensor(position=np.array([4.0, 4.0, 4.0], np.float32))
+    m.init_sensor_settings(s)
+    # sensor at (4,4,4), point 2m ahead in sensor frame -> world (6.x, 4, 4)
+    out = m.insert_sensor_data(np.array([[2.2, 0.0, 0.0]], np.float32))
+    occ = np.asarray(out.data).reshape(16, 16, 16)  # z-major
+    assert occ[4, 4, 6] == -128 + 72  # hit: one +72 observation from UNKNOWN
+    assert occ[4, 4, 5] == -127  # carved free (clamped)
+    assert occ[4, 4, 10] == -128  # behind the hit: untouched UNKNOWN
+    s2 = Sensor(position=np.array([1.0, 4.0, 4.0], np.float32))
+    m.update_sensor_pose(s2)
+    assert np.allclose(getattr(m, "_sensor").position, [1, 4, 4])
+    with pytest.raises(RuntimeError):
+        ProbVoxelMap.create((4, 4, 4)).update_sensor_pose(s2)
+
+    # insert_robot_configuration: overlapping links self-collide, ok=False
+    link = np.array([[2.5, 2.5, 2.5]], np.float32)
+    meta = MetaPointCloud.from_clouds([link, link + 4.0])
+    clash_meta = MetaPointCloud.from_clouds([link, link])
+    for base in (ProbVoxelMap.create((8, 8, 8)), BitVectorVoxelMap.create((8, 8, 8))):
+        new, ok = base.insert_robot_configuration(meta, with_self_collision_test=True)
+        assert bool(ok)
+        assert int(new.collide_with(new)) == 2
+        _, bad = base.insert_robot_configuration(clash_meta, with_self_collision_test=True)
+        assert not bool(bad)
+
+    # ProbVoxelMap.clearBitVoxelMeaning: only eBVM_OCCUPIED clears (= reset)
+    filled = ProbVoxelMap.create((4, 4, 4)).insert_point_cloud(
+        np.array([[1.5, 1.5, 1.5]], np.float32)
+    )
+    same = filled.clear_voxel_meaning(BitVoxelMeaning.eBVM_FREE)
+    np.testing.assert_array_equal(np.asarray(same.data), np.asarray(filled.data))
+    wiped = filled.clear_voxel_meaning(BitVoxelMeaning.eBVM_OCCUPIED)
+    assert np.all(np.asarray(wiped.data) == -128)
+
+    # clear_collision_flags drops eBVM_COLLISION marks from marking collides
+    b = BitVectorVoxelMap.create((4, 4, 4)).insert_point_cloud(
+        np.array([[1.5, 1.5, 1.5]], np.float32), SV_START
+    )
+    cnt, _, marked = b.collide_with_types(b)
+    assert int(cnt) == 1
+    assert bool(jnp.any(marked.get_bit_mask(BitVoxelMeaning.eBVM_COLLISION)))
+    unmarked = marked.clear_collision_flags()
+    assert not bool(jnp.any(unmarked.get_bit_mask(BitVoxelMeaning.eBVM_COLLISION)))
+    assert bool(jnp.any(unmarked.get_bit_mask(SV_START)))
