@@ -55,8 +55,16 @@ def main():
     side = 1.0
 
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.integers(-128, 128, n, dtype=np.int64).astype(np.int8))
-    b = jnp.asarray(rng.integers(-128, 128, n, dtype=np.int64).astype(np.int8))
+    # ALL large random inputs are generated ON DEVICE: a host np array this
+    # size costs minutes of upload through the axon relay (1.07 GB of bit
+    # maps measured 20+ min; even the 268 MB headline pair was ~3 min)
+    k0 = jax.random.PRNGKey(0)
+    a, b = jax.jit(
+        lambda k: tuple(
+            jax.random.randint(kk, (n,), -128, 128, jnp.int8)
+            for kk in jax.random.split(k)
+        )
+    )(k0)
 
     def build_xla(k):
         @jax.jit
@@ -138,16 +146,18 @@ def main():
     from gpu_voxels_tpu import bitops
     from gpu_voxels_tpu.ops import edt
 
-    # 256-bit map collide at 256^3
+    # 256-bit map collide at 256^3 (sparse random planes, device-generated)
     nb = 256 ** 3
-    pa = jnp.asarray(
-        (rng.integers(0, 2**32, (8, nb), dtype=np.uint64)
-         & rng.integers(0, 4, (8, nb), dtype=np.uint64)).astype(np.uint32)
-    )
-    pb = jnp.asarray(
-        (rng.integers(0, 2**32, (8, nb), dtype=np.uint64)
-         & rng.integers(0, 4, (8, nb), dtype=np.uint64)).astype(np.uint32)
-    )
+
+    def _rand_planes(k):
+        k1, k2 = jax.random.split(k)
+        return jax.random.bits(k1, (8, nb), jnp.uint32) & jax.random.bits(
+            k2, (8, nb), jnp.uint32
+        ) & jnp.uint32(3)
+
+    pa, pb = jax.jit(
+        lambda k: tuple(_rand_planes(kk) for kk in jax.random.split(k))
+    )(jax.random.PRNGKey(1))
 
     def build_bit(count_fn):
         def build(k):
@@ -184,8 +194,12 @@ def main():
     # uint8[N] !noneButEmpty summary coherent through every mutation, so the
     # plain collideWith count reads 2 bytes/voxel-pair instead of folding 64
     # (the raw-plane fold above is the occ=None fallback / worst case)
-    occ_a = jnp.asarray((rng.random(nb) < 0.3).astype(np.uint8))
-    occ_b = jnp.asarray((rng.random(nb) < 0.3).astype(np.uint8))
+    occ_a, occ_b = jax.jit(
+        lambda k: tuple(
+            (jax.random.uniform(kk, (nb,)) < 0.3).astype(jnp.uint8)
+            for kk in jax.random.split(k)
+        )
+    )(jax.random.PRNGKey(2))
 
     def build_occ(k):
         @jax.jit
@@ -201,7 +215,9 @@ def main():
 
         return run
 
-    t_occ = _timed_loop(build_occ, 201, occ_a, occ_b)
+    # 2001 iterations: at ~0.03 ms/sweep the loop must dominate the ~30 ms
+    # relay fetch noise in the t(K) - t(1) subtraction
+    t_occ = _timed_loop(build_occ, 2001, occ_a, occ_b)
     print(
         f"bitvector collide 256^3 via maintained occupancy summary: "
         f"{t_occ*1e3:.3f} ms/sweep = {nb/t_occ:.3e} checks/s "
@@ -212,9 +228,14 @@ def main():
     # EDT (jump flood) at 256^3 with 10k obstacles
     dims_e = (256, 256, 256)
     ne = 256 ** 3
-    mask = np.zeros(ne, bool)
-    mask[rng.integers(0, ne, 10000)] = True
-    packed = jax.jit(lambda m: edt.init_from_obstacle_mask(m, dims_e))(jnp.asarray(mask))
+    packed = jax.jit(
+        lambda k: edt.init_from_obstacle_mask(
+            jnp.zeros((ne,), bool)
+            .at[jax.random.randint(k, (10000,), 0, ne)]
+            .set(True),
+            dims_e,
+        )
+    )(jax.random.PRNGKey(3))
 
     def build_edt(k):
         @jax.jit
@@ -263,8 +284,9 @@ def main():
     gvl.initialize(128, 128, 128, 0.01)
     gvl.add_map(MapType.MT_PROBAB_VOXELMAP, "bA")
     gvl.add_map(MapType.MT_PROBAB_VOXELMAP, "bB")
-    gvl.insert_box_into_map((0.2, 0.2, 0.2), (0.4, 0.4, 0.4), "bA", BitVoxelMeaning.eBVM_OCCUPIED, 1)
-    gvl.insert_box_into_map((0.3, 0.3, 0.3), (0.5, 0.5, 0.5), "bB", BitVoxelMeaning.eBVM_OCCUPIED, 1)
+    # the exact gvl_linkage_test boxes (overlap 0.4-0.6 -> 20^3 = 8000)
+    gvl.insert_box_into_map((0.4, 0.4, 0.4), (0.8, 0.8, 0.8), "bA", BitVoxelMeaning.eBVM_OCCUPIED, 1)
+    gvl.insert_box_into_map((0.2, 0.2, 0.2), (0.6, 0.6, 0.6), "bB", BitVoxelMeaning.eBVM_OCCUPIED, 1)
     c1 = int(gvl.get_map("bA").collide_with(gvl.get_map("bB"), 0.1))
     t0 = _time.perf_counter()
     c1 = int(gvl.get_map("bA").collide_with(gvl.get_map("bB"), 0.1))
@@ -357,19 +379,24 @@ def main():
     )
 
     # config #4: PBA exact EDT at 512^3 (Pallas envelope sweeps)
+    from gpu_voxels_tpu.ops import edt_envelope
+
     ne5 = 512 ** 3
-    mask5 = np.zeros(ne5, bool)
-    mask5[rng.integers(0, ne5, 20000)] = True
     packed5 = jax.jit(
-        lambda m: edt.init_from_obstacle_mask(m, (512, 512, 512))
-    )(jnp.asarray(mask5))
+        lambda k: edt.init_from_obstacle_mask(
+            jnp.zeros((ne5,), bool)
+            .at[jax.random.randint(k, (20000,), 0, ne5)]
+            .set(True),
+            (512, 512, 512),
+        )
+    )(jax.random.PRNGKey(4))
 
     def build_pba(k):
         @jax.jit
         def run(p):
             def body(i, acc):
                 pp = p.at[0].set(p[0] ^ (acc & jnp.uint32(1)))
-                out = edt.parallel_banding(pp, (512, 512, 512))
+                out = edt_envelope.parallel_banding(pp, (512, 512, 512))
                 return acc + out[ne5 // 2]
 
             return jax.lax.fori_loop(0, k, body, jnp.uint32(0))

@@ -77,6 +77,11 @@ _LIST_ALIASES = {
     "shrinkToFit": "shrink_to_fit",
     "findMatchingVoxels": "find_matching",
     "shiftLeftSweptVolumeIDs": "shift_left_swept_volume_ids",
+    "insertMetaPointCloud": "insert_meta_point_cloud",
+    "insertRobotConfiguration": "insert_robot_configuration",
+    "needsRebuild": "needs_rebuild",
+    "writeToDisk": "write_to_disk",
+    "readFromDisk": "read_from_disk",
 }
 
 _DISTANCE_ALIASES = {

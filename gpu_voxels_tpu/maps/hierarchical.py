@@ -256,6 +256,42 @@ class _PyramidQueries(DiskIO):
             total += leaf.size * leaf.dtype.itemsize
         return int(total)
 
+    def insert_meta_point_cloud(self, meta, meanings=None):
+        """insertMetaPointCloud on the octree adapter (GvlNTree.hpp:437-453):
+        given per-subcloud meanings the reference warns and inserts the whole
+        cloud with the FIRST meaning; same semantics here."""
+        meaning = BitVoxelMeaning.eBVM_OCCUPIED
+        if meanings is not None and len(meanings):
+            meaning = meanings[0]
+        return self.insert_point_cloud(meta.points, meaning)
+
+    def insert_robot_configuration(self, robot_links, with_self_collision_test: bool = False):
+        """insertRobotConfiguration (GpuVoxelsMap contract; the reference
+        octree adapter does not support it). Returns (new_map, ok)."""
+        clash = jnp.zeros((), bool)
+        if with_self_collision_test:
+            pd = self.padded_dims
+            n = pd[0] * pd[1] * pd[2]
+            union = jnp.zeros((n,), jnp.int8)
+            for i in range(robot_links.num_clouds):
+                idx, _ = insert_ops.voxelize(
+                    robot_links.get_cloud(i), self.side_length, pd
+                )
+                hits = insert_ops.occupancy_mask(idx, n)
+                clash = clash | jnp.any((hits > 0) & (union > 0))
+                union = jnp.maximum(union, hits)
+        return self.insert_meta_point_cloud(robot_links), ~clash
+
+    def clear_voxel_meaning(self, meaning):
+        """clearBitVoxelMeaning (GvlNTree.hpp:487-494): octree adapters only
+        support clearing eBVM_OCCUPIED, which resets the map."""
+        if int(meaning) != int(BitVoxelMeaning.eBVM_OCCUPIED):
+            from ..utils.logging import log_stream
+
+            log_stream("octree").error("octree maps only clear eBVM_OCCUPIED")
+            return self
+        return self.clear_map()
+
     # -- NTree maintenance contract (NTree.h:267-301, NTree.hpp:2941) --------
     def needs_rebuild(self) -> bool:
         """NTree::needsRebuild — the dense pyramid is contiguous by

@@ -831,6 +831,42 @@ class PagedHierarchicalMap(DiskIO):
             self.insert_point_cloud(free.astype(np.float32), BitVoxelMeaning.eBVM_FREE)
         return self.insert_point_cloud(points, BitVoxelMeaning.eBVM_OCCUPIED)
 
+    def insert_meta_point_cloud(self, meta, meanings=None) -> "PagedHierarchicalMap":
+        """insertMetaPointCloud (GvlNTree.hpp:437-453): per-subcloud meanings
+        degrade to the FIRST meaning, exactly like the reference adapter."""
+        meaning = BitVoxelMeaning.eBVM_OCCUPIED
+        if meanings is not None and len(meanings):
+            meaning = meanings[0]
+        return self.insert_point_cloud(meta.points, meaning)
+
+    def insert_robot_configuration(self, robot_links, with_self_collision_test: bool = False):
+        """insertRobotConfiguration (GpuVoxelsMap contract). Self-collision
+        uses the probe path on voxelized link clouds. Returns (map, ok)."""
+        ok = True
+        if with_self_collision_test:
+            seen = set()
+            clash = False
+            for i in range(robot_links.num_clouds):
+                pts = np.asarray(robot_links.get_cloud(i), np.float32)
+                cells = set(
+                    map(tuple, np.floor(pts / self.side_length).astype(np.int64))
+                )
+                if seen & cells:
+                    clash = True
+                seen |= cells
+            ok = not clash
+        return self.insert_meta_point_cloud(robot_links), ok
+
+    def clear_voxel_meaning(self, meaning) -> "PagedHierarchicalMap":
+        """clearBitVoxelMeaning (GvlNTree.hpp:487-494): only eBVM_OCCUPIED
+        clears (= reset)."""
+        if int(meaning) != int(BitVoxelMeaning.eBVM_OCCUPIED):
+            from ..utils.logging import log_stream
+
+            log_stream("octree").error("octree maps only clear eBVM_OCCUPIED")
+            return self
+        return self.clear_map()
+
     # -- NTree maintenance contract -------------------------------------------
     def needs_rebuild(self) -> bool:
         """NTree::needsRebuild — the pool is compact by construction (tiles

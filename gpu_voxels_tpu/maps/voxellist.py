@@ -637,6 +637,31 @@ class VoxelList(DiskIO):
         growing pads EMPTY entries, shrinking truncates the sorted tail."""
         return self.with_capacity(int(new_size))
 
+    def needs_rebuild(self) -> bool:
+        """GpuVoxelsMap contract (AbstractVoxelList returns false): the list
+        is kept sorted+compact after every insert."""
+        return False
+
+    def rebuild(self) -> "VoxelList":
+        return self
+
+    def insert_robot_configuration(self, robot_links, with_self_collision_test: bool = False):
+        """insertRobotConfiguration (GpuVoxelsMap contract; unsupported in
+        the reference's lists). Returns (new_list, ok)."""
+        clash = jnp.zeros((), bool)
+        if with_self_collision_test:
+            seen = None
+            for i in range(robot_links.num_clouds):
+                cur = bit_vector_voxel_list(self.dims, self.side_length).insert_point_cloud(
+                    robot_links.get_cloud(i)
+                )
+                if seen is not None:
+                    clash = clash | (seen.collide_with(cur) > 0)
+                    seen = seen.merge(cur)
+                else:
+                    seen = cur
+        return self.insert_meta_point_cloud(robot_links), ~clash
+
     def clear_voxel_meaning(self, meaning) -> "VoxelList":
         """clearBitVoxelMeaning. The reference stubs this NOT_YET_SUPPORTED
         on lists (BitVoxelList.hpp:65-68); here it clears the meaning bit in

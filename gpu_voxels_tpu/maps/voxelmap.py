@@ -104,6 +104,19 @@ class _DenseMap(DiskIO):
         print(out)
         return out
 
+    def needs_rebuild(self) -> bool:
+        """GpuVoxelsMap contract (GpuVoxelsMap.h:233): dense maps never
+        fragment (AbstractVoxelMap returns false)."""
+        return False
+
+    def rebuild(self):
+        """GpuVoxelsMap.h:241: no-op on dense maps."""
+        return self
+
+    def rebuild_if_needed(self):
+        """GpuVoxelsMap::rebuildIfNeeded (GpuVoxelsMap.cpp:54-58)."""
+        return self.rebuild() if self.needs_rebuild() else self
+
     def init_sensor_settings(self, sensor) -> None:
         """initSensorSettings (TemplateVoxelMap.hpp:836-856): store the
         Sensor whose pose transforms subsequent insert_sensor_data batches.
@@ -396,12 +409,23 @@ class BitVectorVoxelMap(_DenseMap):
         return replace(self, data=new, occ=occ)
 
     def insert_meta_point_cloud(self, meta, meanings=None) -> "BitVectorVoxelMap":
+        """Meta insert, uniform or per-subcloud meanings. The per-subcloud
+        path is the ONE-pass kernelInsertMetaPointCloud analogue: subcloud
+        sizes and meanings are static, so all links scatter fused in a single
+        program instead of one compiled dispatch per link."""
         if meanings is None:
             return self.insert_point_cloud(meta.points)
-        m = self
-        for i, meaning in enumerate(meanings):
-            m = m.insert_point_cloud(meta.get_cloud(i), meaning)
-        return m
+        import numpy as np
+
+        sizes = [meta.get_cloud(i).shape[0] for i in range(meta.num_clouds)]
+        meanings_np = np.repeat(
+            np.asarray([int(m) for m in meanings], np.int32), sizes
+        )
+        idx, _ = insert_ops.voxelize(
+            jnp.asarray(meta.points, jnp.float32), self.side_length, self.dims
+        )
+        data, occ = insert_ops.scatter_bits_multi(self.data, self.occ, idx, meanings_np)
+        return replace(self, data=data, occ=occ)
 
     # -- bit maintenance ----------------------------------------------------
     def clear_bit(self, bit_index: int) -> "BitVectorVoxelMap":

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..bitops import UINT32, bit_plane, bit_word
 from ..constants import meaning_to_probability
@@ -104,6 +105,65 @@ def insert_bit(planes, points, side_length, dims, meaning: int):
     occ_word = delta & UINT32(0xFFFFFFFE) if p == 0 else delta
     occ_delta = (occ_word != 0).astype(jnp.uint8)
     return planes.at[p].set(planes[p] | delta), outside, occ_delta
+
+
+def scatter_bits_multi(planes, occ, idx, meanings_np):
+    """Fused multi-meaning bit scatter: set bit ``meanings_np[i]`` (STATIC
+    numpy array, one per point) at voxel ``idx[i]`` — the one-launch
+    kernelInsertMetaPointCloud analogue (VoxelMapOperations.hpp, meta insert)
+    shared by the batched swept-volume insert and the per-subcloud-meanings
+    meta insert.
+
+    Meanings are static, so the touched bit planes are known at trace time
+    and only those pay scatter + OR traffic. (voxel, meaning) pairs are
+    deduplicated via a lexicographic two-pass stable sort (safe at any map
+    size — a fused ``idx*256+meaning`` uint32 key would overflow past 2^24
+    voxels), after which the one-hot bit values can be scatter-ADDED in one
+    flat slot-major pass (sum of distinct powers of two == OR).
+
+    Returns (new_planes, new_occ) where new_occ is the maintained
+    !noneButEmpty summary (None in -> None out); bit 0 (eBVM_FREE) is masked
+    out of the plane-0 contribution per BitVector.h:184-198.
+    """
+    meanings_np = np.asarray(meanings_np, np.int32)
+    touched = sorted({int(m) >> 5 for m in meanings_np})
+    slot_of_plane = np.full(8, -1, np.int32)
+    for s, p in enumerate(touched):
+        slot_of_plane[p] = s
+    K = len(touched)
+    n = planes.shape[1]
+    meaning = jnp.asarray(meanings_np)
+
+    # lexicographic (idx, meaning) order via two stable argsorts
+    order = jnp.argsort(meaning.astype(jnp.uint32), stable=True)
+    order = order[jnp.argsort(idx[order], stable=True)]
+    idx_s = idx[order]
+    meaning_s = meaning[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (idx_s[1:] != idx_s[:-1]) | (meaning_s[1:] != meaning_s[:-1])]
+    )
+    word = jnp.where(first, jnp.uint32(1) << (meaning_s.astype(jnp.uint32) & 31), 0)
+    slot = jnp.asarray(slot_of_plane)[meaning_s >> 5]
+
+    tgt = jnp.where(first & (idx_s < n), slot * n + idx_s, K * n)
+    delta = (
+        jnp.zeros((K * n,), jnp.uint32).at[tgt].add(word, mode="drop").reshape(K, n)
+    )
+
+    out_planes = [
+        planes[p] if slot_of_plane[p] < 0 else planes[p] | delta[slot_of_plane[p]]
+        for p in range(planes.shape[0])
+    ]
+    new_occ = occ
+    if occ is not None:
+        occ_words = delta
+        if slot_of_plane[0] >= 0:
+            occ_words = occ_words.at[slot_of_plane[0]].set(
+                delta[slot_of_plane[0]] & jnp.uint32(0xFFFFFFFE)
+            )
+        new_occ = occ | jnp.any(occ_words != 0, axis=0).astype(jnp.uint8)
+    return jnp.stack(out_planes, axis=0), new_occ
 
 
 def insert_count(data, points, side_length, dims, saturate_int8=True):

@@ -67,61 +67,21 @@ def insert_swept_volume_batched(
     Requires robot.transformed_clouds_for (pure FK) and an array trajectory
     [T, n_joints].
     """
-    from ..ops.insert import voxelize
+    from ..ops.insert import scatter_bits_multi, voxelize
 
     traj = jnp.asarray(trajectory, jnp.float32)
     T = traj.shape[0]
 
     pts = jax.vmap(lambda cfg: robot.transformed_clouds_for(cfg).points)(traj)  # [T,P,3]
     P = pts.shape[1]
-    # per-step meanings are a STATIC function of (T, num_ids): compute them in
-    # numpy so the set of touched bit planes is known at trace time. A T-step
-    # trajectory touches ceil(min(T, num_ids)/32)-ish planes (3 of 8 for 64
-    # steps), and only those pay scatter + OR traffic below.
-    meanings_np = (SV_START + (np.arange(T, dtype=np.int32) % int(num_ids)))
-    touched = sorted({int(m) >> 5 for m in meanings_np})
-    slot_of_plane = np.full(8, -1, np.int32)
-    for s, p in enumerate(touched):
-        slot_of_plane[p] = s
-    K = len(touched)
-    meaning = jnp.asarray(np.repeat(meanings_np, P))
-
-    idx, _ = voxelize(pts.reshape(-1, 3), bitmap.side_length, bitmap.dims)
-    n = bitmap.voxelmap_size
-
-    # dedup (voxel, meaning) pairs: sort by a fused key, keep first of runs
-    key = idx.astype(jnp.uint32) * jnp.uint32(256) + meaning.astype(jnp.uint32)
-    order = jnp.argsort(key)
-    key_s = key[order]
-    first = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
-    idx_s = idx[order]
-    meaning_s = meaning[order]
-    word = jnp.where(first, jnp.uint32(1) << (meaning_s.astype(jnp.uint32) & 31), 0)
-    slot = jnp.asarray(slot_of_plane)[meaning_s >> 5]
-
-    # ONE scatter for all touched planes (dedup makes add == OR): slot-major
-    # flat targets, invalid/duplicate rows dropped past the end. One pass of
-    # ~len(pairs) scatter updates instead of one full pass per plane.
-    tgt = jnp.where(first & (idx_s < n), slot * n + idx_s, K * n)
-    delta = (
-        jnp.zeros((K * n,), jnp.uint32).at[tgt].add(word, mode="drop").reshape(K, n)
+    # per-step meanings are a STATIC function of (T, num_ids), so the fused
+    # scatter knows the touched planes at trace time: a T-step trajectory
+    # touches ceil(min(T, num_ids)/32)-ish planes (3 of 8 for 64 steps).
+    meanings_np = np.repeat(
+        SV_START + (np.arange(T, dtype=np.int32) % int(num_ids)), P
     )
-
-    data = bitmap.data
-    out_planes = [
-        data[p] if slot_of_plane[p] < 0 else data[p] | delta[slot_of_plane[p]]
-        for p in range(data.shape[0])
-    ]
+    idx, _ = voxelize(pts.reshape(-1, 3), bitmap.side_length, bitmap.dims)
+    data, occ = scatter_bits_multi(bitmap.data, bitmap.occ, idx, meanings_np)
     from dataclasses import replace
 
-    occ = bitmap.occ
-    if occ is not None:
-        # SV meanings are all >= SV_START (4), so any delta marks occupancy
-        # for the maintained summary (noneButEmpty masks only bit 0)
-        occ_words = delta
-        if slot_of_plane[0] >= 0:
-            occ_words = occ_words.at[slot_of_plane[0]].set(
-                delta[slot_of_plane[0]] & jnp.uint32(0xFFFFFFFE)
-            )
-        occ = occ | jnp.any(occ_words != 0, axis=0).astype(jnp.uint8)
-    return replace(bitmap, data=jnp.stack(out_planes, axis=0), occ=occ)
+    return replace(bitmap, data=data, occ=occ)

@@ -288,3 +288,30 @@ def test_build_with_free_bounding_box_and_maintenance_contract():
     m = HierarchicalBitMap.create((16, 16, 16), 1.0).build(pts)
     _, unk, _ = m.probe(jnp.array([[4, 4, 4]]))
     assert bool(unk[0])
+
+
+def test_octree_adapter_contract_methods():
+    """GpuVoxelsMap contract on the octree adapters: insertMetaPointCloud
+    degrades per-subcloud meanings to the first one (GvlNTree.hpp:437-453),
+    clearBitVoxelMeaning only honors eBVM_OCCUPIED (GvlNTree.hpp:487-494),
+    insertRobotConfiguration reports self-collisions."""
+    from gpu_voxels_tpu.geometry.pointcloud import MetaPointCloud
+
+    link = np.array([[2.5, 2.5, 2.5]], np.float32)
+    meta = MetaPointCloud.from_clouds([link, link + 2.0])
+    clashing = MetaPointCloud.from_clouds([link, link])
+    for cls in (HierarchicalBitMap, HierarchicalProbMap):
+        m = cls.create((16, 16, 16), 1.0)
+        m2 = m.insert_meta_point_cloud(meta, meanings=[1, 1])
+        occ, _, _ = m2.probe(jnp.array([[2, 2, 2], [4, 4, 4]]))
+        assert bool(occ[0]) and bool(occ[1])
+        _, ok = m.insert_robot_configuration(meta, with_self_collision_test=True)
+        assert bool(ok)
+        _, bad = m.insert_robot_configuration(clashing, with_self_collision_test=True)
+        assert not bool(bad)
+        unchanged = m2.clear_voxel_meaning(5)
+        occ3, _, _ = unchanged.probe(jnp.array([[2, 2, 2]]))
+        assert bool(occ3[0])
+        wiped = m2.clear_voxel_meaning(1)  # eBVM_OCCUPIED
+        _, unk, _ = wiped.probe(jnp.array([[2, 2, 2]]))
+        assert bool(unk[0])

@@ -496,3 +496,27 @@ def test_paged_build_free_bounding_box_and_check_tree():
     assert m.check_tree() and not m.needs_rebuild()
     with pytest.raises(ValueError):
         m.build(np.array([[0.5] * 3, [4000.5] * 3], np.float32), free_bounding_box=True)
+
+
+def test_paged_adapter_contract_methods():
+    """Same GpuVoxelsMap contract on the sparse paged tier."""
+    from gpu_voxels_tpu.geometry.pointcloud import MetaPointCloud
+
+    link = (np.array([[100, 100, 100]], np.float32) + 0.5)
+    meta = MetaPointCloud.from_clouds([link, link + 8.0])
+    m = PagedHierarchicalMap((4096, 4096, 4096), 1.0)
+    m.insert_meta_point_cloud(meta, meanings=[1, 1])
+    occ, _, _ = m.probe(jnp.array([[100, 100, 100], [108, 108, 108]]))
+    assert bool(occ[0]) and bool(occ[1])
+    _, ok = m.insert_robot_configuration(meta, with_self_collision_test=True)
+    assert ok
+    _, bad = m.insert_robot_configuration(
+        MetaPointCloud.from_clouds([link, link]), with_self_collision_test=True
+    )
+    assert not bad
+    m.clear_voxel_meaning(5)  # non-OCCUPIED: no-op
+    occ2, _, _ = m.probe(jnp.array([[100, 100, 100]]))
+    assert bool(occ2[0])
+    m.clear_voxel_meaning(1)
+    _, unk, _ = m.probe(jnp.array([[100, 100, 100]]))
+    assert bool(unk[0])

@@ -296,3 +296,21 @@ def test_resize_and_clear_voxel_meaning():
     np.testing.assert_array_equal(coords, [[1, 1, 1]])
     assert not bool(jnp.any(cleared.payload[9 >> 5] & jnp.uint32(1 << 9)))
     assert bool(jnp.any(cleared.payload[10 >> 5] & jnp.uint32(1 << 10)))
+
+
+def test_list_robot_configuration_and_rebuild_contract():
+    """insertRobotConfiguration on lists (unsupported in the reference)
+    detects overlapping sub-clouds; needsRebuild/rebuild are honest no-ops."""
+    from gpu_voxels_tpu.geometry.pointcloud import MetaPointCloud
+
+    link = np.array([[1.5, 1.5, 1.5]], np.float32)
+    lst = bit_vector_voxel_list((8, 8, 8))
+    new, ok = lst.insert_robot_configuration(
+        MetaPointCloud.from_clouds([link, link + 2.0]), with_self_collision_test=True
+    )
+    assert bool(ok) and int(new.count) == 2
+    _, bad = lst.insert_robot_configuration(
+        MetaPointCloud.from_clouds([link, link]), with_self_collision_test=True
+    )
+    assert not bool(bad)
+    assert not lst.needs_rebuild() and lst.rebuild() is lst

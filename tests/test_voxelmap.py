@@ -408,3 +408,25 @@ def test_sensor_settings_flow_and_robot_configuration():
     unmarked = marked.clear_collision_flags()
     assert not bool(jnp.any(unmarked.get_bit_mask(BitVoxelMeaning.eBVM_COLLISION)))
     assert bool(jnp.any(unmarked.get_bit_mask(SV_START)))
+
+
+def test_bit_meta_insert_fused_matches_per_cloud_loop():
+    """Per-subcloud-meaning meta insert (kernelInsertMetaPointCloud) through
+    the fused single-scatter path must equal per-cloud inserts bit-for-bit,
+    including duplicate voxels across subclouds and the occ summary."""
+    from gpu_voxels_tpu.geometry.pointcloud import MetaPointCloud
+
+    c0 = np.array([[1.5, 1.5, 1.5], [2.5, 2.5, 2.5]], np.float32)
+    c1 = np.array([[1.5, 1.5, 1.5], [3.5, 3.5, 3.5]], np.float32)  # overlaps c0
+    c2 = np.array([[0.5, 0.5, 0.5]], np.float32)
+    meta = MetaPointCloud.from_clouds([c0, c1, c2])
+    meanings = [9, 40, BitVoxelMeaning.eBVM_FREE]  # planes 0 (x2) and 1
+    base = BitVectorVoxelMap.create((8, 8, 8))
+    fused = base.insert_meta_point_cloud(meta, meanings)
+    looped = base
+    for pts, mn in zip([c0, c1, c2], meanings):
+        looped = looped.insert_point_cloud(pts, mn)
+    np.testing.assert_array_equal(np.asarray(fused.data), np.asarray(looped.data))
+    np.testing.assert_array_equal(np.asarray(fused.occ), np.asarray(looped.occ))
+    # eBVM_FREE alone must not mark the occupancy summary
+    assert int(np.asarray(fused.occ).reshape(8, 8, 8)[0, 0, 0]) == 0
