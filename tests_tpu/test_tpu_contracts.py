@@ -294,3 +294,24 @@ def test_occupancy_summary_coherence_on_tpu():
     check(m3.merge(other, new_meaning=20), "merge-remeaned")
     check(m3.merge(other), "merge")
     check(m3.clear_bit(10), "clear_bit")
+
+
+def test_fused_multi_meaning_scatter_on_tpu():
+    """ops/insert.scatter_bits_multi (the one-pass kernelInsertMetaPointCloud
+    analogue behind batched swept volumes AND per-subcloud meta inserts) must
+    match per-meaning inserts bit-for-bit on hardware, occ summary included."""
+    from gpu_voxels_tpu.geometry.pointcloud import MetaPointCloud
+
+    rngl = np.random.default_rng(11)
+    clouds = [
+        rngl.uniform(0.0, 16.0, (257, 3)).astype(np.float32) for _ in range(5)
+    ]
+    meanings = [4, 44, 99, 4, BitVoxelMeaning.eBVM_FREE]
+    meta = MetaPointCloud.from_clouds(clouds)
+    base = BitVectorVoxelMap.create((16, 16, 16))
+    fused = base.insert_meta_point_cloud(meta, meanings)
+    looped = base
+    for pts, mn in zip(clouds, meanings):
+        looped = looped.insert_point_cloud(pts, mn)
+    np.testing.assert_array_equal(np.asarray(fused.data), np.asarray(looped.data))
+    np.testing.assert_array_equal(np.asarray(fused.occ), np.asarray(looped.occ))
