@@ -124,6 +124,15 @@ class VoxelList(DiskIO):
         id_mode: str = "linear",
         map_type: Optional[MapType] = None,
     ) -> "VoxelList":
+        if id_mode == "linear" and int(dims[0]) * int(dims[1]) * int(dims[2]) > 2**32:
+            # the reference's MapVoxelID is uint32 too — linear ids past
+            # 2^32 voxels silently wrap there; fail fast instead and point
+            # at the octree-compatible 60-bit Morton mode
+            raise ValueError(
+                f"linear voxel-list ids are uint32; dims {tuple(dims)} span "
+                f"{int(dims[0])*int(dims[1])*int(dims[2])} voxels — use "
+                "id_mode='morton' (bit_vector_morton_voxel_list) at this scale"
+            )
         if map_type is None:
             map_type = {
                 (KIND_BIT, "linear"): MapType.MT_BITVECTOR_VOXELLIST,

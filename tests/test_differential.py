@@ -87,3 +87,68 @@ def test_bitmap_vs_probmap_cross_type_differential(seed):
     assert int(bm.collide_with(pm, 0.5)) == expect
     assert int(pm.collide_with(bm, 0.5)) == expect
     assert bool(bm.collides_with(pm, 0.5)) == (expect > 0)
+
+
+def _cube_hits(query_vox, occupied_vox, level, dims):
+    """Oracle: query voxel q hits iff its ALIGNED 2^level cube contains any
+    occupied voxel (the top-down probe's min_level semantics)."""
+    occ_cubes = {tuple(c >> level for c in v) for v in occupied_vox}
+    return sum(
+        1
+        for q in query_vox
+        if all(0 <= q[i] < dims[i] for i in range(3))
+        and tuple(c >> level for c in q) in occ_cubes
+    )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_hierarchy_probe_collide_differential(seed):
+    """Hierarchy (dense pyramid) collide vs list/dense with random offsets
+    and min_levels, against an aligned-cube numpy oracle."""
+    from gpu_voxels_tpu.maps.hierarchical import HierarchicalBitMap
+
+    rng = np.random.default_rng(100 + seed)
+    dims = (32, 32, 32)
+    a = rng.uniform(0, 32, (rng.integers(20, 300), 3)).astype(np.float32)
+    b = rng.uniform(0, 32, (rng.integers(20, 300), 3)).astype(np.float32)
+    off = tuple(int(v) for v in rng.integers(-2, 3, 3))
+    h = HierarchicalBitMap.create(dims, 1.0).insert_point_cloud(a)
+    lst = bit_vector_voxel_list(dims).insert_point_cloud(b, 9)
+    va = _clip_in(_voxels(a), dims)
+    vb_unique = _clip_in(_voxels(b), dims)  # list dedups entries
+    for level in (0, 1, 2):
+        got = int(h.collide_with(lst, min_level=level, offset=off))
+        shifted = [tuple(q[i] + off[i] for i in range(3)) for q in vb_unique]
+        expect = _cube_hits(shifted, va, level, dims)
+        assert got == expect, (seed, level, off)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_paged_collide_differential(seed):
+    """Sparse paged tier vs the same oracle (content far from the origin so
+    block/page boundaries are exercised), incl. counting-unknown."""
+    from gpu_voxels_tpu.maps.paged import PagedHierarchicalMap
+    from gpu_voxels_tpu.maps.voxellist import bit_vector_morton_voxel_list
+
+    rng = np.random.default_rng(200 + seed)
+    base = np.array([1000, 1500, 700], np.float32)
+    a = (base + rng.uniform(0, 24, (rng.integers(20, 200), 3))).astype(np.float32)
+    b = (base + rng.uniform(0, 24, (rng.integers(20, 200), 3))).astype(np.float32)
+    dims = (4096, 4096, 4096)
+    m = PagedHierarchicalMap(dims, 1.0)
+    m.insert_point_cloud(a)
+    # linear uint32 ids wrap past 2^32 voxels (creation raises); octree-scale
+    # worlds pair with MORTON lists exactly like the reference
+    with pytest.raises(ValueError):
+        bit_vector_voxel_list(dims)
+    lst = bit_vector_morton_voxel_list(dims).insert_point_cloud(b, 9)
+    va = _voxels(a)
+    vb_unique = _voxels(b)
+    for level in (0, 1, 3):
+        got = int(m.collide_with(lst, min_level=level))
+        expect = _cube_hits(sorted(vb_unique), va, level, dims)
+        assert got == expect, (seed, level)
+    # counting-unknown: every non-hit probe coord reads implicit UNKNOWN
+    hits, unknown = m.collide_with_counting_unknown(lst)
+    assert int(hits) == _cube_hits(sorted(vb_unique), va, 0, dims)
+    assert int(hits) + int(unknown) == len(vb_unique)
