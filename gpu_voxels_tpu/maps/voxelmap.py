@@ -29,6 +29,7 @@ from ..constants import (
     BitVoxelMeaning,
     MapType,
     float_to_probability,
+    meaning_to_probability,
 )
 from ..ops import collide as collide_ops
 from ..ops import insert as insert_ops
@@ -164,13 +165,44 @@ class ProbVoxelMap(_DenseMap):
         return replace(self, data=new)
 
     def insert_meta_point_cloud(self, meta, meanings=None) -> "ProbVoxelMap":
-        """Uniform or per-subcloud meanings (TemplateVoxelMap.hpp:609-663)."""
+        """Uniform or per-subcloud meanings (TemplateVoxelMap.hpp:609-663).
+
+        The per-subcloud path runs as ONE fused program (the
+        kernelInsertMetaPointCloud analogue): each point SETS its meaning's
+        probability; on voxels shared between subclouds the LATER subcloud
+        wins — the deterministic linearization of the reference's racy
+        last-writer-wins kernel, identical to inserting the subclouds one by
+        one. Implemented as a scatter-max of (point_rank+1)*256 + (val+128)
+        encodings (rank < 2^24 guards the uint32 packing; larger meta clouds
+        fall back to the per-cloud loop)."""
         if meanings is None:
             return self.insert_point_cloud(meta.points)
-        m = self
-        for i, meaning in enumerate(meanings):
-            m = m.insert_point_cloud(meta.get_cloud(i), meaning)
-        return m
+        import numpy as np
+
+        sizes = [meta.get_cloud(i).shape[0] for i in range(meta.num_clouds)]
+        total = int(sum(sizes))
+        if total >= 2**24 - 1:
+            m = self
+            for i, meaning in enumerate(meanings):
+                m = m.insert_point_cloud(meta.get_cloud(i), meaning)
+            return m
+        vals_np = np.repeat(
+            np.asarray([meaning_to_probability(m) for m in meanings], np.int32),
+            sizes,
+        )
+        enc_np = (np.arange(1, total + 1, dtype=np.int64) * 256 + (vals_np + 128)).astype(
+            np.uint32
+        )
+        idx, _ = insert_ops.voxelize(
+            jnp.asarray(meta.points, jnp.float32), self.side_length, self.dims
+        )
+        won = (
+            jnp.zeros((self.voxelmap_size,), jnp.uint32)
+            .at[idx]
+            .max(jnp.asarray(enc_np), mode="drop")
+        )
+        new_val = ((won & jnp.uint32(255)).astype(jnp.int32) - 128).astype(jnp.int8)
+        return replace(self, data=jnp.where(won > 0, new_val, self.data))
 
     def insert_meta_point_cloud_with_self_collision_check(
         self, meta, meaning=BitVoxelMeaning.eBVM_OCCUPIED

@@ -430,3 +430,36 @@ def test_bit_meta_insert_fused_matches_per_cloud_loop():
     np.testing.assert_array_equal(np.asarray(fused.occ), np.asarray(looped.occ))
     # eBVM_FREE alone must not mark the occupancy summary
     assert int(np.asarray(fused.occ).reshape(8, 8, 8)[0, 0, 0]) == 0
+
+
+def test_prob_meta_insert_fused_matches_sequential_loop():
+    """Per-subcloud prob meta insert through the fused encoded scatter-max
+    must equal sequential per-cloud inserts exactly — later subclouds win on
+    shared voxels (the deterministic linearization of the reference's racy
+    kernelInsertMetaPointCloud)."""
+    from gpu_voxels_tpu.geometry.pointcloud import MetaPointCloud
+
+    shared = np.array([[1.5, 1.5, 1.5]], np.float32)
+    c0 = np.concatenate([shared, np.array([[2.5, 2.5, 2.5]], np.float32)])
+    c1 = np.concatenate([shared, np.array([[3.5, 3.5, 3.5]], np.float32)])  # wins on shared
+    meta = MetaPointCloud.from_clouds([c0, c1])
+    meanings = [BitVoxelMeaning.eBVM_OCCUPIED, BitVoxelMeaning.eBVM_FREE]
+    base = ProbVoxelMap.create((8, 8, 8))
+    fused = base.insert_meta_point_cloud(meta, meanings)
+    looped = base
+    for pts, mn in zip([c0, c1], meanings):
+        looped = looped.insert_point_cloud(pts, mn)
+    np.testing.assert_array_equal(np.asarray(fused.data), np.asarray(looped.data))
+    d = np.asarray(fused.as_3d())
+    assert d[1, 1, 1] == -127  # shared voxel: later subcloud (FREE) won
+    assert d[2, 2, 2] == 127 and d[3, 3, 3] == -127
+
+    rng = np.random.default_rng(3)
+    clouds = [rng.uniform(0, 8, (97, 3)).astype(np.float32) for _ in range(4)]
+    mns = [1, 0, 11, 1]
+    meta2 = MetaPointCloud.from_clouds(clouds)
+    f2 = base.insert_meta_point_cloud(meta2, mns)
+    l2 = base
+    for pts, mn in zip(clouds, mns):
+        l2 = l2.insert_point_cloud(pts, mn)
+    np.testing.assert_array_equal(np.asarray(f2.data), np.asarray(l2.data))
