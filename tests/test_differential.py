@@ -152,3 +152,29 @@ def test_paged_collide_differential(seed):
     hits, unknown = m.collide_with_counting_unknown(lst)
     assert int(hits) == _cube_hits(sorted(vb_unique), va, 0, dims)
     assert int(hits) + int(unknown) == len(vb_unique)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_paged_prob_fusion_matches_dense_differential(seed):
+    """The probabilistic paged tier's sensor fusion must write EXACTLY the
+    log-odds the dense ProbVoxelMap writes for the same scene: both use the
+    dominant-axis ray rule with the endpoint excluded and SensorModel
+    magnitudes (VoxelMapOperations.h:38-39, 199-323)."""
+    from gpu_voxels_tpu.maps.paged import PagedHierarchicalMap
+
+    rng = np.random.default_rng(300 + seed)
+    origin = rng.uniform(4, 28, 3).astype(np.float32)
+    pts = rng.uniform(2, 30, (rng.integers(10, 120), 3)).astype(np.float32)
+    dense = ProbVoxelMap.create((32, 32, 32), 1.0).insert_sensor_data(
+        pts, tuple(origin), max_steps=128
+    )
+    paged = PagedHierarchicalMap((4096, 4096, 4096), 1.0, probabilistic=True)
+    paged.insert_point_cloud_with_free_space(pts, tuple(origin), max_steps=128)
+    xs = np.arange(32)
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    coords = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.int32)
+    got = np.asarray(paged.probe_occupancy(jnp.asarray(coords)))
+    dx = 32
+    flat = coords[:, 2] * (dx * dx) + coords[:, 1] * dx + coords[:, 0]
+    want = np.asarray(dense.data)[flat]
+    np.testing.assert_array_equal(got, want)
