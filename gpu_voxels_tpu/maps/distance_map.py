@@ -36,6 +36,43 @@ class DistanceVoxelMap(_DenseMap):
     """data: uint32[N] DistanceVoxel-packed obstacle coords."""
 
     map_type: MapType = field(default=MapType.MT_DISTANCE_VOXELMAP, metadata=dict(static=True))
+    _default_value = PBA_UNINITIALISED_PACKED  # printVoxelMapData skips uninit
+
+    def fill_pba_uninit(self) -> "DistanceVoxelMap":
+        """fill_pba_uninit (DistanceVoxelMap.h): reset every voxel to the
+        PBA uninitialised sentinel (same as clear_map here)."""
+        return self.clear_map()
+
+    def insert_robot_configuration(self, robot_links, with_self_collision_test: bool = False):
+        """insertRobotConfiguration (stubbed NOT_SUPPORTED in the reference,
+        DistanceVoxelMap.hpp:89-94): inserts the robot cloud as obstacles.
+        Returns (new_map, ok)."""
+        clash = jnp.zeros((), bool)
+        if with_self_collision_test:
+            n = self.voxelmap_size
+            union = jnp.zeros((n,), jnp.int8)
+            for i in range(robot_links.num_clouds):
+                idx, _ = insert_ops.voxelize(
+                    robot_links.get_cloud(i), self.side_length, self.dims
+                )
+                hits = insert_ops.occupancy_mask(idx, n)
+                clash = clash | jnp.any((hits > 0) & (union > 0))
+                union = jnp.maximum(union, hits)
+        return self.insert_point_cloud(robot_links.points), ~clash
+
+    def clear_voxel_meaning(self, meaning) -> "DistanceVoxelMap":
+        """clearBitVoxelMeaning — a NOP-with-TODO in the reference
+        (DistanceVoxelMap.hpp:96-102, "maybe clearMap instead? ProbVoxelMap
+        does this"); this implements that TODO: eBVM_OCCUPIED resets to
+        uninitialised, anything else logs and no-ops."""
+        if int(meaning) != int(BitVoxelMeaning.eBVM_OCCUPIED):
+            from ..utils.logging import log_stream
+
+            log_stream("voxelmap").error(
+                "DistanceVoxelMap only supports clearing eBVM_OCCUPIED"
+            )
+            return self
+        return self.clear_map()
 
     @staticmethod
     def create(dims: Dims, side_length: float = 1.0) -> "DistanceVoxelMap":

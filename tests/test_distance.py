@@ -194,3 +194,29 @@ def test_jump_flood_with_stats_telemetry():
     np.testing.assert_array_equal(
         np.asarray(edt.squared_distance_grid(out, DIMS)), np_exact_sqdist(obs, DIMS)
     )
+
+
+def test_distance_map_contract_methods():
+    """fill_pba_uninit / insertRobotConfiguration / clearBitVoxelMeaning /
+    printVoxelMapData on the distance map (the reference stubs the first two
+    as unsupported; clearBitVoxelMeaning is a NOP-with-TODO there)."""
+    from gpu_voxels_tpu.geometry.pointcloud import MetaPointCloud
+    from gpu_voxels_tpu.maps.distance_map import DistanceVoxelMap
+
+    link = np.array([[1.5, 1.5, 1.5]], np.float32)
+    m = DistanceVoxelMap.create((8, 8, 8))
+    m2, ok = m.insert_robot_configuration(
+        MetaPointCloud.from_clouds([link, link + 2.0]), with_self_collision_test=True
+    )
+    assert bool(ok)
+    d = m2.parallel_banding()
+    assert int(d.get_squared_obstacle_distance(1, 1, 1)) == 0
+    _, bad = m.insert_robot_configuration(
+        MetaPointCloud.from_clouds([link, link]), with_self_collision_test=True
+    )
+    assert not bool(bad)
+    # dump shows only the two obstacle voxels (uninit is the default value)
+    out = m2.print_voxel_map_data()
+    assert len(out.splitlines()) == 3 and "(1,1,1)" in out and "(3,3,3)" in out
+    wiped = m2.clear_voxel_meaning(1).fill_pba_uninit()
+    assert not bool(jnp.any(wiped.obstacle_mask()))
