@@ -134,15 +134,28 @@ def scatter_bits_multi(planes, occ, idx, meanings_np):
     n = planes.shape[1]
     meaning = jnp.asarray(meanings_np)
 
-    # lexicographic (idx, meaning) order via two stable argsorts
-    order = jnp.argsort(meaning.astype(jnp.uint32), stable=True)
-    order = order[jnp.argsort(idx[order], stable=True)]
+    if (n + 1) * K * 32 <= 2**32:
+        # fused single-key sort: (idx*K + slot)*32 + bit identifies the
+        # (voxel, bit-to-set) pair exactly and fits uint32 up to n = 2^27/K
+        # (256^3 with all 8 planes, 512^3 single-plane). One argsort instead
+        # of the two stable passes below.
+        slot_np = jnp.asarray(slot_of_plane)[meaning >> 5].astype(jnp.uint32)
+        bit = (meaning & 31).astype(jnp.uint32)
+        key = (idx.astype(jnp.uint32) * jnp.uint32(K) + slot_np) * jnp.uint32(32) + bit
+        order = jnp.argsort(key)
+        key_s = key[order]
+        first = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    else:
+        # lexicographic (idx, meaning) order via two stable argsorts
+        order = jnp.argsort(meaning.astype(jnp.uint32), stable=True)
+        order = order[jnp.argsort(idx[order], stable=True)]
+        i_s = idx[order]
+        m_s = meaning[order]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), (i_s[1:] != i_s[:-1]) | (m_s[1:] != m_s[:-1])]
+        )
     idx_s = idx[order]
     meaning_s = meaning[order]
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool),
-         (idx_s[1:] != idx_s[:-1]) | (meaning_s[1:] != meaning_s[:-1])]
-    )
     word = jnp.where(first, jnp.uint32(1) << (meaning_s.astype(jnp.uint32) & 31), 0)
     slot = jnp.asarray(slot_of_plane)[meaning_s >> 5]
 
