@@ -126,6 +126,8 @@ def scatter_bits_multi(planes, occ, idx, meanings_np):
     out of the plane-0 contribution per BitVector.h:184-198.
     """
     meanings_np = np.asarray(meanings_np, np.int32)
+    if meanings_np.size == 0:
+        return planes, occ
     touched = sorted({int(m) >> 5 for m in meanings_np})
     slot_of_plane = np.full(8, -1, np.int32)
     for s, p in enumerate(touched):

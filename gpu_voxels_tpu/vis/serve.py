@@ -31,9 +31,116 @@ INDEX = """<!DOCTYPE html>
   <div id="info" style="font-size:12px;color:#9cf">click a voxel to inspect</div>
 </div>
 <canvas id="c"></canvas>
+<script>
+// Self-contained fallback renderer: the primary path imports three.js from a
+// CDN, which air-gapped deployments (and the reference's lab networks) may
+// not reach. If the module script hasn't initialized shortly after load, draw
+// the same published layers with a 2D-canvas isometric projection instead —
+// map toggles, meaning colors/visibility, slicing and click-to-inspect keep
+// working, only orbit shading is lost.
+window.startFallback = function () {
+  if (window.__fallback_on) return; window.__fallback_on = true;
+  // own canvas: touching #c's context would break a late-arriving WebGL init
+  document.getElementById('c').style.display = 'none';
+  const canvas = document.createElement('canvas');
+  document.body.appendChild(canvas);
+  const ctx = canvas.getContext('2d');
+  canvas.width = innerWidth; canvas.height = innerHeight;
+  let layers = [], cfg = {}, mapVisible = {}, drawn = [];
+  let yaw = Math.PI / 4, pitch = 0.6, zoom = 0, panX = 0, panY = 0;
+  const axisSel = document.getElementById('axis');
+  const smin = document.getElementById('smin'), smax = document.getElementById('smax');
+  function proj(c, rot) {
+    const x = c[0] * rot.ca - c[1] * rot.sa, y = c[0] * rot.sa + c[1] * rot.ca;
+    return [x, y * rot.cp - c[2] * rot.sp, y * rot.sp + c[2] * rot.cp];
+  }
+  function draw() {
+    ctx.fillStyle = '#111'; ctx.fillRect(0, 0, canvas.width, canvas.height);
+    const rot = {ca: Math.cos(yaw), sa: Math.sin(yaw), cp: Math.cos(pitch), sp: Math.sin(pitch)};
+    const ax = {x: 0, y: 1, z: 2}[axisSel.value];
+    const lo = +smin.value, hi = +smax.value;
+    const colors = cfg.meaning_colors || {}, visible = cfg.meaning_visible || {};
+    const pts = []; let total = 0, minX = 1e30, maxX = -1e30, minY = 1e30, maxY = -1e30;
+    for (const layer of layers) {
+      if (mapVisible[layer.name] === false) continue;
+      layer.centers.forEach((c, i) => {
+        const t = layer.types ? layer.types[i] : null;
+        if (t !== null && visible[String(t)] === false) return;
+        if (ax !== undefined && (c[ax] < lo || c[ax] > hi)) return;
+        const p = proj(c, rot);
+        const col = (t !== null && colors[String(t)]) ? colors[String(t)] : layer.colors[i];
+        pts.push({p, col, layer, i, c, t});
+        minX = Math.min(minX, p[0]); maxX = Math.max(maxX, p[0]);
+        minY = Math.min(minY, p[2]); maxY = Math.max(maxY, p[2]);
+        total++;
+      });
+    }
+    drawn = [];
+    if (total) {
+      const s = Math.exp(zoom) * 0.8 * Math.min(
+        canvas.width / Math.max(maxX - minX, 1e-6),
+        canvas.height / Math.max(maxY - minY, 1e-6));
+      const ox = canvas.width / 2 - s * (minX + maxX) / 2 + panX;
+      const oy = canvas.height / 2 + s * (minY + maxY) / 2 + panY;
+      pts.sort((a, b) => a.p[1] - b.p[1]);
+      for (const q of pts) {
+        const px = ox + s * q.p[0], py = oy - s * q.p[2];
+        const r = Math.max(2, s * q.layer.side * 0.9);
+        ctx.fillStyle = `rgb(${q.col[0]},${q.col[1]},${q.col[2]})`;
+        ctx.fillRect(px - r / 2, py - r / 2, r, r);
+        drawn.push({px, py, q});
+      }
+    }
+    document.getElementById('status').textContent =
+      `${layers.length} maps, ${total} cubes (offline 2D renderer)`;
+  }
+  canvas.addEventListener('mousemove', ev => {
+    if (ev.buttons & 1) { yaw += ev.movementX * 0.01; pitch += ev.movementY * 0.01; draw(); }
+  });
+  canvas.addEventListener('wheel', ev => { zoom -= ev.deltaY * 0.001; draw(); ev.preventDefault(); });
+  canvas.addEventListener('click', ev => {
+    let best = null, bd = 144;
+    for (const d of drawn) {
+      const dd = (d.px - ev.clientX) ** 2 + (d.py - ev.clientY) ** 2;
+      if (dd < bd) { bd = dd; best = d; }
+    }
+    const info = document.getElementById('info');
+    if (!best) { info.textContent = 'click a voxel to inspect'; return; }
+    const q = best.q, vox = q.c.map(v => Math.floor(v / q.layer.side));
+    info.textContent = `${q.layer.name}: voxel (${vox.join(', ')}) center ` +
+      `(${q.c.map(v => v.toFixed(3)).join(', ')})` + (q.t !== null ? ` meaning ${q.t}` : '');
+  });
+  [axisSel, smin, smax].forEach(e => e.oninput = draw);
+  async function refresh() {
+    try {
+      try { cfg = await (await fetch('visconfig.json', {cache: 'no-store'})).json(); } catch (e) {}
+      const manifest = await (await fetch('manifest.json', {cache: 'no-store'})).json();
+      const ls = [];
+      for (const name of manifest.maps) {
+        const l = await (await fetch(name + '.cubes.json', {cache: 'no-store'})).json();
+        l.name = name; ls.push(l);
+      }
+      layers = ls;
+      const md = document.getElementById('maps'); md.innerHTML = '';
+      layers.forEach(l => {
+        const lab = document.createElement('label');
+        const cb = document.createElement('input'); cb.type = 'checkbox';
+        cb.checked = mapVisible[l.name] !== false;
+        cb.onchange = () => { mapVisible[l.name] = cb.checked; draw(); };
+        lab.appendChild(cb); lab.appendChild(document.createTextNode(l.name));
+        md.appendChild(lab);
+      });
+      draw();
+    } catch (e) { document.getElementById('status').textContent = 'waiting for data'; }
+  }
+  setInterval(refresh, 1000); refresh();
+};
+setTimeout(() => { if (!window.__three_ok) window.startFallback(); }, 2500);
+</script>
 <script type="module">
 import * as THREE from 'https://unpkg.com/three@0.160.0/build/three.module.js';
 import {OrbitControls} from 'https://unpkg.com/three@0.160.0/examples/jsm/controls/OrbitControls.js';
+window.__three_ok = true;  // imports resolved: stand the offline fallback down NOW
 const renderer = new THREE.WebGLRenderer({canvas: document.getElementById('c')});
 renderer.setSize(window.innerWidth, window.innerHeight);
 const scene = new THREE.Scene();

@@ -182,6 +182,10 @@ def test_live_viewer_publish_and_serve(tmp_path):
         assert _json.loads(body)["side"] == 1.0
         page = urllib.request.urlopen(f"http://127.0.0.1:{port}/index.html").read()
         assert b"InstancedMesh" in page
+        # the offline fallback renderer ships in the page (air-gapped hosts
+        # can't reach the three.js CDN) and precedes the module script
+        assert b"startFallback" in page
+        assert page.index(b"window.startFallback") < page.index(b"unpkg.com")
     finally:
         srv.shutdown()
 
