@@ -157,13 +157,21 @@ def main(dims=(256, 256, 256), side=0.015, steps=100, window=2, verbose=True):
     for fname, content in (("ur_a.traj", TRAJ_A), ("ur_b.traj", TRAJ_B)):
         with open(os.path.join(d, "trajectories", fname), "w") as f:
             f.write(content)
+    # point the loader at the temp trajectories, restoring the caller's
+    # model path afterwards (it may be needed for later model loads)
+    prev_path = os.environ.get("GPU_VOXELS_MODEL_PATH")
     os.environ["GPU_VOXELS_MODEL_PATH"] = d
-
-    robots = []
-    for name, traj_file in (("UR10_A", "ur_a.traj"), ("UR10_B", "ur_b.traj")):
-        r = PlacedUR(name, BASES[name])
-        trajs = load_trajectories(traj_file)
-        robots.append((name, render_swept_volumes(r, trajs, dims, side, steps)))
+    try:
+        robots = []
+        for name, traj_file in (("UR10_A", "ur_a.traj"), ("UR10_B", "ur_b.traj")):
+            r = PlacedUR(name, BASES[name])
+            trajs = load_trajectories(traj_file)
+            robots.append((name, render_swept_volumes(r, trajs, dims, side, steps)))
+    finally:
+        if prev_path is None:
+            os.environ.pop("GPU_VOXELS_MODEL_PATH", None)
+        else:
+            os.environ["GPU_VOXELS_MODEL_PATH"] = prev_path
 
     solutions = fit(robots, all_solutions=True, verbose=verbose)
 

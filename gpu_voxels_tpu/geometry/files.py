@@ -136,7 +136,12 @@ def read_binvox(path) -> np.ndarray:
     scale = scale / width  # BinvoxFileReader.cpp:67
     size = width * height * depth
     if _native is not None and _native.available():
-        voxels = _native.binvox_rle_decode(blob[pos:], size)
+        # direct RLE -> occupied coords: skips materializing the dense
+        # width*height*depth grid and the host nonzero pass entirely, in
+        # the same (x, z, y) lexicographic order that pass produces
+        pts = _native.binvox_rle_points(blob[pos:], size, height, width)
+        pts = pts.astype(np.float32)
+        return pts * np.float32(scale) + np.array([tx, ty, tz], dtype=np.float32)
     else:
         rle = np.frombuffer(blob[pos:], dtype=np.uint8)
         values = rle[0::2].astype(np.int64)
@@ -181,6 +186,44 @@ def load_point_cloud(
     if shift_to_zero and len(pts):
         pts = pts - pts.min(axis=0)
     return (np.float32(scaling) * pts + np.asarray(offset_xyz, dtype=np.float32)).astype(np.float32)
+
+
+def load_point_clouds(
+    paths,
+    use_model_path: bool = False,
+    shift_to_zero: bool = False,
+    offset_xyz=(0.0, 0.0, 0.0),
+    scaling: float = 1.0,
+    max_workers: int | None = None,
+):
+    """Threaded batch loader: load_point_cloud over many files in parallel.
+
+    The reference loads robot meshes one .binvox per link serially
+    (robot_link.cpp:226); here the batch decodes concurrently — the native
+    RLE decoder runs outside the GIL (utils/native.binvox_rle_points), so
+    multi-mesh robots load near-linearly with core count. Order of the
+    returned list matches `paths`."""
+    paths = list(paths)
+    if not paths:
+        return []
+    from concurrent.futures import ThreadPoolExecutor
+
+    if max_workers is None:
+        max_workers = min(len(paths), os.cpu_count() or 4)
+    if max_workers <= 1 or len(paths) == 1:
+        return [
+            load_point_cloud(p, use_model_path, shift_to_zero, offset_xyz, scaling)
+            for p in paths
+        ]
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(
+            ex.map(
+                lambda p: load_point_cloud(
+                    p, use_model_path, shift_to_zero, offset_xyz, scaling
+                ),
+                paths,
+            )
+        )
 
 
 def center_point_cloud(points: np.ndarray) -> np.ndarray:

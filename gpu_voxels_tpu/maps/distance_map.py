@@ -49,15 +49,9 @@ class DistanceVoxelMap(_DenseMap):
         Returns (new_map, ok)."""
         clash = jnp.zeros((), bool)
         if with_self_collision_test:
-            n = self.voxelmap_size
-            union = jnp.zeros((n,), jnp.int8)
-            for i in range(robot_links.num_clouds):
-                idx, _ = insert_ops.voxelize(
-                    robot_links.get_cloud(i), self.side_length, self.dims
-                )
-                hits = insert_ops.occupancy_mask(idx, n)
-                clash = clash | jnp.any((hits > 0) & (union > 0))
-                union = jnp.maximum(union, hits)
+            clash = insert_ops.self_collision_clash(
+                robot_links, self.side_length, self.dims
+            )
         return self.insert_point_cloud(robot_links.points), ~clash
 
     def clear_voxel_meaning(self, meaning) -> "DistanceVoxelMap":

@@ -270,16 +270,9 @@ class _PyramidQueries(DiskIO):
         octree adapter does not support it). Returns (new_map, ok)."""
         clash = jnp.zeros((), bool)
         if with_self_collision_test:
-            pd = self.padded_dims
-            n = pd[0] * pd[1] * pd[2]
-            union = jnp.zeros((n,), jnp.int8)
-            for i in range(robot_links.num_clouds):
-                idx, _ = insert_ops.voxelize(
-                    robot_links.get_cloud(i), self.side_length, pd
-                )
-                hits = insert_ops.occupancy_mask(idx, n)
-                clash = clash | jnp.any((hits > 0) & (union > 0))
-                union = jnp.maximum(union, hits)
+            clash = insert_ops.self_collision_clash(
+                robot_links, self.side_length, self.padded_dims
+            )
         return self.insert_meta_point_cloud(robot_links), ~clash
 
     def clear_voxel_meaning(self, meaning):

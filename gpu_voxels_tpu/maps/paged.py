@@ -814,8 +814,10 @@ class PagedHierarchicalMap(DiskIO):
         before inserting — here as explicit free points over the box
         (tractable for the sensor-scale boxes the reference builds from;
         the virtual remainder of a 32768^3 world stays implicit UNKNOWN)."""
-        self.clear_map()
+        free = None
         if free_bounding_box:
+            # validate BEFORE clear_map: this class mutates in place, so a
+            # rejected box must not destroy the caller's existing contents
             pts = np.asarray(points, np.float32)
             lo = np.floor(pts.min(axis=0) / self.side_length).astype(np.int64)
             hi = np.floor(pts.max(axis=0) / self.side_length).astype(np.int64)
@@ -828,6 +830,8 @@ class PagedHierarchicalMap(DiskIO):
             xs, ys, zs = (np.arange(lo[i], hi[i] + 1) for i in range(3))
             gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
             free = (np.stack([gx, gy, gz], axis=-1).reshape(-1, 3) + 0.5) * self.side_length
+        self.clear_map()
+        if free is not None:
             self.insert_point_cloud(free.astype(np.float32), BitVoxelMeaning.eBVM_FREE)
         return self.insert_point_cloud(points, BitVoxelMeaning.eBVM_OCCUPIED)
 

@@ -661,9 +661,11 @@ class VoxelList(DiskIO):
         if with_self_collision_test:
             seen = None
             for i in range(robot_links.num_clouds):
-                cur = bit_vector_voxel_list(self.dims, self.side_length).insert_point_cloud(
-                    robot_links.get_cloud(i)
-                )
+                # scratch list in self's own id mode: a LINEAR scratch would
+                # raise at morton-scale dims (> 2^32 voxels)
+                cur = VoxelList.create(
+                    self.dims, self.side_length, kind=KIND_BIT, id_mode=self.id_mode
+                ).insert_point_cloud(robot_links.get_cloud(i))
                 if seen is not None:
                     clash = clash | (seen.collide_with(cur) > 0)
                     seen = seen.merge(cur)

@@ -122,8 +122,17 @@ class _DenseMap(DiskIO):
         """initSensorSettings (TemplateVoxelMap.hpp:836-856): store the
         Sensor whose pose transforms subsequent insert_sensor_data batches.
         Host-side convenience state like the reference's m_sensor member —
-        NOT part of the pytree (it does not survive jit or replace())."""
+        NOT part of the pytree (it does not survive jit); the sensor-flow
+        methods re-attach it to the maps they return so the reference's
+        init-once / insert-repeatedly loop works across the immutable API."""
         object.__setattr__(self, "_sensor", sensor)
+
+    def _carry_sensor(self, new):
+        """Propagate the non-pytree stored Sensor onto a derived instance."""
+        s = getattr(self, "_sensor", None)
+        if s is not None:
+            object.__setattr__(new, "_sensor", s)
+        return new
 
     def update_sensor_pose(self, sensor) -> None:
         """updateSensorPose (TemplateVoxelMap.hpp:858-876): refresh the
@@ -156,7 +165,8 @@ class ProbVoxelMap(_DenseMap):
 
     def clear_map(self) -> "ProbVoxelMap":
         """kernelClearVoxelMap: reset to UNKNOWN (TemplateVoxelMap.hpp:205)."""
-        return replace(self, data=jnp.full_like(self.data, jnp.int8(UNKNOWN_PROBABILITY)))
+        new = replace(self, data=jnp.full_like(self.data, jnp.int8(UNKNOWN_PROBABILITY)))
+        return self._carry_sensor(new)
 
     # -- insertion ----------------------------------------------------------
     @compiled("meaning", arrays=("points",))
@@ -210,14 +220,7 @@ class ProbVoxelMap(_DenseMap):
         """insertMetaPointCloudWithSelfcollisionCheck (ProbVoxelMap.h):
         insert all sub-clouds; report whether two different sub-clouds hit
         the same voxel. Returns (map, self_collision: bool array)."""
-        n = self.voxelmap_size
-        union = jnp.zeros((n,), jnp.int8)
-        clash = jnp.zeros((), bool)
-        for i in range(meta.num_clouds):
-            idx, _ = insert_ops.voxelize(meta.get_cloud(i), self.side_length, self.dims)
-            hits = insert_ops.occupancy_mask(idx, n)
-            clash = clash | jnp.any((hits > 0) & (union > 0))
-            union = jnp.maximum(union, hits)
+        clash = insert_ops.self_collision_clash(meta, self.side_length, self.dims)
         new = self.insert_point_cloud(meta.points, meaning)
         return new, clash
 
@@ -250,7 +253,7 @@ class ProbVoxelMap(_DenseMap):
         idx, _ = insert_ops.voxelize(jnp.asarray(points, jnp.float32), self.side_length, self.dims)
         hits = insert_ops.occupancy_mask(idx, self.voxelmap_size)
         upd = probability.update_occupancy(self.data, hits.astype(jnp.int32) * int(delta))
-        return replace(self, data=upd)
+        return self._carry_sensor(replace(self, data=upd))
 
     def insert_sensor_data(
         self,
@@ -301,7 +304,7 @@ class ProbVoxelMap(_DenseMap):
             robot_occupied_mask=robot_mask,
             max_steps=max_steps,
         )
-        return replace(self, data=new)
+        return self._carry_sensor(replace(self, data=new))
 
     def insert_depth_image(self, depth, sensor, carve_pool: int = 1) -> "ProbVoxelMap":
         """Projective sensor update from a depth image + Sensor model: hits
@@ -324,7 +327,7 @@ class ProbVoxelMap(_DenseMap):
             invalid_value=sensor.invalid_value,
             carve_pool=carve_pool,
         )
-        return replace(self, data=new)
+        return self._carry_sensor(replace(self, data=new))
 
     # -- collision ----------------------------------------------------------
     @compiled("coll_threshold", "offset")
@@ -486,15 +489,9 @@ class BitVectorVoxelMap(_DenseMap):
         sub-cloud self-collision check. Returns (new_map, ok)."""
         clash = jnp.zeros((), bool)
         if with_self_collision_test:
-            n = self.voxelmap_size
-            union = jnp.zeros((n,), jnp.int8)
-            for i in range(robot_links.num_clouds):
-                idx, _ = insert_ops.voxelize(
-                    robot_links.get_cloud(i), self.side_length, self.dims
-                )
-                hits = insert_ops.occupancy_mask(idx, n)
-                clash = clash | jnp.any((hits > 0) & (union > 0))
-                union = jnp.maximum(union, hits)
+            clash = insert_ops.self_collision_clash(
+                robot_links, self.side_length, self.dims
+            )
         return self.insert_meta_point_cloud(robot_links), ~clash
 
     @compiled("shift_size")

@@ -181,6 +181,23 @@ def scatter_bits_multi(planes, occ, idx, meanings_np):
     return jnp.stack(out_planes, axis=0), new_occ
 
 
+def self_collision_clash(robot_links, side_length, dims):
+    """Pairwise sub-cloud self-collision predicate shared by every map's
+    insert_robot_configuration: True iff two DIFFERENT sub-clouds of the
+    MetaPointCloud voxelize into the same cell (the clash test of
+    insertMetaPointCloudWithSelfcollisionCheck, ProbVoxelMap.h:61-77).
+    Duplicate points within one sub-cloud do not clash."""
+    n = dims[0] * dims[1] * dims[2]
+    union = jnp.zeros((n,), dtype=jnp.int8)
+    clash = jnp.zeros((), bool)
+    for i in range(robot_links.num_clouds):
+        idx, _ = voxelize(robot_links.get_cloud(i), side_length, dims)
+        hits = occupancy_mask(idx, n)
+        clash = clash | jnp.any((hits > 0) & (union > 0))
+        union = jnp.maximum(union, hits)
+    return clash
+
+
 def insert_count(data, points, side_length, dims, saturate_int8=True):
     """CountingVoxel insert: +1 per inserted point (CountingVoxel.h:98)."""
     idx, outside = voxelize(points, side_length, dims)

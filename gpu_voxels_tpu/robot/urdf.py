@@ -117,14 +117,24 @@ class UrdfRobot(RobotInterface):
         clouds, names = [], []
         if load_clouds:
             root_dir = model_root or os.path.dirname(str(urdf_path))
+            entries = []  # (link name, binvox path, scale)
             for name, link in self.links.items():
                 if link.mesh_file is None:
                     continue
                 bv = os.path.join(root_dir, _mesh_to_binvox(link.mesh_file))
                 if os.path.exists(bv):
-                    pts = files.read_binvox(bv) * link.scale
-                    clouds.append(pts)
-                    names.append(name)
+                    entries.append((name, bv, link.scale))
+            if entries:
+                # threaded batch decode (native RLE path releases the GIL)
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(len(entries), os.cpu_count() or 4)
+                ) as ex:
+                    clouds = list(
+                        ex.map(lambda e: files.read_binvox(e[1]) * e[2], entries)
+                    )
+                names = [e[0] for e in entries]
         if not clouds:  # geometry-less robot still has valid FK
             clouds, names = [np.zeros((0, 3), np.float32)], [self.root]
         self.clouds = MetaPointCloud.from_clouds(clouds, names)

@@ -45,8 +45,18 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
     ]
+    lib.gv_binvox_rle_count.restype = ctypes.c_int64
+    lib.gv_binvox_rle_count.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.gv_binvox_rle_to_points.restype = ctypes.c_int64
+    lib.gv_binvox_rle_to_points.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
     lib.gv_abi_version.restype = ctypes.c_int
-    if lib.gv_abi_version() != 1:
+    if lib.gv_abi_version() != 2:
         return None
     _lib = lib
     return _lib
@@ -68,6 +78,25 @@ def parse_xyz(data: bytes) -> Optional[np.ndarray]:
     )
     n = (n // 3) * 3
     return out[:n].reshape(-1, 3).copy()
+
+
+def binvox_rle_points(rle: bytes, size: int, height: int, width: int) -> np.ndarray:
+    """Direct RLE -> [N,3] int32 occupied (x,y,z) coords (no dense grid).
+
+    ctypes releases the GIL for the duration of the C call, so batch loads
+    (files.load_point_clouds) decode truly in parallel across threads."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not loaded")
+    rle_arr = np.frombuffer(rle, np.uint8)
+    rle_ptr = rle_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n_occ = lib.gv_binvox_rle_count(rle_ptr, len(rle_arr), size)
+    out = np.empty((max(int(n_occ), 1), 3), np.int32)
+    n = lib.gv_binvox_rle_to_points(
+        rle_ptr, len(rle_arr), size, height, width,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_occ,
+    )
+    return out[: int(n)]
 
 
 def binvox_rle_decode(rle: bytes, size: int) -> np.ndarray:

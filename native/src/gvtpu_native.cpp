@@ -51,6 +51,54 @@ int64_t gv_binvox_rle_decode(const uint8_t* rle, int64_t rle_len, uint8_t* out,
     return idx;
 }
 
+// Count the occupied (value == 1) voxels covered by the first `size` cells
+// of a binvox RLE stream — sizes the output of gv_binvox_rle_to_points.
+int64_t gv_binvox_rle_count(const uint8_t* rle, int64_t rle_len, int64_t size) {
+    int64_t idx = 0, occ = 0;
+    for (int64_t i = 0; i + 1 < rle_len && idx < size; i += 2) {
+        int64_t count = rle[i + 1];
+        if (idx + count > size) count = size - idx;
+        if (rle[i] == 1) occ += count;
+        idx += count;
+    }
+    return occ;
+}
+
+// Direct binvox RLE -> occupied voxel coordinates, skipping the dense grid
+// entirely (no width*height*depth buffer, no host-side nonzero pass). The
+// linear cell order is the reference's [x][z][y] convention
+// (BinvoxFileReader.cpp:70-140): i = x*(height*width) + z*width + y; each
+// occupied cell emits an (x, y, z) int32 triple, in the same lexicographic
+// (x, z, y) order the dense nonzero pass produces. Returns triples written.
+int64_t gv_binvox_rle_to_points(const uint8_t* rle, int64_t rle_len,
+                                int64_t size, int64_t height, int64_t width,
+                                int32_t* out_xyz, int64_t max_pts) {
+    const int64_t plane = height * width;
+    int64_t idx = 0, n = 0;
+    for (int64_t i = 0; i + 1 < rle_len && idx < size; i += 2) {
+        int64_t count = rle[i + 1];
+        if (idx + count > size) count = size - idx;
+        if (rle[i] == 1) {
+            // advance (x, z, y) incrementally across the run
+            int64_t x = idx / plane;
+            int64_t rem = idx % plane;
+            int64_t z = rem / width;
+            int64_t y = rem % width;
+            for (int64_t c = 0; c < count && n < max_pts; ++c, ++n) {
+                out_xyz[n * 3 + 0] = (int32_t)x;
+                out_xyz[n * 3 + 1] = (int32_t)y;
+                out_xyz[n * 3 + 2] = (int32_t)z;
+                if (++y == width) {
+                    y = 0;
+                    if (++z == height) { z = 0; ++x; }
+                }
+            }
+        }
+        idx += count;
+    }
+    return n;
+}
+
 static inline uint32_t part1by2(uint32_t x) {
     x &= 0x3FF;
     x = (x | (x << 16)) & 0x030000FF;
@@ -85,6 +133,6 @@ void gv_morton_decode30(const uint32_t* code, uint32_t* x, uint32_t* y,
     }
 }
 
-int gv_abi_version() { return 1; }
+int gv_abi_version() { return 2; }
 
 }  // extern "C"

@@ -496,6 +496,9 @@ def test_paged_build_free_bounding_box_and_check_tree():
     assert m.check_tree() and not m.needs_rebuild()
     with pytest.raises(ValueError):
         m.build(np.array([[0.5] * 3, [4000.5] * 3], np.float32), free_bounding_box=True)
+    # the rejected oversized box must NOT have wiped the existing contents
+    occ3, _, _ = m.probe(jnp.array([[100, 100, 100]]))
+    assert bool(occ3[0])
 
 
 def test_paged_adapter_contract_methods():

@@ -314,3 +314,17 @@ def test_list_robot_configuration_and_rebuild_contract():
     )
     assert not bool(bad)
     assert not lst.needs_rebuild() and lst.rebuild() is lst
+
+    # morton lists at octree-scale dims (> 2^32 voxels, where LINEAR lists
+    # raise) must run the self-collision scratch in their own id mode
+    big_link = np.array([[3000.5, 3000.5, 3000.5]], np.float32)
+    mlst = bit_vector_morton_voxel_list((4096, 4096, 4096))
+    mnew, mok = mlst.insert_robot_configuration(
+        MetaPointCloud.from_clouds([big_link, big_link + 2.0]),
+        with_self_collision_test=True,
+    )
+    assert bool(mok) and int(mnew.count) == 2
+    _, mbad = mlst.insert_robot_configuration(
+        MetaPointCloud.from_clouds([big_link, big_link]), with_self_collision_test=True
+    )
+    assert not bool(mbad)

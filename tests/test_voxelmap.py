@@ -372,6 +372,15 @@ def test_sensor_settings_flow_and_robot_configuration():
     assert occ[4, 4, 6] == -128 + 72  # hit: one +72 observation from UNKNOWN
     assert occ[4, 4, 5] == -127  # carved free (clamped)
     assert occ[4, 4, 10] == -128  # behind the hit: untouched UNKNOWN
+    # the stored sensor survives the immutable flow: a second SENSOR-frame
+    # insert on the RETURNED map must still transform by the stored pose
+    # (init-once / insert-repeatedly, TemplateVoxelMap.hpp:836-905)
+    out2 = out.insert_sensor_data(np.array([[2.2, 0.0, 0.0]], np.float32))
+    occ2 = np.asarray(out2.data).reshape(16, 16, 16)
+    assert occ2[4, 4, 6] == -128 + 72 + 72  # same world voxel, second +72
+    assert occ2[0, 0, 2] == -128  # NOT misread as world-frame from origin
+    assert getattr(out.clear_map(), "_sensor", None) is s
+    assert getattr(out.update_occupancy(np.zeros((1, 3), np.float32), 5), "_sensor", None) is s
     s2 = Sensor(position=np.array([1.0, 4.0, 4.0], np.float32))
     m.update_sensor_pose(s2)
     assert np.allclose(getattr(m, "_sensor").position, [1, 4, 4])
