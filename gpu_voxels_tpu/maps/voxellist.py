@@ -15,15 +15,16 @@ Steady-state jit loops should pass ``grow=False`` to insert at constant
 capacity (one compilation per (C, M) shape; overflow saturates sorted-first).
 Coordinates are derived from ids on demand instead of being stored.
 
-The make_unique step (sort_by_key + unique_by_key with Voxel::reduce_op)
-becomes argsort + a segmented associative scan that merges duplicate-id
-payloads (bitwise OR / saturating add), then a prefix-sum compaction —
-all fixed-shape, all on device. Saturation note: ProbabilisticVoxel's
-reduce_op is a clamped add (ProbabilisticVoxel.hpp:52-57), which is NOT
-associative, yet thrust::unique_by_key requires associativity — the
-reference's result is combination-order-dependent (hence unspecified)
-whenever an intermediate sum clamps. This port computes the int32 sum and
-clamps once, a valid linearization that is additionally deterministic.
+The make_unique step (sort_by_key + reversed inclusive_scan(Merge) +
+unique_by_key, TemplateVoxelList.hpp:142-209) becomes argsort + a segmented
+associative scan that merges duplicate-id payloads, then a prefix-sum
+compaction — all fixed-shape, all on device. Payload merge semantics are
+reference-exact per voxel kind: bit = OR; counting = wrapping int8 add
+(CountingVoxel.hpp:75-80); probabilistic = the SEQUENTIAL saturating add of
+the reference's reversed scan (each step clamps to [-127,127],
+ProbabilisticVoxel.hpp:51-57), reproduced exactly via an associative scan
+over composed clamp maps g(x)=clamp(x+a, lo, hi) — saturating adds are not
+associative, but their function compositions are.
 
 IDs: "linear" mode uses the dense map linear index (MapVoxelID, uint32);
 "morton" mode uses the reference's 60-bit Morton codes — the reference's
@@ -47,7 +48,14 @@ import numpy as np
 
 from ..utils.io import DiskIO
 from .. import bitops, morton, probability
-from ..constants import NUM_BIT_PLANES, UNKNOWN_PROBABILITY, BitVoxelMeaning, MapType
+from ..constants import (
+    MAX_PROBABILITY,
+    MIN_PROBABILITY,
+    NUM_BIT_PLANES,
+    UNKNOWN_PROBABILITY,
+    BitVoxelMeaning,
+    MapType,
+)
 from ..ops.insert import linear_offset, map_to_voxels
 from ..utils.compiled import compiled
 
@@ -212,6 +220,7 @@ class VoxelList(DiskIO):
 
         diff = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
         starts = jnp.concatenate([jnp.ones((1,), bool), diff])
+        is_last = jnp.concatenate([diff, jnp.ones((1,), bool)])
 
         if self.kind == KIND_BIT:
             # segmented inclusive OR-scan: a run-start flag resets the merge
@@ -224,7 +233,54 @@ class VoxelList(DiskIO):
             # is axis 0 of flags but axis 1 of vals, so transpose vals
             _, vals_s = jax.lax.associative_scan(scan_op, (starts, payload.T), axis=0)
             merged = vals_s.T
-        elif self.kind in (KIND_PROB, KIND_COUNT):
+        elif self.kind == KIND_PROB:
+            # ProbabilisticVoxel::reduce is a SEQUENTIAL saturating add: the
+            # reference's reversed inclusive_scan (TemplateVoxelList.hpp:178-186)
+            # seeds each run at its LAST entry and updateOccupancy()s backward,
+            # clamping to [-127,127] at every step (ProbabilisticVoxel.hpp:51-57)
+            # — intermediate clamps are observable, so sum-then-clamp is wrong
+            # whenever a run's partial sums cross the clamp (and it corrupts a
+            # lone UNKNOWN=-128 entry, which reduce never touches). Saturating
+            # adds compose associatively as clamp maps g(x)=clamp(x+a, lo, hi):
+            #   (g2∘g1)(x) = clamp(x + a1+a2, clamp(lo1+a2, lo2, hi2),
+            #                                 clamp(hi1+a2, lo2, hi2))
+            # so the exact sequential fold is an associative_scan over
+            # (a, lo, hi) triples. Run-last entries enter as constant maps
+            # (lo = hi = v), which both seeds the fold and segments the scan
+            # (a constant annihilates everything composed before it).
+            v32 = payload.astype(jnp.int32)
+            a0 = jnp.where(is_last, 0, v32)
+            l0 = jnp.where(is_last, v32, jnp.int32(MIN_PROBABILITY))
+            h0 = jnp.where(is_last, v32, jnp.int32(MAX_PROBABILITY))
+
+            def compose(f, g):  # g∘f, f applied first
+                fa, fl, fh = f
+                ga, gl, gh = g
+                # |a|>255 already saturates every x in [-128,127]; the clip
+                # only guards int32 overflow on very long runs
+                return (
+                    jnp.clip(fa + ga, -512, 512),
+                    jnp.clip(fl + ga, gl, gh),
+                    jnp.clip(fh + ga, gl, gh),
+                )
+
+            # reverse scan: at index i the composition covers i..end with
+            # element i applied LAST; at a run start that is exactly the
+            # newest-to-oldest saturated fold of the whole run (lo == hi)
+            _, fold_at_start, _ = jax.lax.associative_scan(
+                compose, (a0, l0, h0), axis=0, reverse=True
+            )
+            # route each run's fold (sitting at its start) to its last entry,
+            # where the shared compaction below reads it
+            idx = jnp.arange(c, dtype=jnp.int32)
+            start_idx = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(starts, idx, -1), axis=0
+            )
+            merged = fold_at_start[start_idx].astype(jnp.int8)
+        elif self.kind == KIND_COUNT:
+            # CountingVoxel::reduce is a raw int8 wrapping add
+            # (CountingVoxel.hpp:75-80) — associative and order-free: sum in
+            # int32 and truncate once (two's-complement mod-256 wrap)
             v32 = payload.astype(jnp.int32)
 
             def scan_op(a, b):
@@ -233,12 +289,11 @@ class VoxelList(DiskIO):
                 return fb | fa, jnp.where(fb, vb, va + vb)
 
             _, merged32 = jax.lax.associative_scan(scan_op, (starts, v32), axis=0)
-            merged = jnp.clip(merged32, -127, 127).astype(jnp.int8)
+            merged = merged32.astype(jnp.int8)
         else:
             raise ValueError(self.kind)
 
         # last element of each run = fully merged payload
-        is_last = jnp.concatenate([diff, jnp.ones((1,), bool)])
         valid = is_last & (lo != EMPTY_ID)
         # compaction: position = exclusive prefix sum of valid
         pos = jnp.cumsum(valid) - 1

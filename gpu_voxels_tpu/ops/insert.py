@@ -198,11 +198,14 @@ def self_collision_clash(robot_links, side_length, dims):
     return clash
 
 
-def insert_count(data, points, side_length, dims, saturate_int8=True):
-    """CountingVoxel insert: +1 per inserted point (CountingVoxel.h:98)."""
+def insert_count(data, points, side_length, dims):
+    """CountingVoxel insert: +1 per inserted point (CountingVoxel.hpp:69-72).
+
+    The reference counter is a raw int8 ``m_count++`` — it wraps past 127
+    rather than saturating, and the final astype reproduces exactly that
+    (two's-complement mod-256 truncation), matching the list tier's
+    wrap-add reduce (CountingVoxel.hpp:75-80)."""
     idx, outside = voxelize(points, side_length, dims)
     ones = jnp.ones(idx.shape, dtype=jnp.int32)
     counts = data.astype(jnp.int32).at[idx].add(ones, mode="drop")
-    if saturate_int8:
-        counts = jnp.clip(counts, -128, 127)
     return counts.astype(data.dtype), outside

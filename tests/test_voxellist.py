@@ -122,6 +122,66 @@ def test_prob_list_updates():
     assert int(np.asarray(lst.payload[0])) == 127
 
 
+def _seq_saturating_fold(values):
+    """The reference's reversed inclusive_scan Merge: seed at the run's last
+    entry, updateOccupancy() backward with a [-127,127] clamp at every step
+    (TemplateVoxelList.hpp:178-186, ProbabilisticVoxel.hpp:51-57)."""
+    acc = int(values[-1])
+    for v in values[-2::-1]:
+        acc = max(min(acc + int(v), 127), -127)
+    return acc
+
+
+def test_prob_dedup_sequential_saturation_exact():
+    # occupied voxel, then two FREE points on it in one insert: the run is
+    # [127, -127, -127]; the sequential fold clamps mid-run and lands on 0 —
+    # a sum-then-clamp linearization would report -127
+    pt = np.array([[2.5, 2.5, 2.5]], np.float32)
+    lst = prob_voxel_list(DIMS).insert_point_cloud(pt, BitVoxelMeaning.eBVM_OCCUPIED)
+    lst = lst.insert_point_cloud(np.repeat(pt, 2, axis=0), BitVoxelMeaning.eBVM_FREE)
+    assert int(lst.count) == 1
+    assert int(np.asarray(lst.payload[0])) == _seq_saturating_fold([127, -127, -127]) == 0
+
+
+def test_prob_lone_unknown_survives_dedup():
+    # a single-entry run is never reduced: UNKNOWN (-128) must come out intact
+    # (ProbabilisticVoxel::insert for non-free/occupied meanings,
+    # ProbabilisticVoxel.hpp:77-92)
+    pt = np.array([[2.5, 2.5, 2.5]], np.float32)
+    lst = prob_voxel_list(DIMS).insert_point_cloud(
+        pt, BitVoxelMeaning.eBVM_SWEPT_VOLUME_START
+    )
+    assert int(lst.count) == 1
+    assert int(np.asarray(lst.payload[0])) == -128
+
+
+def test_prob_dedup_random_vs_sequential_oracle():
+    rng = np.random.default_rng(7)
+    lst = prob_voxel_list(DIMS)
+    n, n_ids = 257, 23  # odd length exercises the pow2-independent scan
+    ids = rng.integers(0, n_ids, size=n).astype(np.uint32)
+    vals = rng.integers(-128, 128, size=n).astype(np.int8)
+    hi = jnp.zeros((n,), jnp.uint32)
+    u_hi, u_lo, u_payload, count = lst._make_unique(
+        jnp.asarray(hi), jnp.asarray(ids), jnp.asarray(vals)
+    )
+    got = {int(i): int(v) for i, v in zip(np.asarray(u_lo)[: int(count)],
+                                          np.asarray(u_payload)[: int(count)])}
+    want = {}
+    for uid in np.unique(ids):
+        want[int(uid)] = _seq_saturating_fold(vals[ids == uid])
+    assert got == want
+
+
+def test_counting_dedup_wraps_like_int8():
+    # CountingVoxel::reduce is a raw int8 add (CountingVoxel.hpp:75-80):
+    # 200 points in one voxel wrap to -56, they do not clamp at 127
+    pts = np.repeat(np.array([[2.5, 2.5, 2.5]], np.float32), 200, axis=0)
+    c = counting_voxel_list(DIMS).insert_point_cloud(pts)
+    assert int(c.count) == 1
+    assert int(np.asarray(c.payload[0])) == -56  # 200 mod 2^8, two's complement
+
+
 def test_morton_list_roundtrip_and_collide():
     pts = generation.create_box_of_points((1.1,) * 3, (3.1,) * 3, 1.0)
     a = bit_vector_morton_voxel_list(DIMS).insert_point_cloud(pts, 50)

@@ -95,6 +95,32 @@ def test_edt_parallel_banding_exact_on_tpu():
     assert int(pba.differences(brute)) == 0
 
 
+def test_edt_512_sampled_brute_on_tpu():
+    """parallel_banding at the full 512^3 BASELINE scale, spot-verified
+    against a host brute-force nearest-obstacle oracle on a random voxel
+    sample (full differences3D at this size needs a second 536 MB grid; the
+    sampled oracle is exact on every sampled voxel — roadmap #10)."""
+    dims = (512, 512, 512)
+    rng = np.random.default_rng(17)
+    obs = rng.integers(0, 512, (20_000, 3)).astype(np.int64)
+    obs = np.unique(obs, axis=0)
+    m = DistanceVoxelMap.create(dims).insert_point_cloud(obs.astype(np.float32) + 0.5)
+    pba = m.parallel_banding()
+
+    q = rng.integers(0, 512, (2048, 3)).astype(np.int64)
+    dx, dy, _ = dims
+    lin = q[:, 2] * dx * dy + q[:, 1] * dx + q[:, 0]
+    got = np.asarray(
+        jnp.take(pba.squared_distances().reshape(-1), jnp.asarray(lin, jnp.int32))
+    )
+    # exact host oracle: min squared distance over all obstacles, chunked
+    want = np.empty(len(q), np.int64)
+    for i in range(0, len(q), 256):
+        d = obs[None, :, :] - q[i : i + 256, None, :]
+        want[i : i + 256] = (d * d).sum(-1).min(1)
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
 def test_voxellist_morton60_membership_on_tpu():
     """60-bit Morton ids: coords past 1024 must not alias (octree/Morton.h)."""
     dims = (4096, 4096, 4096)
