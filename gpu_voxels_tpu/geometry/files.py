@@ -185,7 +185,8 @@ def load_point_cloud(
         raise ValueError(f"{p} has no known file format.")
     if shift_to_zero and len(pts):
         pts = pts - pts.min(axis=0)
-    return (np.float32(scaling) * pts + np.asarray(offset_xyz, dtype=np.float32)).astype(np.float32)
+    # scaling may be a scalar or a per-axis 3-vector (URDF mesh scales)
+    return (np.asarray(scaling, dtype=np.float32) * pts + np.asarray(offset_xyz, dtype=np.float32)).astype(np.float32)
 
 
 def load_point_clouds(
@@ -193,8 +194,9 @@ def load_point_clouds(
     use_model_path: bool = False,
     shift_to_zero: bool = False,
     offset_xyz=(0.0, 0.0, 0.0),
-    scaling: float = 1.0,
+    scaling=1.0,
     max_workers: int | None = None,
+    scalings=None,
 ):
     """Threaded batch loader: load_point_cloud over many files in parallel.
 
@@ -202,26 +204,31 @@ def load_point_clouds(
     (robot_link.cpp:226); here the batch decodes concurrently — the native
     RLE decoder runs outside the GIL (utils/native.binvox_rle_points), so
     multi-mesh robots load near-linearly with core count. Order of the
-    returned list matches `paths`."""
+    returned list matches `paths`. `scaling` applies to every path (scalar or
+    per-axis 3-vector); `scalings` instead gives one scale per path (each a
+    scalar or 3-vector — URDF links carry individual mesh scales)."""
     paths = list(paths)
     if not paths:
         return []
+    scales = list(scalings) if scalings is not None else [scaling] * len(paths)
+    if len(scales) != len(paths):
+        raise ValueError(f"{len(scales)} scalings for {len(paths)} paths")
     from concurrent.futures import ThreadPoolExecutor
 
     if max_workers is None:
         max_workers = min(len(paths), os.cpu_count() or 4)
     if max_workers <= 1 or len(paths) == 1:
         return [
-            load_point_cloud(p, use_model_path, shift_to_zero, offset_xyz, scaling)
-            for p in paths
+            load_point_cloud(p, use_model_path, shift_to_zero, offset_xyz, s)
+            for p, s in zip(paths, scales)
         ]
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         return list(
             ex.map(
-                lambda p: load_point_cloud(
-                    p, use_model_path, shift_to_zero, offset_xyz, scaling
+                lambda ps: load_point_cloud(
+                    ps[0], use_model_path, shift_to_zero, offset_xyz, ps[1]
                 ),
-                paths,
+                zip(paths, scales),
             )
         )
 

@@ -15,7 +15,7 @@ single XLA program.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field, replace as _dc_replace
 from typing import Tuple
 
 import jax
@@ -36,6 +36,15 @@ from ..ops import insert as insert_ops
 from ..utils.compiled import compiled
 
 Dims = Tuple[int, int, int]
+
+
+def replace(obj, **changes):
+    """dataclasses.replace + host-state carry: the stored Sensor survives the
+    immutable method chain like the reference's m_sensor member
+    (TemplateVoxelMap.hpp:836-905), whatever operation derived the map."""
+    new = _dc_replace(obj, **changes)
+    carry = getattr(obj, "_carry_host_state", None)
+    return carry(new) if carry is not None else new
 
 
 def _n(dims: Dims) -> int:
@@ -127,12 +136,25 @@ class _DenseMap(DiskIO):
         init-once / insert-repeatedly loop works across the immutable API."""
         object.__setattr__(self, "_sensor", sensor)
 
+    def _carry_host_state(self, out):
+        """Re-attach non-pytree host state (the stored Sensor) to derived
+        maps. The reference's m_sensor member survives EVERY map operation
+        (it lives beside the device data, TemplateVoxelMap.h:236-246); here
+        jit unflattening and dataclasses.replace would silently drop it, so
+        this module's `replace` and the `compiled` wrapper route every
+        derived instance through this hook. Handles (map, flag) tuples."""
+        s = getattr(self, "_sensor", None)
+        if s is None:
+            return out
+        if isinstance(out, tuple):
+            return tuple(self._carry_host_state(o) for o in out)
+        if isinstance(out, _DenseMap):
+            object.__setattr__(out, "_sensor", s)
+        return out
+
     def _carry_sensor(self, new):
         """Propagate the non-pytree stored Sensor onto a derived instance."""
-        s = getattr(self, "_sensor", None)
-        if s is not None:
-            object.__setattr__(new, "_sensor", s)
-        return new
+        return self._carry_host_state(new)
 
     def update_sensor_pose(self, sensor) -> None:
         """updateSensorPose (TemplateVoxelMap.hpp:858-876): refresh the

@@ -125,15 +125,11 @@ class UrdfRobot(RobotInterface):
                 if os.path.exists(bv):
                     entries.append((name, bv, link.scale))
             if entries:
-                # threaded batch decode (native RLE path releases the GIL)
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(
-                    max_workers=min(len(entries), os.cpu_count() or 4)
-                ) as ex:
-                    clouds = list(
-                        ex.map(lambda e: files.read_binvox(e[1]) * e[2], entries)
-                    )
+                # threaded batch decode with per-link mesh scales (the native
+                # RLE path releases the GIL, so this scales with core count)
+                clouds = files.load_point_clouds(
+                    [e[1] for e in entries], scalings=[e[2] for e in entries]
+                )
                 names = [e[0] for e in entries]
         if not clouds:  # geometry-less robot still has valid FK
             clouds, names = [np.zeros((0, 3), np.float32)], [self.root]

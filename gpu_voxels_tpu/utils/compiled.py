@@ -67,7 +67,16 @@ def compiled(*static_argnames, arrays=()):
                 v = b.arguments.get(name)
                 if v is not None and not hasattr(v, "dtype"):
                     b.arguments[name] = jnp.asarray(v)
-            return jfn(*b.args, **b.kwargs)
+            out = jfn(*b.args, **b.kwargs)
+            # jit outputs are rebuilt by pytree unflattening, which drops
+            # non-pytree host state (e.g. the stored Sensor of the reference's
+            # init-once/insert-repeatedly flow, TemplateVoxelMap.hpp:836-905);
+            # let the receiver re-attach it to the maps it derives
+            if b.args:
+                carry = getattr(b.args[0], "_carry_host_state", None)
+                if carry is not None:
+                    out = carry(out)
+            return out
 
         wrapper.__wrapped__ = fn
         return wrapper

@@ -21,18 +21,25 @@ _load_attempted = False
 
 def build() -> bool:
     """Compile the native library (requires g++/make)."""
+    global _load_attempted
     try:
         subprocess.run(["make", "-C", str(_ROOT / "native")], check=True, capture_output=True)
+        _load_attempted = False  # retry: a fresh build supersedes a cached failure
         return _load() is not None
     except (subprocess.CalledProcessError, FileNotFoundError):
         return False
+
+
+_ABI_VERSION = 2
 
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _load_attempted
     if _lib is not None:
         return _lib
-    if _load_attempted and not _SO.exists():
+    if _load_attempted:
+        # covers both "no .so on disk" and "stale ABI": without this,
+        # every native call would re-dlopen and re-configure the CDLL
         return None
     _load_attempted = True
     if not _SO.exists():
@@ -56,7 +63,16 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
     ]
     lib.gv_abi_version.restype = ctypes.c_int
-    if lib.gv_abi_version() != 2:
+    got = lib.gv_abi_version()
+    if got != _ABI_VERSION:
+        import warnings
+
+        warnings.warn(
+            f"libgvtpu_native.so has ABI {got}, expected {_ABI_VERSION}; "
+            f"native fast paths disabled — rebuild with `make -C native`",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return None
     _lib = lib
     return _lib

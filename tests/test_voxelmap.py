@@ -381,6 +381,28 @@ def test_sensor_settings_flow_and_robot_configuration():
     assert occ2[0, 0, 2] == -128  # NOT misread as world-frame from origin
     assert getattr(out.clear_map(), "_sensor", None) is s
     assert getattr(out.update_occupancy(np.zeros((1, 3), np.float32), 5), "_sensor", None) is s
+
+    # the sensor survives EVERY derivation, not just the sensor-flow methods:
+    # the reference's m_sensor lives beside the device data through all ops
+    # (TemplateVoxelMap.h:236-246). Interleaving a plain insert between two
+    # sensor frames must not silently drop the pose transform.
+    mid = out.insert_point_cloud(np.array([[10.5, 10.5, 10.5]], np.float32))
+    assert getattr(mid, "_sensor", None) is s
+    out3 = mid.insert_sensor_data(np.array([[2.2, 0.0, 0.0]], np.float32))
+    occ3 = np.asarray(out3.data).reshape(16, 16, 16)
+    assert occ3[4, 4, 6] == -128 + 72 + 72  # still pose-transformed
+    one_link = MetaPointCloud.from_clouds([np.array([[1.5, 1.5, 1.5]], np.float32)])
+    carried = out.insert_meta_point_cloud(one_link)
+    assert getattr(carried, "_sensor", None) is s
+    new_rc, _ = out.insert_robot_configuration(one_link, with_self_collision_test=True)
+    assert getattr(new_rc, "_sensor", None) is s
+    # bit maps carry a stored sensor through their flows too
+    bm = BitVectorVoxelMap.create((8, 8, 8))
+    bm.init_sensor_settings(s)
+    bm2 = bm.insert_point_cloud(np.array([[1.5, 1.5, 1.5]], np.float32), 10)
+    assert getattr(bm2, "_sensor", None) is s
+    assert getattr(bm2.clear_map(), "_sensor", None) is s
+
     s2 = Sensor(position=np.array([1.0, 4.0, 4.0], np.float32))
     m.update_sensor_pose(s2)
     assert np.allclose(getattr(m, "_sensor").position, [1, 4, 4])
