@@ -409,18 +409,45 @@ class VoxelList(DiskIO):
     def _collide_voxellist(self, other: "VoxelList", offset=(0, 0, 0)) -> jnp.ndarray:
         return jnp.sum(self._membership(other, offset), dtype=jnp.uint32)
 
+    @compiled("offset")
+    def _collide_voxellist_cross_mode(
+        self, other: "VoxelList", offset=(0, 0, 0)
+    ) -> jnp.ndarray:
+        """Linear-id list x morton-id list (either direction): compare in the
+        OTHER list's key domain by re-encoding my entry coordinates. The
+        reference cannot express this pair at all — BitVectorVoxelList and
+        BitVectorMortonVoxelList are distinct template instantiations with no
+        cross overload (common_defines.h:175-182) — and comparing raw ids
+        across modes would silently report 0 collisions."""
+        coords = self.entry_coords()
+        if tuple(offset) != (0, 0, 0):
+            coords = coords + jnp.asarray(offset, jnp.int32)
+        hi_q, lo_q = other._ids_from_coords(coords)
+        live = self.ids != EMPTY_ID
+        hi_q = jnp.where(live, hi_q, EMPTY_ID)
+        lo_q = jnp.where(live, lo_q, EMPTY_ID)
+        _, found = self._find_positions(other, hi_q, lo_q)
+        return jnp.sum(found, dtype=jnp.uint32)
+
     def collide_with(self, other, offset=(0, 0, 0)) -> jnp.ndarray:
         """collideWith dispatch: list x list counts shared voxel ids
-        (collideVoxellists, TemplateVoxelList.hpp:228-275); list x octree
-        forwards to the octree probe at self's coords + offset
-        (CollidableWithBitVectorOctree, CollisionInterfaces.h:231-243 — the
-        reference implements the mixin only inside GvlNTree, so the list
-        side dispatches to it)."""
+        (collideVoxellists, TemplateVoxelList.hpp:228-275); list x dense map
+        is the per-entry lookup collide (CollidableWithBitVectorVoxelMap /
+        CollidableWithProbVoxelMap on BitVoxelList, BitVoxelList.h:110-114,
+        kernelCollideWithVoxelMap); list x octree forwards to the octree
+        probe at self's coords + offset (CollidableWithBitVectorOctree,
+        CollisionInterfaces.h:231-243 — the reference implements the mixin
+        only inside GvlNTree, so the list side dispatches to it)."""
         from .hierarchical import _PyramidQueries
         from .paged import PagedHierarchicalMap
+        from .voxelmap import BitVectorVoxelMap, ProbVoxelMap
 
         if isinstance(other, (_PyramidQueries, PagedHierarchicalMap)):
             return other.collide_with(self, offset=offset)
+        if isinstance(other, (BitVectorVoxelMap, ProbVoxelMap)):
+            return self.collide_with_dense(other, offset=offset)
+        if isinstance(other, VoxelList) and other.id_mode != self.id_mode:
+            return self._collide_voxellist_cross_mode(other, offset)
         return self._collide_voxellist(other, offset)
 
     def _coarse_pair_keys(self, coords: jnp.ndarray, level: int, valid: jnp.ndarray):
@@ -509,9 +536,22 @@ class VoxelList(DiskIO):
         hit = hit[order]
         return jnp.sum(first & hit, dtype=jnp.uint32)
 
+    def _require_same_id_mode(self, other, op: str) -> None:
+        """Raw-id comparisons across linear/morton modes would silently match
+        nothing; the reference's BitVectorVoxelList and BitVectorMortonVoxelList
+        are distinct template types with no cross overload
+        (common_defines.h:175-182), so refuse loudly. Plain collide_with DOES
+        support the cross-mode pair (by coordinate re-encoding)."""
+        if isinstance(other, VoxelList) and other.id_mode != self.id_mode:
+            raise TypeError(
+                f"{op}: id modes differ (self={self.id_mode!r}, "
+                f"other={other.id_mode!r}); convert one list first"
+            )
+
     def find_matching(self, other: "VoxelList"):
         """findMatchingVoxels (BitVoxelList.hpp:397-476): gather payload pairs
         at shared ids. Returns (mask[C], other_payload gathered to my frame)."""
+        self._require_same_id_mode(other, "find_matching")
         pos, mask = self._find_positions(other, self.ids_hi, self.ids)
         other_payload = _gather_payload(other.kind, other.payload, pos)
         return mask, other_payload
@@ -648,6 +688,7 @@ class VoxelList(DiskIO):
         axis via mapToVoxelsSigned (kernels/VoxelMapOperations.h:137-145).
         """
         assert self.kind == other.kind
+        self._require_same_id_mode(other, "merge")
         if metric_offset is not None:
             offset = tuple(
                 int(np.floor(float(m) / self.side_length)) for m in metric_offset
@@ -684,6 +725,7 @@ class VoxelList(DiskIO):
     def subtract(self, other: "VoxelList", offset=(0, 0, 0), metric_offset=None) -> "VoxelList":
         """Remove entries present in other (TemplateVoxelList.hpp:610-643).
         `metric_offset` is the Vector3f overload: floor(metric/side) voxels."""
+        self._require_same_id_mode(other, "subtract")
         if metric_offset is not None:
             offset = tuple(
                 int(np.floor(float(m) / self.side_length)) for m in metric_offset
@@ -762,6 +804,7 @@ class VoxelList(DiskIO):
         )
 
     def equals(self, other: "VoxelList") -> jnp.ndarray:
+        self._require_same_id_mode(other, "equals")
         if self.capacity != other.capacity:
             common = min(self.capacity, other.capacity)
             a, b = self.with_capacity(common), other.with_capacity(common)

@@ -173,6 +173,31 @@ def test_prob_dedup_random_vs_sequential_oracle():
     assert got == want
 
 
+def test_cross_id_mode_collide_and_guards():
+    """Linear x morton lists: plain collide_with re-encodes coordinates (the
+    reference's two list types have no cross overload, so a raw-id compare
+    would silently report 0); payload-pairing ops refuse loudly instead."""
+    pts = generation.create_box_of_points((1.1,) * 3, (5.1,) * 3, 1.0)
+    pts_b = generation.create_box_of_points((3.1,) * 3, (7.1,) * 3, 1.0)
+    lin = bit_vector_voxel_list(DIMS).insert_point_cloud(pts, 50)
+    mor = bit_vector_morton_voxel_list(DIMS).insert_point_cloud(pts_b, 50)
+    want = 3 * 3 * 3  # [3..5]^3 overlap
+    assert int(lin.collide_with(mor)) == want
+    assert int(mor.collide_with(lin)) == want
+    # offset translates self's set before the match: lin's x-range [1..5]
+    # shifts to [3..7], fully inside mor's [3..7] -> 5*3*3 coarse overlap
+    assert int(lin.collide_with(mor, offset=(2, 0, 0))) == 5 * 3 * 3
+    # list x dense dispatch through the generic collide_with
+    dense = BitVectorVoxelMap.create(DIMS).insert_point_cloud(pts_b, 50)
+    assert int(lin.collide_with(dense)) == want
+    assert int(mor.collide_with(dense)) == 5 * 5 * 5  # mor holds pts_b itself
+    for op in ("merge", "subtract", "equals", "find_matching"):
+        with pytest.raises(TypeError):
+            getattr(lin, op)(mor)
+    with pytest.raises(TypeError):
+        lin.collide_with_types(mor)
+
+
 def test_counting_dedup_wraps_like_int8():
     # CountingVoxel::reduce is a raw int8 add (CountingVoxel.hpp:75-80):
     # 200 points in one voxel wrap to -56, they do not clamp at 127
