@@ -86,3 +86,53 @@ def test_swept_fitter():
     n_solutions, delay = mod.main(dims=(96, 96, 96), side=0.04, verbose=False)
     assert n_solutions == 2
     assert delay > 0
+
+
+def test_swept_fitter_three_robots_vs_bruteforce():
+    """Fitter::fitInternal is N-robot (Fitter.cpp:71-116): pin the ordering
+    search for THREE robots against brute-force enumeration of all slot
+    assignments, on synthetic maps with randomized pairwise collisions."""
+    import importlib
+    import itertools
+
+    import numpy as np
+
+    mod = importlib.import_module("swept_fitter")
+
+    class FakeMap:
+        def __init__(self, key, table):
+            self.key, self.table = key, table
+
+        def collide_with(self, other):
+            return self.table[frozenset((self.key, other.key))]
+
+    rng = np.random.default_rng(5)
+    n_robots, n_traj = 3, 2
+    keys = [(r, t) for r in range(n_robots) for t in range(n_traj)]
+    for _ in range(6):
+        table = {
+            frozenset((a, b)): int(rng.random() < 0.35)
+            for a, b in itertools.combinations(keys, 2)
+        }
+        table.update({frozenset((k,)): 0 for k in keys})  # self-pairs unused
+        robots = [
+            (f"R{r}", [(f"R{r}T{t}", FakeMap((r, t), table)) for t in range(n_traj)])
+            for r in range(n_robots)
+        ]
+        got = {tuple(map(tuple, s)) for s in mod.fit(robots, verbose=False)}
+
+        # brute force: per-robot permutations of trajectory order; slot-mates
+        # of every earlier robot must not collide (Fitter::collides)
+        want = set()
+        for perms in itertools.product(
+            *[list(itertools.permutations(range(n_traj))) for _ in range(n_robots)]
+        ):
+            ok = all(
+                table[frozenset(((r1, perms[r1][i]), (r2, perms[r2][i])))] == 0
+                for i in range(n_traj)
+                for r1 in range(n_robots)
+                for r2 in range(r1)
+            )
+            if ok:
+                want.add(tuple(map(tuple, perms)))
+        assert got == want
