@@ -53,6 +53,51 @@ def check(m, oracle, tag):
     assert got_occ == oracle.occupied(), tag
 
 
+@pytest.mark.parametrize("seed", [1, 6])
+def test_voxellist_stateful_fuzz_vs_set_model(seed):
+    """Same idea for the list tier: random insert/merge/subtract interleavings
+    (append + make_unique, TemplateVoxelList.hpp:142-209; subtract :610-643)
+    checked against an id-set model every step — count, exact id set, and
+    collide_with both ways (binary_search membership, payload-independent)."""
+    from gpu_voxels_tpu.maps.voxellist import bit_vector_voxel_list
+
+    rng = np.random.default_rng(seed)
+    # capacity 4096 == DIM^3: dedup can never overflow, so grow=False keeps
+    # every op a fixed-shape compiled program without drop semantics
+    lists = [bit_vector_voxel_list((DIM,) * 3, capacity=4096) for _ in range(2)]
+    models = [set(), set()]
+
+    def lin(c):
+        return int(c[2]) * DIM * DIM + int(c[1]) * DIM + int(c[0])
+
+    for step in range(24):
+        which = int(rng.integers(0, 2))
+        op = rng.choice(["insert", "insert", "merge", "subtract"])
+        tag = f"seed={seed} step={step} {op} on {which}"
+        if op == "insert":
+            pts = rng.uniform(0.0, DIM, (64, 3)).astype(np.float32)
+            meaning = int(rng.choice(MEANINGS[1:]))  # list entries: real bits
+            lists[which] = lists[which].insert_point_cloud(pts, meaning, grow=False)
+            models[which] |= {lin(c) for c in np.floor(pts).astype(np.int64)}
+        elif op == "merge":
+            # re-pin the capacity (merge grows it like the reference's thrust
+            # append): content never exceeds DIM^3 == 4096, so nothing drops
+            # and every op stays one already-compiled fixed-shape program
+            lists[which] = lists[which].merge(lists[1 - which]).with_capacity(4096)
+            models[which] |= models[1 - which]
+        else:
+            lists[which] = lists[which].subtract(lists[1 - which]).with_capacity(4096)
+            models[which] -= models[1 - which]
+
+        lst = lists[which]
+        n = int(lst.count)
+        assert n == len(models[which]), tag
+        assert set(np.asarray(lst.ids[:n]).tolist()) == models[which], tag
+        overlap = len(models[0] & models[1])
+        assert int(lists[0].collide_with(lists[1])) == overlap, tag
+        assert int(lists[1].collide_with(lists[0])) == overlap, tag
+
+
 @pytest.mark.parametrize("seed", [0, 4])
 def test_bitmap_stateful_fuzz_vs_set_model(seed):
     rng = np.random.default_rng(seed)
