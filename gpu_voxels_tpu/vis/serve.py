@@ -344,9 +344,14 @@ def serve(directory, port: int = 8321) -> None:
     HTTPServer(("0.0.0.0", port), Handler).serve_forever()
 
 
-if __name__ == "__main__":
+def main() -> None:
+    """Console entry point (`gvtpu-viewer [dir] [port]`)."""
     directory = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "GPU_VOXELS_VIS_DIR", "/tmp/gpu_voxels_tpu_vis"
     )
     port = int(sys.argv[2]) if len(sys.argv) > 2 else 8321
     serve(directory, port)
+
+
+if __name__ == "__main__":
+    main()
