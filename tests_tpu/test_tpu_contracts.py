@@ -95,6 +95,32 @@ def test_edt_parallel_banding_exact_on_tpu():
     assert int(pba.differences(brute)) == 0
 
 
+def test_list_dispatch_directions_on_tpu():
+    """The round-3 collide dispatch additions on hardware: list->dense
+    routing (CollidableWith*VoxelMap on BitVoxelList, BitVoxelList.h:110-114)
+    and the cross linear x morton list collide (coordinate re-encoding; raw
+    ids would silently mismatch)."""
+    from gpu_voxels_tpu.geometry import generation
+    from gpu_voxels_tpu.maps.voxellist import (
+        bit_vector_morton_voxel_list,
+        bit_vector_voxel_list,
+    )
+
+    dims = (32, 32, 32)
+    pts = generation.create_box_of_points((1.1,) * 3, (5.1,) * 3, 1.0)
+    pts_b = generation.create_box_of_points((3.1,) * 3, (7.1,) * 3, 1.0)
+    lin = bit_vector_voxel_list(dims).insert_point_cloud(pts, 50)
+    mor = bit_vector_morton_voxel_list(dims).insert_point_cloud(pts_b, 50)
+    assert int(lin.collide_with(mor)) == 27
+    assert int(mor.collide_with(lin)) == 27
+    assert int(lin.collide_with(mor, offset=(2, 0, 0))) == 45
+    dense_b = BitVectorVoxelMap.create(dims).insert_point_cloud(pts_b, 50)
+    assert int(lin.collide_with(dense_b)) == 27
+    assert int(mor.collide_with(dense_b)) == 125
+    prob_b = ProbVoxelMap.create(dims).insert_point_cloud(pts_b)
+    assert int(lin.collide_with(prob_b)) == 27
+
+
 def test_edt_512_sampled_brute_on_tpu():
     """parallel_banding at the full 512^3 BASELINE scale, spot-verified
     against a host brute-force nearest-obstacle oracle on a random voxel
