@@ -197,6 +197,7 @@ def load_point_clouds(
     scaling=1.0,
     max_workers: int | None = None,
     scalings=None,
+    reader=None,
 ):
     """Threaded batch loader: load_point_cloud over many files in parallel.
 
@@ -206,31 +207,44 @@ def load_point_clouds(
     multi-mesh robots load near-linearly with core count. Order of the
     returned list matches `paths`. `scaling` applies to every path (scalar or
     per-axis 3-vector); `scalings` instead gives one scale per path (each a
-    scalar or 3-vector — URDF links carry individual mesh scales)."""
+    scalar or 3-vector — URDF links carry individual mesh scales).
+
+    `reader` overrides the format dispatch with an explicit path -> [N,3]
+    loader (e.g. read_binvox). The default dispatch faithfully reproduces the
+    reference's bare-substring test on the WHOLE path
+    (PointcloudFileHandler.cpp:82-110: a path containing 'xyz' anywhere
+    parses as xyz) — callers who already know the format, like the URDF
+    mesh loader (robot_link.cpp:226 reads binvox directly), must not rely
+    on it."""
     paths = list(paths)
     if not paths:
         return []
     scales = list(scalings) if scalings is not None else [scaling] * len(paths)
     if len(scales) != len(paths):
         raise ValueError(f"{len(scales)} scalings for {len(paths)} paths")
+
+    if reader is None:
+        def _one(p, s):
+            return load_point_cloud(p, use_model_path, shift_to_zero, offset_xyz, s)
+    else:
+        def _one(p, s):
+            pp = str(model_path(True) / p) if use_model_path else str(p)
+            pts = reader(pp)
+            if shift_to_zero and len(pts):
+                pts = pts - pts.min(axis=0)
+            return (
+                np.asarray(s, dtype=np.float32) * pts
+                + np.asarray(offset_xyz, dtype=np.float32)
+            ).astype(np.float32)
+
     from concurrent.futures import ThreadPoolExecutor
 
     if max_workers is None:
         max_workers = min(len(paths), os.cpu_count() or 4)
     if max_workers <= 1 or len(paths) == 1:
-        return [
-            load_point_cloud(p, use_model_path, shift_to_zero, offset_xyz, s)
-            for p, s in zip(paths, scales)
-        ]
+        return [_one(p, s) for p, s in zip(paths, scales)]
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
-        return list(
-            ex.map(
-                lambda ps: load_point_cloud(
-                    ps[0], use_model_path, shift_to_zero, offset_xyz, ps[1]
-                ),
-                zip(paths, scales),
-            )
-        )
+        return list(ex.map(lambda ps: _one(*ps), zip(paths, scales)))
 
 
 def center_point_cloud(points: np.ndarray) -> np.ndarray:

@@ -424,6 +424,15 @@ class VoxelList(DiskIO):
             coords = coords + jnp.asarray(offset, jnp.int32)
         hi_q, lo_q = other._ids_from_coords(coords)
         live = self.ids != EMPTY_ID
+        # the re-encoding is only injective inside the target domain: a coord
+        # outside a linear list's dims wraps onto a valid linear id (20 maps
+        # to (4,1,0) on a 16-wide grid), and a negative coord scrambles the
+        # morton spread — both would count phantom collisions
+        if other.id_mode == "morton":
+            bound = jnp.asarray((1 << 20,) * 3, jnp.int32)
+        else:
+            bound = jnp.asarray(other.dims, jnp.int32)
+        live = live & jnp.all((coords >= 0) & (coords < bound), axis=-1)
         hi_q = jnp.where(live, hi_q, EMPTY_ID)
         lo_q = jnp.where(live, lo_q, EMPTY_ID)
         _, found = self._find_positions(other, hi_q, lo_q)

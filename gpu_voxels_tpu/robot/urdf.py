@@ -127,8 +127,13 @@ class UrdfRobot(RobotInterface):
             if entries:
                 # threaded batch decode with per-link mesh scales (the native
                 # RLE path releases the GIL, so this scales with core count)
+                # explicit reader: mesh paths are known .binvox files and must
+                # not hit the dispatcher's whole-path substring format test
+                # (a path containing 'xyz' would silently misparse)
                 clouds = files.load_point_clouds(
-                    [e[1] for e in entries], scalings=[e[2] for e in entries]
+                    [e[1] for e in entries],
+                    scalings=[e[2] for e in entries],
+                    reader=files.read_binvox,
                 )
                 names = [e[0] for e in entries]
         if not clouds:  # geometry-less robot still has valid FK

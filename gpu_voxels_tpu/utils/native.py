@@ -14,7 +14,22 @@ from typing import Optional
 import numpy as np
 
 _ROOT = Path(__file__).resolve().parent.parent.parent
-_SO = _ROOT / "native" / "build" / "libgvtpu_native.so"
+
+
+def _find_so() -> Path:
+    """Locate the optional native library. The C++ sources live in the repo's
+    native/ directory (a SOURCE-CHECKOUT feature: wheel installs fall back to
+    the pure-Python paths everywhere); GVTPU_NATIVE_SO points at a prebuilt
+    .so explicitly for installed deployments."""
+    import os
+
+    env = os.environ.get("GVTPU_NATIVE_SO")
+    if env:
+        return Path(env)
+    return _ROOT / "native" / "build" / "libgvtpu_native.so"
+
+
+_SO = _find_so()
 _lib: Optional[ctypes.CDLL] = None
 _load_attempted = False
 

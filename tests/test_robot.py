@@ -106,6 +106,30 @@ def test_urdf_binvox_clouds(tmp_path):
     np.testing.assert_allclose(pts, [[1, 0, 1]], atol=1e-6)  # voxel 0,0,0 at hand frame
 
 
+def test_urdf_binvox_clouds_under_xyz_named_dir(tmp_path):
+    """Mesh paths never hit the format dispatcher's whole-path substring test
+    (PointcloudFileHandler.cpp:82-110: 'xyz' anywhere in the PATH parses as
+    xyz): a model root named xyz_models must still decode binvox meshes.
+    robot_link.cpp:226 reads binvox directly — so does UrdfRobot."""
+    root = tmp_path / "xyz_models"
+    root.mkdir()
+    header = b"#binvox 1\ndim 2 2 2\ntranslate 0 0 0\nscale 2.0\ndata\n"
+    (root / "hand.binvox").write_bytes(header + bytes([1, 1, 0, 7]))
+    urdf = URDF.replace(
+        '<link name="hand"/>',
+        '<link name="hand"><visual><geometry><mesh filename="hand.stl"/></geometry></visual></link>',
+    )
+    f = root / "arm.urdf"
+    f.write_text(urdf)
+    robot = UrdfRobot(f)
+    assert robot.clouds.names == ("hand",)
+    from gpu_voxels_tpu.geometry import files
+
+    pts = np.asarray(robot.clouds.points)
+    want = files.read_binvox(root / "hand.binvox")  # the correct decode
+    np.testing.assert_allclose(pts, want, atol=1e-6)
+
+
 def test_swept_volume_insert_and_collide():
     arm = two_link_arm()
     traj = [np.array([t, 0.0], np.float32) for t in np.linspace(0, np.pi / 2, 5)]

@@ -197,6 +197,22 @@ def test_cross_id_mode_collide_and_guards():
     with pytest.raises(TypeError):
         lin.collide_with_types(mor)
 
+    # coords outside the target domain must NOT alias: on a 16^3 linear list,
+    # morton coord (20,0,0) would wrap onto linear id 20 == (4,1,0)
+    small = (16, 16, 16)
+    lin16 = bit_vector_voxel_list(small).insert_point_cloud(
+        np.array([[4.5, 1.5, 0.5]], np.float32), 50
+    )
+    mor_out = bit_vector_morton_voxel_list(small).insert_point_cloud(
+        np.array([[20.5, 0.5, 0.5]], np.float32), 50
+    )
+    assert int(mor_out.collide_with(lin16)) == 0
+    # negative coords after an offset must not scramble into the morton domain
+    mor16 = bit_vector_morton_voxel_list(small).insert_point_cloud(
+        np.array([[0.5, 0.5, 0.5]], np.float32), 50
+    )
+    assert int(lin16.collide_with(mor16, offset=(-8, -8, -8))) == 0
+
 
 def test_counting_dedup_wraps_like_int8():
     # CountingVoxel::reduce is a raw int8 add (CountingVoxel.hpp:75-80):
