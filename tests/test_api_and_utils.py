@@ -374,3 +374,35 @@ def test_primitive_array_reaches_viewer_manifest(tmp_path, monkeypatch):
     assert layer["prim"] == "sphere"
     assert layer["centers"] == [[1, 2, 3], [4, 5, 6]]
     assert layer["scales"] == [0.5, 0.5]
+
+
+def test_facade_update_map_is_thread_atomic():
+    """The reference guards every map with a recursive mutex
+    (GpuVoxelsMap.h:269, dual-lock in binary ops TemplateVoxelMap.hpp:491-493);
+    here update_map is the atomic read-modify-write. Concurrent inserts from
+    many threads must all land — a racy rebind would drop updates."""
+    import threading
+
+    import numpy as np
+
+    from gpu_voxels_tpu.api import GpuVoxels, MapType
+
+    GpuVoxels._instance = None
+    g = GpuVoxels.get_instance()
+    g.initialize(32, 32, 32, 1.0)
+    g.add_map(MapType.MT_BITVECTOR_VOXELMAP, "shared")
+    # distinct voxel per (thread, i): x = t, y = i, z = 7
+    n_threads, n_each = 8, 12
+
+    def worker(t):
+        for i in range(n_each):
+            pt = np.array([[t + 0.5, i + 0.5, 7.5]], np.float32)
+            g.insert_point_cloud_into_map(pt, "shared", 10)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    m = g.get_map("shared")
+    assert int(m.collide_with(m)) == n_threads * n_each
