@@ -28,6 +28,7 @@ import tempfile
 import numpy as np
 
 from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap
+from gpu_voxels_tpu.robot.fitter import deconflict_slot, fit_orderings
 from gpu_voxels_tpu.robot.presets import ur_robot
 from gpu_voxels_tpu.robot.swept_volume import insert_swept_volume_batched
 from gpu_voxels_tpu.robot.trajectory import load_trajectories
@@ -112,37 +113,9 @@ def render_swept_volumes(robot, trajs, dims, side, steps):
 
 
 def fit(robots, all_solutions=True, verbose=True):
-    """Fitter::fitInternal — search trajectory orderings; slot-mates of
-    earlier robots must not collide (Fitter.cpp:71-116)."""
-    n_traj = len(robots[0][1])
-    solutions = []
-
-    def collides(solution, r, index):
-        _, maps = robots[r]
-        name, m = maps[solution[r][index]]
-        for r2 in range(r - 1, -1, -1):
-            name2, m2 = robots[r2][1][solution[r2][index]]
-            if int(m.collide_with(m2)) > 0:  # areColliding (GVL.cpp)
-                return True
-        return False
-
-    def rec(solution, robot, index, todo):
-        if index >= n_traj:
-            if robot == len(robots) - 1:
-                solutions.append([list(s) for s in solution])
-                return not all_solutions
-            return rec(solution, robot + 1, 0, todo)
-        for _ in range(len(todo[robot])):
-            traj = todo[robot].pop(0)
-            solution[robot].append(traj)
-            if not collides(solution, robot, index):
-                if rec(solution, robot, index + 1, todo):
-                    return True
-            todo[robot].append(traj)
-            solution[robot].pop()
-        return False
-
-    rec([[] for _ in robots], 0, 0, [list(range(n_traj)) for _ in robots])
+    """Fitter::fitInternal ordering search — the library core
+    (gpu_voxels_tpu.robot.fitter.fit_orderings) plus the example's printing."""
+    solutions = fit_orderings(robots, all_solutions=all_solutions)
     if verbose:
         for sol in solutions:
             print("-------------------")
@@ -183,23 +156,16 @@ def main(dims=(256, 256, 256), side=0.015, steps=100, window=2, verbose=True):
     assert int(a_center.collide_with(b_center)) > 0
     assert len(solutions) == 2, solutions  # the two center/home interleavings
 
-    # time-in-bits refinement: delay B's conflicting start until the margin
-    # window clears (the question the boolean reference fitter cannot ask)
-    best = None
-    conflicts0 = None
-    for delay in range(0, 57, 4):  # shift capped at 56 (BitVector.h:361)
-        shifted = b_center if delay == 0 else b_center.shift_left_swept_volume_ids(delay)
-        n = int(a_center.collide_with_bitcheck(shifted, margin=window))
-        if conflicts0 is None:
-            conflicts0 = n
-        if verbose:
-            print(f"delay {delay:3d}: {n} time-overlapping conflicts")
-        if n == 0 and best is None:
-            best = delay
-            break
-    assert conflicts0 and conflicts0 > 0, "concurrent starts must conflict in time"
-    assert best is not None and best > 0, "a nonzero conflict-free delay must exist"
+    # time-in-bits refinement: per-slot start-delay windows
+    # (gpu_voxels_tpu.robot.fitter.deconflict_slot — the question the
+    # boolean reference fitter cannot ask)
+    conflicts0 = int(a_center.collide_with_bitcheck(b_center, margin=window))
+    assert conflicts0 > 0, "concurrent starts must conflict in time"
+    delays = deconflict_slot([a_center, b_center], margin=window, stride=4)
+    assert delays is not None and delays[0] == 0 and delays[1] > 0, delays
+    best = delays[1]
     if verbose:
+        print(f"delay   0: {conflicts0} time-overlapping conflicts")
         print(f"first conflict-free start delay for {robots[1][0]}: {best} steps")
     return len(solutions), best
 

@@ -1,4 +1,5 @@
 from .dh import DHJointType, DHParameters, KinematicChain
+from .fitter import deconflict_slot, fit_orderings, fit_schedule
 from .robot import RobotInterface, interpolate_linear
 from .trajectory import Trajectory, load_trajectories
 from .urdf import UrdfRobot
@@ -12,4 +13,7 @@ __all__ = [
     "RobotInterface",
     "UrdfRobot",
     "interpolate_linear",
+    "fit_orderings",
+    "fit_schedule",
+    "deconflict_slot",
 ]
