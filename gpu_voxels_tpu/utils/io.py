@@ -28,30 +28,60 @@ def _voxel_bytes_to_planes(raw: np.ndarray, n: int) -> np.ndarray:
     return np.ascontiguousarray(raw.reshape(n, 8 * 4).view("<u4").T)
 
 
+def _write_planes_body(f, planes: np.ndarray) -> None:
+    """Write the voxel-major 32-byte-record body for plane-major uint32[8,N]
+    planes at f's current position. Native tier (gv_write_bit_planes)
+    streams the interleave through one 8 MiB chunk; the numpy fallback
+    materializes the transposed copy (fine below ~1 GiB)."""
+    from . import native
+
+    n = planes.shape[1]
+    if n:
+        f.flush()  # pwrite bypasses the Python buffer
+        if native.available() and native.write_bit_planes(planes, f.fileno(), f.tell()):
+            f.seek(f.tell() + n * 32)
+            return
+    _planes_to_voxel_bytes(planes).tofile(f)
+
+
+def _read_planes_body(f, n: int) -> np.ndarray:
+    """Read n voxel-major 32-byte records at f's current position into
+    plane-major uint32[8, n] (reverse of _write_planes_body)."""
+    from . import native
+
+    if n and native.available():
+        pos = f.tell()
+        planes = native.read_bit_planes(n, f.fileno(), pos)
+        if planes is not None:
+            f.seek(pos + n * 32)
+            return planes
+    raw = np.frombuffer(f.read(n * 32), np.uint8, n * 32)
+    return _voxel_bytes_to_planes(raw, n)
+
+
 def write_voxel_map(m, path) -> None:
     import jax.numpy as jnp  # noqa: F401
 
     from ..maps.distance_map import DistanceVoxelMap
     from ..maps.voxelmap import BitVectorVoxelMap, CountingVoxelMap, ProbVoxelMap
 
-    data = np.asarray(m.data)
-    if isinstance(m, ProbVoxelMap):
-        raw = data.astype(np.int8).tobytes()
-    elif isinstance(m, BitVectorVoxelMap):
-        raw = _planes_to_voxel_bytes(data).tobytes()
-    elif isinstance(m, DistanceVoxelMap):
-        raw = data.astype("<u4").tobytes()
-    elif isinstance(m, CountingVoxelMap):
-        raw = data.astype(np.int8).tobytes()
-    else:
+    if not isinstance(
+        m, (ProbVoxelMap, CountingVoxelMap, BitVectorVoxelMap, DistanceVoxelMap)
+    ):
         raise TypeError(type(m))
+    data = np.asarray(m.data)
     header = np.zeros((), dtype=_HEADER)
     header["map_type"] = int(m.map_type)
     header["side_length"] = m.side_length
     header["dims"] = m.dims
     with open(path, "wb") as f:
         f.write(header.tobytes())
-        f.write(raw)
+        if isinstance(m, BitVectorVoxelMap):
+            _write_planes_body(f, data)
+        elif isinstance(m, DistanceVoxelMap):
+            np.asarray(data, "<u4").tofile(f)
+        else:
+            np.asarray(data, np.int8).tofile(f)
 
 
 def read_voxel_map(path):
@@ -61,23 +91,22 @@ def read_voxel_map(path):
 
     with open(path, "rb") as f:
         header = np.frombuffer(f.read(_HEADER.itemsize), dtype=_HEADER)[0]
-        raw = f.read()
-    map_type = MapType(int(header["map_type"]))
-    side = float(header["side_length"])
-    dims = tuple(int(v) for v in header["dims"])
-    n = dims[0] * dims[1] * dims[2]
-    if map_type == MapType.MT_PROBAB_VOXELMAP:
-        data = np.frombuffer(raw, np.int8, n)
-        return ProbVoxelMap(jnp.asarray(data), dims, side)
-    if map_type == MapType.MT_BITVECTOR_VOXELMAP:
-        planes = _voxel_bytes_to_planes(np.frombuffer(raw, np.uint8, n * 32), n)
-        return BitVectorVoxelMap.from_planes(jnp.asarray(planes), dims, side)
-    if map_type == MapType.MT_DISTANCE_VOXELMAP:
-        data = np.frombuffer(raw, "<u4", n)
-        return DistanceVoxelMap(jnp.asarray(data), dims, side)
-    if map_type == MapType.MT_COUNTING_VOXELLIST:
-        data = np.frombuffer(raw, np.int8, n)
-        return CountingVoxelMap(jnp.asarray(data), dims, side)
+        map_type = MapType(int(header["map_type"]))
+        side = float(header["side_length"])
+        dims = tuple(int(v) for v in header["dims"])
+        n = dims[0] * dims[1] * dims[2]
+        if map_type == MapType.MT_PROBAB_VOXELMAP:
+            data = np.frombuffer(f.read(n), np.int8, n)
+            return ProbVoxelMap(jnp.asarray(data), dims, side)
+        if map_type == MapType.MT_BITVECTOR_VOXELMAP:
+            planes = _read_planes_body(f, n)
+            return BitVectorVoxelMap.from_planes(jnp.asarray(planes), dims, side)
+        if map_type == MapType.MT_DISTANCE_VOXELMAP:
+            data = np.frombuffer(f.read(n * 4), "<u4", n)
+            return DistanceVoxelMap(jnp.asarray(data), dims, side)
+        if map_type == MapType.MT_COUNTING_VOXELLIST:
+            data = np.frombuffer(f.read(n), np.int8, n)
+            return CountingVoxelMap(jnp.asarray(data), dims, side)
     raise ValueError(f"unknown map type {map_type}")
 
 
@@ -99,7 +128,7 @@ def write_hierarchical_map(h, path) -> None:
         f.write(header.tobytes())
         f.write(np.int32(h.levels).tobytes())
         f.write(np.asarray(fine.shape, "<i4").tobytes())
-        f.write(fine.tobytes())
+        fine.tofile(f)
 
 
 def write_paged_map(m, path) -> None:
@@ -119,11 +148,11 @@ def write_paged_map(m, path) -> None:
         f.write(header.tobytes())
         f.write(np.int32(-m.fine_levels).tobytes())
         f.write(np.int32(n).tobytes())
-        f.write(np.asarray(m.slot_block[:n], "<i4").tobytes())
+        np.asarray(m.slot_block[:n], "<i4").tofile(f)
         if m.probabilistic:
-            f.write(np.asarray(m.occ_pool[:n], np.int8).tobytes())
+            np.asarray(m.occ_pool[:n], np.int8).tofile(f)
         else:
-            f.write(np.asarray(m.pool[:n], np.uint8).tobytes())
+            np.asarray(m.pool[:n], np.uint8).tofile(f)
 
 
 def read_hierarchical_map(path):
@@ -193,10 +222,6 @@ def write_voxel_list(lst, path) -> None:
     coords = np.asarray(
         lst.coords_from_ids(lst.ids[:n], lst.ids_hi[:n])
     ).astype("<u4")
-    if lst.kind == KIND_BIT:
-        payload = _planes_to_voxel_bytes(np.asarray(lst.payload[:, :n]))
-    else:
-        payload = np.asarray(lst.payload[:n]).astype(np.int8)
     with open(path, "wb") as f:
         f.write(np.int32(int(lst.map_type)).tobytes())
         f.write(np.asarray(lst.dims, "<u4").tobytes())
@@ -204,7 +229,10 @@ def write_voxel_list(lst, path) -> None:
         f.write(np.uint32(n).tobytes())
         f.write(ids.tobytes())
         f.write(coords.tobytes())
-        f.write(payload.tobytes())
+        if lst.kind == KIND_BIT:
+            _write_planes_body(f, np.asarray(lst.payload[:, :n]))
+        else:
+            np.asarray(lst.payload[:n], np.int8).tofile(f)
 
 
 def read_voxel_list(path):
@@ -229,14 +257,17 @@ def read_voxel_list(path):
             ids = np.frombuffer(f.read(4 * n), "<u4")
             ids_hi = np.zeros(n, "<u4")
         _coords = np.frombuffer(f.read(12 * n), "<u4").reshape(n, 3)
-        rest = f.read()
-    kind = {
-        MapType.MT_BITVECTOR_VOXELLIST: KIND_BIT,
-        MapType.MT_BITVECTOR_MORTON_VOXELLIST: KIND_BIT,
-        MapType.MT_PROBAB_VOXELLIST: KIND_PROB,
-        MapType.MT_PROBAB_MORTON_VOXELLIST: KIND_PROB,
-        MapType.MT_COUNTING_VOXELLIST: KIND_COUNT,
-    }[map_type]
+        kind = {
+            MapType.MT_BITVECTOR_VOXELLIST: KIND_BIT,
+            MapType.MT_BITVECTOR_MORTON_VOXELLIST: KIND_BIT,
+            MapType.MT_PROBAB_VOXELLIST: KIND_PROB,
+            MapType.MT_PROBAB_MORTON_VOXELLIST: KIND_PROB,
+            MapType.MT_COUNTING_VOXELLIST: KIND_COUNT,
+        }[map_type]
+        if kind == KIND_BIT:
+            payload_np = _read_planes_body(f, n) if n else np.zeros((8, 0), "<u4")
+        else:
+            payload_np = np.frombuffer(f.read(n), np.int8, n)
     id_mode = "morton" if map_type in (
         MapType.MT_BITVECTOR_MORTON_VOXELLIST,
         MapType.MT_PROBAB_MORTON_VOXELLIST,
@@ -244,10 +275,7 @@ def read_voxel_list(path):
     lst = VoxelList.create(dims, side, kind, n, id_mode, map_type)
     if n == 0:
         return lst
-    if kind == KIND_BIT:
-        payload = jnp.asarray(_voxel_bytes_to_planes(np.frombuffer(rest, np.uint8, n * 32), n))
-    else:
-        payload = jnp.asarray(np.frombuffer(rest, np.int8, n))
+    payload = jnp.asarray(payload_np)
     from dataclasses import replace
 
     return replace(

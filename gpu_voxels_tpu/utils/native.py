@@ -45,7 +45,7 @@ def build() -> bool:
         return False
 
 
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -76,6 +76,16 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.gv_write_bit_planes.restype = ctypes.c_int64
+    lib.gv_write_bit_planes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int64,
+    ]
+    lib.gv_read_bit_planes.restype = ctypes.c_int64
+    lib.gv_read_bit_planes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int64,
     ]
     lib.gv_abi_version.restype = ctypes.c_int
     got = lib.gv_abi_version()
@@ -128,6 +138,37 @@ def binvox_rle_points(rle: bytes, size: int, height: int, width: int) -> np.ndar
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_occ,
     )
     return out[: int(n)]
+
+
+def write_bit_planes(planes: np.ndarray, fd: int, offset: int) -> bool:
+    """Stream plane-major uint32[8, N] to voxel-major 32-byte records at
+    ``offset`` of the open file ``fd`` (the reference bit-map disk body),
+    interleaving through one fixed 8 MiB chunk — peak extra memory is the
+    chunk, vs 3 map-sized intermediates on the numpy path. Caller must have
+    flushed any Python-side write buffer first (pwrite bypasses it)."""
+    lib = _load()
+    if lib is None:
+        return False
+    planes = np.ascontiguousarray(planes, np.uint32)
+    n = planes.shape[1]
+    wrote = lib.gv_write_bit_planes(
+        planes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n, fd, offset
+    )
+    return int(wrote) == n
+
+
+def read_bit_planes(n: int, fd: int, offset: int) -> Optional[np.ndarray]:
+    """Reverse of write_bit_planes: voxel-major records at ``offset`` ->
+    plane-major uint32[8, n]. Returns None when the native tier is absent
+    or the read fails (caller falls back to the numpy path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    planes = np.empty((8, n), np.uint32)
+    got = lib.gv_read_bit_planes(
+        planes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n, fd, offset
+    )
+    return planes if int(got) == n else None
 
 
 def binvox_rle_decode(rle: bytes, size: int) -> np.ndarray:

@@ -78,3 +78,50 @@ def test_file_reader_uses_native_path(tmp_path):
     assert files._native is not None and files._native.available()
     back = files.read_xyz(f)
     np.testing.assert_allclose(back, pts, atol=1e-5)
+
+
+def test_bit_planes_stream_roundtrip_and_byte_identity(tmp_path):
+    """The streaming snapshot writer (gv_write_bit_planes) produces files
+    byte-identical to the numpy interleave at a nonzero offset, across
+    chunk-boundary sizes, and gv_read_bit_planes inverts it exactly."""
+    rng = np.random.default_rng(3)
+    for n in (1, 7, 1 << 18, (1 << 18) + 5):
+        planes = rng.integers(0, 2**32, size=(8, n), dtype=np.uint32)
+        p1 = tmp_path / f"nat_{n}.bin"
+        with open(p1, "wb") as f:
+            f.write(b"HDR!")  # nonzero body offset, like the map header
+            f.flush()
+            assert native.write_bit_planes(planes, f.fileno(), f.tell())
+        expect = (
+            np.ascontiguousarray(planes.astype("<u4").T).view(np.uint8).tobytes()
+        )
+        got = p1.read_bytes()
+        assert got[:4] == b"HDR!" and got[4:] == expect
+        with open(p1, "rb") as f:
+            back = native.read_bit_planes(n, f.fileno(), 4)
+        np.testing.assert_array_equal(back, planes)
+
+
+def test_voxel_map_disk_native_matches_numpy(tmp_path, monkeypatch):
+    """write_map through the native streamer emits byte-identical files to
+    the pure-numpy fallback, and read_map loads either file identically."""
+    from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap
+    from gpu_voxels_tpu.utils import io as gio
+
+    m = BitVectorVoxelMap.create((8, 8, 8), 1.0)
+    pts = np.array([[1.5, 2.5, 3.5], [4.5, 5.5, 6.5]], np.float32)
+    m = m.insert_point_cloud(pts, 17)
+    p_nat, p_py = tmp_path / "a.bin", tmp_path / "b.bin"
+    assert native.available()
+    gio.write_map(m, p_nat)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_attempted", True)
+    assert not native.available()
+    gio.write_map(m, p_py)
+    assert p_nat.read_bytes() == p_py.read_bytes()
+    back_py = gio.read_map(p_py)  # numpy read path
+    monkeypatch.setattr(native, "_load_attempted", False)
+    assert native.available()
+    back_nat = gio.read_map(p_nat)  # native read path
+    np.testing.assert_array_equal(np.asarray(back_nat.data), np.asarray(m.data))
+    np.testing.assert_array_equal(np.asarray(back_py.data), np.asarray(back_nat.data))
