@@ -367,3 +367,60 @@ def test_fused_multi_meaning_scatter_on_tpu():
         looped = looped.insert_point_cloud(pts, mn)
     np.testing.assert_array_equal(np.asarray(fused.data), np.asarray(looped.data))
     np.testing.assert_array_equal(np.asarray(fused.occ), np.asarray(looped.occ))
+
+
+def test_fitter_slot_delays_on_tpu():
+    """Per-slot start-delay deconfliction (robot/fitter.py) on hardware:
+    three swept maps sharing cells at steps 10-12 need exactly the greedy
+    [0, 4, 8] delays at margin=1 (pairwise clearance = span-1 + margin + 1),
+    driven through the real Pallas bitcheck kernels."""
+    from gpu_voxels_tpu.robot.fitter import deconflict_slot, fit_schedule
+
+    SV = int(BitVoxelMeaning.eBVM_SWEPT_VOLUME_START)
+    dims = (64, 64, 64)
+
+    def box(lo, hi):
+        ax = [np.arange(lo[i], hi[i], dtype=np.float32) + 0.5 for i in range(3)]
+        return np.stack(np.meshgrid(*ax, indexing="ij"), axis=-1).reshape(-1, 3)
+
+    def swept(home_lo):
+        m = BitVectorVoxelMap.create(dims, 1.0)
+        home = box(home_lo, tuple(c + 4 for c in home_lo))
+        for s in range(5):
+            m = m.insert_point_cloud(home, SV + s)
+        shared = box((20, 20, 20), (26, 26, 26))
+        for s in range(10, 13):
+            m = m.insert_point_cloud(shared, SV + s)
+        return m
+
+    a, b, c = swept((1, 1, 1)), swept((40, 1, 1)), swept((1, 40, 1))
+    assert int(a.collide_with_bitcheck(b, margin=1)) == 216  # 6^3 shared
+    assert deconflict_slot([a, b, c], margin=1) == [0, 4, 8]
+    robots = [("A", [("t", a)]), ("B", [("t", b)]), ("C", [("t", c)])]
+    rescued = fit_schedule(robots, margin=1, windows_in_search=True)
+    assert rescued[0][1] == [[0, 4, 8]]
+
+
+def test_native_streamed_disk_io_on_tpu(tmp_path):
+    """write_to_disk/read_from_disk of a TPU-resident bit map through the
+    native interleave streamer round-trips bit-exactly (and byte-identically
+    to the numpy fallback)."""
+    from gpu_voxels_tpu.utils import io as gio
+    from gpu_voxels_tpu.utils import native
+
+    m = BitVectorVoxelMap.create((64, 64, 64), 0.02)
+    pts = np.random.default_rng(0).uniform(0.1, 1.2, size=(4000, 3)).astype(np.float32)
+    m = m.insert_point_cloud(pts, 17).insert_point_cloud(pts[::3] + 0.04, 201)
+    p = tmp_path / "bits.bin"
+    assert m.write_to_disk(p)
+    back = m.read_from_disk(p)
+    np.testing.assert_array_equal(np.asarray(back.data), np.asarray(m.data))
+    if native.available() or native.build():
+        p2 = tmp_path / "bits_np.bin"
+        lib, att = native._lib, native._load_attempted
+        native._lib, native._load_attempted = None, True
+        try:
+            gio.write_map(m, p2)
+        finally:
+            native._lib, native._load_attempted = lib, att
+        assert p.read_bytes() == p2.read_bytes()
