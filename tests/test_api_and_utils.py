@@ -267,6 +267,51 @@ def test_camelcase_compat_aliases():
         np.array([[1.5, 1.5, 1.5]], np.float32)
     )
     assert bool(m.collisionCheck(m, 0.5))
+
+
+def test_compat_alias_tables_fully_install():
+    """Every declared camelCase alias actually installs somewhere.
+
+    Guards against the alias tables over-claiming: compat._apply silently
+    skips classes lacking the snake_case target (an alias like
+    clearBitVoxelMeaning legitimately exists only on bit-typed maps), so
+    a typo'd or removed target would otherwise vanish without a failure.
+    Each (camel, snake) row must have >=1 class in its application set
+    carrying the snake method, and every such class must expose the camel
+    spelling too."""
+    import gpu_voxels_tpu.api  # triggers compat.install()
+    from gpu_voxels_tpu import compat
+    from gpu_voxels_tpu.api import GpuVoxels
+    from gpu_voxels_tpu.maps.distance_map import DistanceVoxelMap
+    from gpu_voxels_tpu.maps.hierarchical import (
+        HierarchicalBitMap,
+        HierarchicalProbMap,
+    )
+    from gpu_voxels_tpu.maps.paged import PagedHierarchicalMap
+    from gpu_voxels_tpu.maps.voxellist import VoxelList
+    from gpu_voxels_tpu.maps.voxelmap import (
+        BitVectorVoxelMap,
+        CountingVoxelMap,
+        ProbVoxelMap,
+    )
+
+    map_classes = (
+        ProbVoxelMap, BitVectorVoxelMap, CountingVoxelMap,
+        HierarchicalProbMap, HierarchicalBitMap, PagedHierarchicalMap,
+        DistanceVoxelMap,
+    )
+    tables = [
+        (compat._FACADE_ALIASES, (GpuVoxels,)),
+        (compat._MAP_ALIASES, map_classes),
+        (compat._LIST_ALIASES, (VoxelList,)),
+        (compat._DISTANCE_ALIASES, (DistanceVoxelMap,)),
+    ]
+    for aliases, classes in tables:
+        for camel, snake in aliases.items():
+            holders = [c for c in classes if hasattr(c, snake)]
+            assert holders, f"{camel} -> {snake}: no target class has it"
+            for c in holders:
+                assert hasattr(c, camel), f"{c.__name__}.{camel} not installed"
     d = DistanceVoxelMap.create((8, 8, 8)).insertPointCloud(
         np.array([[1.5, 1.5, 1.5]], np.float32)
     ).parallelBanding3D()
