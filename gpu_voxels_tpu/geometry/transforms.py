@@ -155,6 +155,39 @@ def transform_points(matrix, points):
     return jnp.einsum("nij,nj->ni", rot, points, precision=_F32) + t
 
 
+def to_rpy(matrix, solution: int = 1, xp=jnp):
+    """Matrix3f::toRPY (cuda_matrices.h:285-326): rotation -> (roll, pitch, yaw).
+
+    Two solution branches (`solution` 1 or 2, the reference default is 1) and
+    the reference's gimbal-lock handling: when ``1 - |a31| < 1e-5`` both
+    solutions coincide with yaw pinned to 0 and pitch at ±pi/2. Inverse of
+    `from_rpy` (solution 1 when |pitch| < pi/2). Accepts 3x3 or 4x4 inputs,
+    batched; jit-safe (branchless selects).
+    """
+    m = xp.asarray(matrix, dtype=xp.float32)
+    r = m[..., :3, :3]
+    a11, a12, a13 = r[..., 0, 0], r[..., 0, 1], r[..., 0, 2]
+    a21 = r[..., 1, 0]
+    a31, a32, a33 = r[..., 2, 0], r[..., 2, 1], r[..., 2, 2]
+
+    singular = (1.0 - xp.abs(a31)) < xp.float32(1e-5)
+    y1 = -xp.arcsin(xp.clip(a31, -1.0, 1.0))
+    y = y1 if solution == 1 else xp.float32(np.pi) - y1
+    cy = xp.cos(y)
+    safe = xp.where(singular, xp.ones_like(cy), cy)
+    x = xp.arctan2(a32 / safe, a33 / safe)
+    z = xp.arctan2(a21 / safe, a11 / safe)
+
+    locked_down = a31 < 0  # pitch = +pi/2 (cuda_matrices.h:297-304)
+    xs = xp.where(locked_down, xp.arctan2(a12, a13), xp.arctan2(-a12, -a13))
+    ys = xp.where(locked_down, xp.float32(np.pi / 2), xp.float32(-np.pi / 2))
+
+    roll = xp.where(singular, xs, x)
+    pitch = xp.where(singular, ys, y)
+    yaw = xp.where(singular, xp.zeros_like(z), z)
+    return xp.stack([roll, pitch, yaw], axis=-1).astype(xp.float32)
+
+
 def invert(matrix, xp=jnp):
     """Rigid-transform inverse (rotation transpose + back-rotated translation)."""
     rot = matrix[..., :3, :3]

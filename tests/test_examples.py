@@ -136,3 +136,7 @@ def test_swept_fitter_three_robots_vs_bruteforce():
             if ok:
                 want.add(tuple(map(tuple, perms)))
         assert got == want
+
+
+def test_tf_interface_demo():
+    assert _run("tf_interface_demo") > 0

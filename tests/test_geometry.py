@@ -159,3 +159,39 @@ def test_load_point_cloud_dispatch_and_options(tmp_path):
     np.testing.assert_allclose(out, [[10, 0, 0], [14, 2, 8]], atol=1e-5)
     with pytest.raises(ValueError):
         files.load_point_cloud(tmp_path / "c.unknown")
+
+
+def test_to_rpy_both_solutions_round_trip():
+    """Matrix3f::toRPY (cuda_matrices.h:285-326): both solution branches
+    reconstruct the rotation through createFromRPY."""
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        rpy = rng.uniform(
+            [-np.pi, -np.pi / 2 + 0.01, -np.pi],
+            [np.pi, np.pi / 2 - 0.01, np.pi],
+        ).astype(np.float32)
+        m = transforms.from_rpy(rpy, xp=np)
+        for sol in (1, 2):
+            r = transforms.to_rpy(m, sol, xp=np)
+            assert np.allclose(transforms.from_rpy(r, xp=np), m, atol=1e-5)
+        # solution 1 is the exact inverse inside |pitch| < pi/2
+        assert np.allclose(transforms.to_rpy(m, 1, xp=np), rpy, atol=1e-5)
+
+
+def test_to_rpy_gimbal_lock_and_jnp():
+    # gimbal locked down (a31 = -1 -> pitch +pi/2, yaw pinned to 0)
+    m = transforms.from_rpy(np.array([0.4, np.pi / 2, 0.2], np.float32), xp=np)
+    for sol in (1, 2):  # both solutions coincide at the singularity
+        r = transforms.to_rpy(m, sol, xp=np)
+        assert abs(r[2]) < 1e-6 and abs(r[1] - np.pi / 2) < 1e-4
+        assert np.allclose(transforms.from_rpy(r, xp=np), m, atol=1e-4)
+    # locked up (a31 = +1 -> pitch -pi/2)
+    m2 = transforms.from_rpy(np.array([-0.3, -np.pi / 2, 0.0], np.float32), xp=np)
+    r2 = transforms.to_rpy(m2, 1, xp=np)
+    assert abs(r2[1] + np.pi / 2) < 1e-4
+    assert np.allclose(transforms.from_rpy(r2, xp=np), m2, atol=1e-4)
+    # jnp path (jit-safe, batched) agrees with numpy
+    batch = np.stack([np.asarray(m), np.asarray(m2)]).astype(np.float32)
+    jr = np.asarray(transforms.to_rpy(jnp.asarray(batch), 1))
+    nr = np.stack([transforms.to_rpy(b, 1, xp=np) for b in batch])
+    assert np.allclose(jr, nr, atol=1e-5)
