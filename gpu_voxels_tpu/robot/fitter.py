@@ -18,33 +18,20 @@ offsets are capped at the reference's 56-bit shift limit), and
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 MAX_SV_SHIFT = 56  # performLeftShift cap (BitVector.h:361-402)
 
 
-def fit_orderings(
-    robots: Sequence, all_solutions: bool = True, slot_predicate=None
-) -> List[list]:
-    """Fitter::fitInternal (Fitter.cpp:71-116): search trajectory orderings.
+def iter_orderings(robots: Sequence, slot_predicate=None) -> Iterator[list]:
+    """Lazily yield feasible trajectory orderings (Fitter.cpp:71-116).
 
-    ``robots`` is ``[(name, [(traj_name, swept_map), ...]), ...]``; every
-    robot must carry the same number of trajectories (slots). Returns the
-    list of solutions, each ``[per-robot list of trajectory indices]`` —
-    ``solution[r][s]`` is the trajectory robot ``r`` runs in slot ``s``.
-
-    By default slot-mates of earlier robots must not collide (boolean
-    areColliding — the reference criterion). ``slot_predicate``, when given,
-    replaces it: called with the slot's maps for robots ``0..r`` (the newly
-    placed robot last) and returns True iff that partial slot is feasible —
-    e.g. a delay-deconfliction predicate (`fit_schedule` with
-    ``windows_in_search=True``). The predicate must be monotone (an
-    infeasible prefix cannot become feasible by adding robots), which
-    greedy `deconflict_slot` prefixes satisfy: a robot's delay never changes
-    when later robots are appended.
+    Generator form of `fit_orderings`: consumers that only need the first
+    few solutions stop the factorial search early, like the reference's
+    ``Fitter::fitInternal`` early exit. Yielded solutions are independent
+    copies.
     """
     n_traj = len(robots[0][1])
-    solutions: List[list] = []
 
     def collides(solution, r, index):
         _, maps = robots[r]
@@ -63,21 +50,50 @@ def fit_orderings(
     def rec(solution, robot, index, todo):
         if index >= n_traj:
             if robot == len(robots) - 1:
-                solutions.append([list(s) for s in solution])
-                return not all_solutions
-            return rec(solution, robot + 1, 0, todo)
+                yield [list(s) for s in solution]
+                return
+            yield from rec(solution, robot + 1, 0, todo)
+            return
         for _ in range(len(todo[robot])):
             traj = todo[robot].pop(0)
             solution[robot].append(traj)
             if not collides(solution, robot, index):
-                if rec(solution, robot, index + 1, todo):
-                    return True
+                yield from rec(solution, robot, index + 1, todo)
             todo[robot].append(traj)
             solution[robot].pop()
-        return False
 
-    rec([[] for _ in robots], 0, 0, [list(range(n_traj)) for _ in robots])
-    return solutions
+    yield from rec(
+        [[] for _ in robots], 0, 0, [list(range(n_traj)) for _ in robots]
+    )
+
+
+def fit_orderings(
+    robots: Sequence, all_solutions: bool = True, slot_predicate=None
+) -> List[list]:
+    """Fitter::fitInternal (Fitter.cpp:71-116): search trajectory orderings.
+
+    ``robots`` is ``[(name, [(traj_name, swept_map), ...]), ...]``; every
+    robot must carry the same number of trajectories (slots). Returns the
+    list of solutions, each ``[per-robot list of trajectory indices]`` —
+    ``solution[r][s]`` is the trajectory robot ``r`` runs in slot ``s``.
+    With ``all_solutions=False`` the search stops at the first solution
+    (the reference's early exit).
+
+    By default slot-mates of earlier robots must not collide (boolean
+    areColliding — the reference criterion). ``slot_predicate``, when given,
+    replaces it: called with the slot's maps for robots ``0..r`` (the newly
+    placed robot last) and returns True iff that partial slot is feasible —
+    e.g. a delay-deconfliction predicate (`fit_schedule` with
+    ``windows_in_search=True``). The predicate must be monotone (an
+    infeasible prefix cannot become feasible by adding robots), which
+    greedy `deconflict_slot` prefixes satisfy: a robot's delay never changes
+    when later robots are appended.
+    """
+    it = iter_orderings(robots, slot_predicate=slot_predicate)
+    if all_solutions:
+        return list(it)
+    first = next(it, None)
+    return [] if first is None else [first]
 
 
 def _pair_window_conflicts(m_a, m_b, rel: int, margin: int) -> int:
@@ -143,9 +159,9 @@ def fit_schedule(
     via `deconflict_slot`. Returns ``[(solution, slot_delays)]`` where
     ``slot_delays[s][r]`` is robot r's start delay in slot s (None for a
     slot that cannot be deconflicted within the shift cap). With
-    ``all_solutions=False`` returns the first ordering whose EVERY slot
-    deconflicts (falling back to all orderings annotated as-is when none
-    fully deconflicts).
+    ``all_solutions=False`` the ordering search runs lazily and stops at
+    the first ordering whose EVERY slot deconflicts (falling back to the
+    FIRST ordering, annotated as-is, when none fully deconflicts).
 
     ``windows_in_search=True`` makes delay-deconflictability the slot
     criterion INSIDE the ordering recursion: orderings the reference's
@@ -158,9 +174,8 @@ def fit_schedule(
         def pred(prefix_maps):
             return deconflict_slot(prefix_maps, margin, max_shift, stride) is not None
 
-    orderings = fit_orderings(robots, all_solutions=True, slot_predicate=pred)
     results = []
-    for sol in orderings:
+    for sol in iter_orderings(robots, slot_predicate=pred):
         n_slots = len(sol[0])
         slot_delays = []
         for s in range(n_slots):

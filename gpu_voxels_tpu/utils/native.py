@@ -60,6 +60,24 @@ def _load() -> Optional[ctypes.CDLL]:
     if not _SO.exists():
         return None
     lib = ctypes.CDLL(str(_SO))
+    # ABI gate FIRST: a stale .so may lack symbols added in newer ABIs, so
+    # binding argtypes before this check would raise AttributeError instead
+    # of reaching the warn-and-disable fallback.
+    try:
+        lib.gv_abi_version.restype = ctypes.c_int
+        got = lib.gv_abi_version()
+    except AttributeError:
+        got = 0
+    if got != _ABI_VERSION:
+        import warnings
+
+        warnings.warn(
+            f"libgvtpu_native.so has ABI {got}, expected {_ABI_VERSION}; "
+            f"native fast paths disabled — rebuild with `make -C native`",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return None
     lib.gv_parse_floats.restype = ctypes.c_int64
     lib.gv_parse_floats.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
     lib.gv_binvox_rle_decode.restype = ctypes.c_int64
@@ -87,18 +105,6 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
         ctypes.c_int, ctypes.c_int64,
     ]
-    lib.gv_abi_version.restype = ctypes.c_int
-    got = lib.gv_abi_version()
-    if got != _ABI_VERSION:
-        import warnings
-
-        warnings.warn(
-            f"libgvtpu_native.so has ABI {got}, expected {_ABI_VERSION}; "
-            f"native fast paths disabled — rebuild with `make -C native`",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-        return None
     _lib = lib
     return _lib
 

@@ -267,6 +267,12 @@ def test_camelcase_compat_aliases():
         np.array([[1.5, 1.5, 1.5]], np.float32)
     )
     assert bool(m.collisionCheck(m, 0.5))
+    from gpu_voxels_tpu.maps.distance_map import DistanceVoxelMap
+
+    d = DistanceVoxelMap.create((8, 8, 8)).insertPointCloud(
+        np.array([[1.5, 1.5, 1.5]], np.float32)
+    ).parallelBanding3D()
+    assert int(d.getSquaredObstacleDistance(1, 1, 3)) == 4
 
 
 def test_compat_alias_tables_fully_install():
@@ -312,10 +318,6 @@ def test_compat_alias_tables_fully_install():
             assert holders, f"{camel} -> {snake}: no target class has it"
             for c in holders:
                 assert hasattr(c, camel), f"{c.__name__}.{camel} not installed"
-    d = DistanceVoxelMap.create((8, 8, 8)).insertPointCloud(
-        np.array([[1.5, 1.5, 1.5]], np.float32)
-    ).parallelBanding3D()
-    assert int(d.getSquaredObstacleDistance(1, 1, 3)) == 4
 
 
 def test_morton_voxel_list_disk_roundtrip(tmp_path):
