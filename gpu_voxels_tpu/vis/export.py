@@ -27,12 +27,33 @@ def _color_for(t: int):
     return [(c, x, 0), (x, c, 0), (0, c, x), (0, x, c), (x, 0, c), (c, 0, x)][int(h) % 6]
 
 
+def distance_colors(dist: np.ndarray) -> np.ndarray:
+    """uint8[K,3] gradient colors for metric distances — the reference
+    viewer's distance-dependent DistanceVoxel coloring
+    (gpu_visualization/Visualizer.cu distance drawmodes): obstacles (d=0)
+    red, ramping through yellow/green to blue at the farthest distance."""
+    d = np.asarray(dist, np.float64)
+    finite = np.isfinite(d)
+    dmax = float(d[finite].max()) if finite.any() and d[finite].max() > 0 else 1.0
+    t = np.clip(np.where(finite, d, dmax) / dmax, 0.0, 1.0)  # 0 obstacle .. 1 far
+    # piecewise ramp red -> yellow -> green -> cyan -> blue
+    seg = np.clip(t * 4.0, 0.0, 4.0)
+    r = np.clip(2.0 - seg, 0.0, 1.0)
+    g = np.clip(np.minimum(seg, 4.0 - seg), 0.0, 1.0)
+    b = np.clip(seg - 2.0, 0.0, 1.0)
+    return (np.stack([r, g, b], axis=1) * 255).astype(np.uint8)
+
+
 def write_ply(path, m, threshold: float = 0.5, cubes=None) -> int:
     """Occupied voxel centers as a colored PLY point cloud.
 
-    `cubes` accepts a precomputed extract_cubes(m, threshold) result so
-    publishers extracting once can feed several writers."""
-    centers, types = cubes if cubes is not None else extract_cubes(m, threshold)
+    `cubes` accepts a precomputed extract_cubes(m, threshold) result —
+    (centers, types) or (centers, types, scales); the point cloud drops
+    per-cube scales — so publishers extracting once can feed several
+    writers."""
+    if cubes is None:
+        cubes = extract_cubes(m, threshold)
+    centers, types = cubes[0], cubes[1]
     colors = np.asarray([_color_for(int(t)) for t in types], np.uint8) if len(types) else np.zeros((0, 3), np.uint8)
     with open(path, "w") as f:
         f.write(
@@ -55,18 +76,18 @@ def write_html(path, maps: dict, threshold: float = 0.5, title: str = "gpu_voxel
     """
     layers = []
     for name, m in maps.items():
-        centers, types = (
-            cubes[name] if cubes and name in cubes else extract_cubes(m, threshold)
-        )
+        cs = cubes[name] if cubes and name in cubes else extract_cubes(m, threshold)
+        centers, types = cs[0], cs[1]
         colors = [list(_color_for(int(t))) for t in types]
-        layers.append(
-            dict(
-                name=name,
-                side=float(m.side_length),
-                centers=np.round(centers, 4).tolist(),
-                colors=colors,
-            )
+        layer = dict(
+            name=name,
+            side=float(m.side_length),
+            centers=np.round(centers, 4).tolist(),
+            colors=colors,
         )
+        if len(cs) > 2 and cs[2] is not None:  # multi-level: per-cube edge
+            layer["scales"] = np.round(np.asarray(cs[2], np.float64), 4).tolist()
+        layers.append(layer)
     payload = json.dumps(layers)
     html = f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{title}</title>
@@ -91,6 +112,8 @@ for (const layer of layers) {{
   const mesh = new THREE.InstancedMesh(geo, mat, layer.centers.length);
   const mtx = new THREE.Matrix4();
   layer.centers.forEach((c, i) => {{
+    if (layer.scales) {{ const s = layer.scales[i] / layer.side; mtx.makeScale(s, s, s); }}
+    else {{ mtx.identity(); }}
     mtx.setPosition(c[0], c[1], c[2]); mesh.setMatrixAt(i, mtx);
     const col = layer.colors[i];
     mesh.setColorAt(i, new THREE.Color(col[0]/255, col[1]/255, col[2]/255));

@@ -85,7 +85,8 @@ window.startFallback = function () {
       pts.sort((a, b) => a.p[1] - b.p[1]);
       for (const q of pts) {
         const px = ox + s * q.p[0], py = oy - s * q.p[2];
-        const r = Math.max(2, s * q.layer.side * 0.9);
+        const sz = q.layer.scales ? q.layer.scales[q.i] : q.layer.side;
+        const r = Math.max(2, s * sz * 0.9);
         ctx.fillStyle = `rgb(${q.col[0]},${q.col[1]},${q.col[2]})`;
         ctx.fillRect(px - r / 2, py - r / 2, r, r);
         drawn.push({px, py, q});
@@ -262,26 +263,10 @@ setInterval(refresh, 1000); refresh();
 </script></body></html>"""
 
 
-def publish_cubes(out_dir, name: str, m, threshold: float = 0.5, cubes=None) -> None:
-    """Write a map snapshot consumable by the live viewer. `cubes` accepts a
-    precomputed extract_cubes result (publishers extract once for several
-    writers)."""
-    import numpy as np
-
-    from .export import _color_for
-    from .extract import extract_cubes
-
+def _write_layer(out_dir, name: str, payload: dict) -> None:
+    """Write one viewer layer + register it in the manifest."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    centers, types = cubes if cubes is not None else extract_cubes(m, threshold)
-    payload = dict(
-        side=float(m.side_length),
-        centers=np.round(centers, 4).tolist(),
-        colors=[list(_color_for(int(t))) for t in types],
-        # per-voxel meaning ids: drive the viewer's meaning_colors /
-        # meaning_visible config and click-to-inspect
-        types=[int(t) for t in types],
-    )
     (out / f"{name}.cubes.json").write_text(json.dumps(payload))
     manifest = {"maps": [], "ts": time.strftime("%H:%M:%S")}
     mf = out / "manifest.json"
@@ -293,6 +278,53 @@ def publish_cubes(out_dir, name: str, m, threshold: float = 0.5, cubes=None) -> 
     if name not in manifest["maps"]:
         manifest["maps"].append(name)
     mf.write_text(json.dumps(manifest))
+
+
+def publish_cubes(out_dir, name: str, m, threshold: float = 0.5, cubes=None) -> None:
+    """Write a map snapshot consumable by the live viewer. `cubes` accepts a
+    precomputed extract result — (centers, types) or (centers, types,
+    scales) for multi-level octree cubes (extract_multilevel_cubes) —
+    so publishers extract once for several writers."""
+    import numpy as np
+
+    from .export import _color_for
+    from .extract import extract_cubes
+
+    if cubes is None:
+        cubes = extract_cubes(m, threshold)
+    centers, types = cubes[0], cubes[1]
+    payload = dict(
+        side=float(m.side_length),
+        centers=np.round(centers, 4).tolist(),
+        colors=[list(_color_for(int(t))) for t in types],
+        # per-voxel meaning ids: drive the viewer's meaning_colors /
+        # meaning_visible config and click-to-inspect
+        types=[int(t) for t in types],
+    )
+    if len(cubes) > 2 and cubes[2] is not None:
+        payload["scales"] = np.round(np.asarray(cubes[2], np.float64), 4).tolist()
+    _write_layer(out_dir, name, payload)
+
+
+def publish_distance_layer(out_dir, name: str, m, axis: str = "z", index=None) -> None:
+    """Publish a distance-field gradient slice of a DistanceVoxelMap — the
+    reference viewer's distance-dependent coloring
+    (gpu_visualization/Visualizer.cu distance drawmodes). One voxel plane,
+    each cell colored red (obstacle) through blue (far free space)."""
+    import numpy as np
+
+    from .export import distance_colors
+    from .extract import extract_distance_slice
+
+    coords, dist = extract_distance_slice(m, axis=axis, index=index)
+    centers = (coords.astype(np.float64) + 0.5) * float(m.side_length)
+    payload = dict(
+        side=float(m.side_length),
+        centers=np.round(centers, 4).tolist(),
+        colors=distance_colors(dist).tolist(),
+        values=np.round(dist.astype(np.float64), 4).tolist(),
+    )
+    _write_layer(out_dir, name, payload)
 
 
 def publish_primitives(out_dir, name: str, prim) -> None:
@@ -303,8 +335,6 @@ def publish_primitives(out_dir, name: str, prim) -> None:
 
     from ..primitive_array import PrimitiveType
 
-    out = Path(out_dir)
-    out.mkdir(parents=True, exist_ok=True)
     pd = np.asarray(prim.positions_diameters, np.float32)
     sphere = prim.prim_type == PrimitiveType.ePRIM_SPHERE
     color = [255, 170, 40] if sphere else [80, 200, 255]
@@ -315,17 +345,7 @@ def publish_primitives(out_dir, name: str, prim) -> None:
         scales=np.round(pd[:, 3], 4).tolist(),
         colors=[color] * len(pd),
     )
-    (out / f"{name}.cubes.json").write_text(json.dumps(payload))
-    manifest = {"maps": [], "ts": time.strftime("%H:%M:%S")}
-    mf = out / "manifest.json"
-    if mf.exists():
-        try:
-            manifest["maps"] = json.loads(mf.read_text()).get("maps", [])
-        except json.JSONDecodeError:
-            pass
-    if name not in manifest["maps"]:
-        manifest["maps"].append(name)
-    mf.write_text(json.dumps(manifest))
+    _write_layer(out_dir, name, payload)
 
 
 def serve(directory, port: int = 8321) -> None:

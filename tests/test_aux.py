@@ -246,7 +246,14 @@ def test_visualize_hierarchical_and_paged_maps(tmp_path):
         import json
 
         payload = json.loads((tmp_path / f"{name}.cubes.json").read_text())
-        assert payload["centers"] == [[5.5, 6.5, 7.5]], name
+        # hierarchical tiers publish MULTI-LEVEL cubes: the single occupied
+        # voxel is a unit cube; coarse FREE/UNKNOWN context cubes carry
+        # per-cube scales > 1 (the VisNTree extractCubes contract)
+        occ = [
+            c for c, t in zip(payload["centers"], payload["types"]) if t == 1
+        ]
+        assert occ == [[5.5, 6.5, 7.5]], name
+        assert "scales" in payload and max(payload["scales"]) > 1.0, name
 
 
 def test_hierarchical_extract_honors_threshold():
