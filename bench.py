@@ -1,10 +1,16 @@
 """Headline benchmark: voxel collision checks/sec + insert->collide cycle Hz.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
-value is voxel-pair collision checks/sec on a 512^3 prob x prob sweep (the
-reference's kernelCollideVoxelMapsDebug workload) and vs_baseline is measured
-against the 1e9 checks/s target from BASELINE.md. Details (cycle Hz etc.) go
-to stderr.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", <all five
+BASELINE config numbers>, "regressions"} where the value is voxel-pair
+collision checks/sec on a 512^3 prob x prob sweep (the reference's
+kernelCollideVoxelMapsDebug workload) and vs_baseline is measured against the
+1e9 checks/s target from BASELINE.md. Details go to stderr.
+
+Regression guard: BENCH_EXPECT.json holds the expected envelope per metric;
+any metric drifting >10% below (or above, for latencies) its expectation adds
+a "regressions" entry and a stderr WARN line. The JSON line is emitted at the
+END (so it carries every config) but a SIGTERM/SIGINT handler flushes the
+partial line first — a driver timeout can never lose the scored headline.
 
 Measurement method: the TPU here sits behind a relay with ~3ms dispatch and
 ~30ms fetch latency, so per-call wall timing lies. Each measurement runs K
@@ -13,10 +19,70 @@ sweeps inside ONE jitted lax.fori_loop whose per-iteration parameters change
 subtracted: t_sweep = (t(K) - t(1)) / (K - 1).
 """
 import json
+import signal
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+# the one JSON line under construction; flushed exactly once
+_REPORT = {
+    "metric": "voxel collision checks/sec (512^3 prob x prob)",
+    "value": 0.0,
+    "unit": "checks/s",
+    "vs_baseline": 0.0,
+}
+_EMITTED = False
+
+
+def _emit_report():
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    _REPORT["regressions"] = _check_regressions(_REPORT)
+    for r in _REPORT["regressions"]:
+        print(f"WARN regression: {r}", file=sys.stderr)
+    print(json.dumps(_REPORT), flush=True)
+
+
+def _on_signal(signum, frame):
+    print(f"bench interrupted by signal {signum}; flushing partial report", file=sys.stderr)
+    _emit_report()
+    raise SystemExit(1)
+
+
+def _check_regressions(report):
+    """Compare against the BENCH_EXPECT.json envelope: each entry is
+    {key: {"expect": v, "higher_is_better": bool, "tol": 0.10}}; a metric
+    drifting >tol in the bad direction is a regression. The envelope is
+    maintained by hand from accepted runs (BENCH_r03 numbers seeded it) —
+    this is what finally watches the 390->371e9 headline drift."""
+    path = Path(__file__).resolve().parent / "BENCH_EXPECT.json"
+    if not path.exists():
+        return []
+    try:
+        envelope = json.loads(path.read_text())
+    except (OSError, json.JSONDecodeError) as exc:
+        return [f"BENCH_EXPECT.json unreadable: {exc!r}"]
+    out = []
+    for key, spec in envelope.items():
+        got = report.get(key)
+        if got is None or not isinstance(got, (int, float)) or got == 0:
+            continue  # not measured (partial run): not a regression verdict
+        expect = float(spec["expect"])
+        if spec.get("exact"):  # numeric contracts (collision counts)
+            if got != expect:
+                out.append(f"{key}: {got} != exact contract {expect}")
+            continue
+        tol = float(spec.get("tol", 0.10))
+        hib = bool(spec.get("higher_is_better", True))
+        if hib and got < expect * (1.0 - tol):
+            out.append(f"{key}: {got:.4g} < {expect:.4g} -{tol:.0%} band")
+        if not hib and got > expect * (1.0 + tol):
+            out.append(f"{key}: {got:.4g} > {expect:.4g} +{tol:.0%} band")
+    return out
 
 
 def _timed_loop(build_fn, iters, *args):
@@ -100,6 +166,10 @@ def main():
         f"-> {checks_per_sec:.3e} checks/s (eff BW {2*n/best/1e9:.0f} GB/s)",
         file=sys.stderr,
     )
+    _REPORT["value"] = checks_per_sec
+    _REPORT["vs_baseline"] = checks_per_sec / 1e9
+    global _HEADLINE_DONE
+    _HEADLINE_DONE = True
 
     # full cycle: insert two Kinect-sized clouds (307k points) + collide, 512^3
     pts_env = jnp.asarray(
@@ -125,22 +195,7 @@ def main():
         f"full insert->collide cycle 512^3: {t_cycle*1e3:.2f} ms = {1.0/t_cycle:.1f} Hz",
         file=sys.stderr,
     )
-
-    # headline JSON goes out BEFORE the slow secondary diagnostics so a driver
-    # timeout can never lose the scored line
-    global _HEADLINE_DONE
-    print(
-        json.dumps(
-            {
-                "metric": "voxel collision checks/sec (512^3 prob x prob)",
-                "value": checks_per_sec,
-                "unit": "checks/s",
-                "vs_baseline": checks_per_sec / 1e9,
-            }
-        ),
-        flush=True,
-    )
-    _HEADLINE_DONE = True
+    _REPORT["cycle_hz_512"] = 1.0 / t_cycle
 
     # --- secondary workloads (stderr diagnostics, best-effort) -------------
     from gpu_voxels_tpu import bitops
@@ -189,6 +244,7 @@ def main():
         f"ms/sweep = {nb/t_bit:.3e} checks/s (measured 2-map stream bound 1.46 ms)",
         file=sys.stderr,
     )
+    _REPORT["bit_fold_ms_256"] = t_bit * 1e3
 
     # maintained occupancy-summary collide: BitVectorVoxelMap keeps a
     # uint8[N] !noneButEmpty summary coherent through every mutation, so the
@@ -224,6 +280,7 @@ def main():
         f"({t_bit/t_occ:.0f}x the plane fold)",
         file=sys.stderr,
     )
+    _REPORT["occ_summary_ms_256"] = t_occ * 1e3
 
     # EDT (jump flood) at 256^3 with 10k obstacles
     dims_e = (256, 256, 256)
@@ -251,6 +308,7 @@ def main():
 
     t_edt = _timed_loop(build_edt, 4, packed)
     print(f"EDT multires jump-flood 256^3 (10k obstacles): {t_edt*1e3:.1f} ms", file=sys.stderr)
+    _REPORT["edt_jfa_ms_256"] = t_edt * 1e3
 
     # insert throughput: 307k points into 512^3
     def build_insert(k):
@@ -271,6 +329,7 @@ def main():
         f"{pts_env.shape[0]/t_ins:.3e} points/s",
         file=sys.stderr,
     )
+    _REPORT["insert_points_per_s_512"] = float(pts_env.shape[0]) / t_ins
 
     # --- the five BASELINE.md configs, one stderr line each ----------------
     # config #1: gvl_linkage_test — exact 8000-count contract + call latency
@@ -296,6 +355,8 @@ def main():
         f"(~30 ms is relay fetch)",
         file=sys.stderr,
     )
+    _REPORT["b1_linkage_count"] = c1
+    _REPORT["b1_linkage_ms"] = t_link * 1e3
 
     # config #2: Kinect 640x480 -> 256^3 sensor fusion with the EXACT
     # per-pixel carve (reference insertSensorData semantics, default path)
@@ -334,6 +395,7 @@ def main():
         f"{t_fuse*1e3:.2f} ms = {1.0/t_fuse:.1f} Hz (target >=30)",
         file=sys.stderr,
     )
+    _REPORT["b2_sensor_fusion_hz"] = 1.0 / t_fuse
 
     # config #3: UR10 swept-volume trajectory (64 steps, per-step SV bits)
     from gpu_voxels_tpu.maps.voxelmap import BitVectorVoxelMap
@@ -377,6 +439,7 @@ def main():
         f"{t_sv*1e3:.1f} ms/trajectory",
         file=sys.stderr,
     )
+    _REPORT["b3_swept_volume_ms"] = t_sv * 1e3
 
     # config #4: PBA exact EDT at 512^3 (Pallas envelope sweeps)
     from gpu_voxels_tpu.ops import edt_envelope
@@ -408,6 +471,7 @@ def main():
         f"BASELINE #4 exact PBA EDT 512^3 (20k obstacles): {t_pba*1e3:.1f} ms",
         file=sys.stderr,
     )
+    _REPORT["b4_pba_edt_ms"] = t_pba * 1e3
 
     # config #5: motion-validity batch against a 1024^3 hierarchical env
     from dataclasses import replace as _dc_replace
@@ -438,14 +502,18 @@ def main():
         f"(colliding={int((cv > 0).sum())})",
         file=sys.stderr,
     )
+    _REPORT["b5_validity_checks_per_s"] = len(states) / t_val
 
 
 _HEADLINE_DONE = False
 
 if __name__ == "__main__":
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
     try:
         main()
     except Exception as exc:
         if not _HEADLINE_DONE:
             raise  # headline failed: a real benchmark failure
         print(f"secondary diagnostics aborted: {exc!r}", file=sys.stderr)
+    _emit_report()

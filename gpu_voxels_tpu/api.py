@@ -44,6 +44,7 @@ class GpuVoxels:
         self._robots: Dict[str, RobotInterface] = {}
         self._prim_arrays: Dict[str, PrimitiveArray] = {}
         self._vis: Dict[str, VisProvider] = {}
+        self._meshes: Dict[str, object] = {}  # map name -> jax Mesh (opt-in)
 
     # -- lifecycle -----------------------------------------------------------
     @classmethod
@@ -63,8 +64,14 @@ class GpuVoxels:
         return self._side_length
 
     # -- map registry -----------------------------------------------------------
-    def add_map(self, map_type: MapType, map_name: str, capacity: int = DEFAULT_LIST_CAPACITY):
-        """addMap factory over all MapTypes (GpuVoxels.cpp:164-270)."""
+    def add_map(self, map_type: MapType, map_name: str, capacity: int = DEFAULT_LIST_CAPACITY, mesh=None):
+        """addMap factory over all MapTypes (GpuVoxels.cpp:164-270).
+
+        `mesh` (a jax.sharding.Mesh with a 'z' axis) opts the map into
+        multi-chip grid sharding: its arrays are laid out over the mesh as
+        z-slabs (parallel.shard_map_value) and every facade update re-pins
+        the layout, so all public ops on the map run SPMD-distributed. New
+        capability vs the single-GPU reference (SURVEY §2.4)."""
         if self._dims is None:
             raise RuntimeError("Call initialize() first")
         if map_name in self._maps:
@@ -109,13 +116,18 @@ class GpuVoxels:
                 m = HierarchicalBitMap.create(d, s)
         else:
             raise NotImplementedError(f"map type {mt}")
+        if mesh is not None:
+            from .parallel import shard_map_value
+
+            m = shard_map_value(m, mesh)
+            self._meshes[map_name] = mesh
         self._maps[map_name] = m
         self._locks[map_name] = threading.RLock()
         self._vis[map_name] = VisProvider(map_name)
         return m
 
     def del_map(self, map_name: str) -> bool:
-        for d in (self._maps, self._locks, self._vis):
+        for d in (self._maps, self._locks, self._vis, self._meshes):
             d.pop(map_name, None)
         return True
 
@@ -123,15 +135,28 @@ class GpuVoxels:
         return self._maps[map_name]
 
     def set_map(self, map_name: str, new_map) -> None:
-        """Rebind after a functional update."""
+        """Rebind after a functional update (re-pins mesh layouts)."""
         with self._locks[map_name]:
+            mesh = self._meshes.get(map_name)
+            if mesh is not None:
+                from .parallel import reshard_like
+
+                new_map = reshard_like(new_map, mesh)
             self._maps[map_name] = new_map
 
     def update_map(self, map_name: str, fn):
-        """Atomically apply map -> map function; returns the new map."""
+        """Atomically apply map -> map function; returns the new map.
+        Mesh-registered maps are re-pinned to their z-slab layout after the
+        update (a no-op view when XLA already preserved the sharding)."""
         with self._locks[map_name]:
-            self._maps[map_name] = fn(self._maps[map_name])
-            return self._maps[map_name]
+            new = fn(self._maps[map_name])
+            mesh = self._meshes.get(map_name)
+            if mesh is not None:
+                from .parallel import reshard_like
+
+                new = reshard_like(new, mesh)
+            self._maps[map_name] = new
+            return new
 
     def clear_map(self, map_name: str, voxel_meaning: Optional[BitVoxelMeaning] = None) -> bool:
         if voxel_meaning is None:

@@ -114,6 +114,36 @@ def or_reduce(planes: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.bitwise_or.reduce(planes, axis=axis + 1)
 
 
+def or_reduce_words_spmd(x: jnp.ndarray) -> jnp.ndarray:
+    """Bitwise-OR reduction over the LAST axis that stays legal on sharded
+    inputs (first-class map sharding, parallel/shard_value.py).
+
+    A plain `jnp.bitwise_or.reduce` over an axis sharded across the mesh
+    makes GSPMD emit `AllReduce(or: u32)`, which XLA's CPU backend (the
+    virtual test mesh) does not implement. Instead: one LOCAL reshape-reduce
+    over an unsharded minor axis collapses N to a 256-row partial (one pass
+    over the data, same cost as before), then a log-step halving OR over
+    those 256 rows — tiny elementwise slices whose resharding uses plain
+    collective-permute/gather. Single-device lowering is unchanged in cost.
+    """
+    n = x.shape[-1]
+    k = 256  # >= any mesh axis; 256/nz whole rows per shard keeps stage 1 local
+    if n >= 2 * k:
+        pad = (-n) % k
+        if pad:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        x = x.reshape(x.shape[:-1] + (k, (n + pad) // k))
+        x = jnp.bitwise_or.reduce(x, axis=-1)
+    m = x.shape[-1]
+    p2 = 1 << (m - 1).bit_length()
+    if p2 != m:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, p2 - m)])
+    while x.shape[-1] > 1:
+        h = x.shape[-1] // 2
+        x = x[..., :h] | x[..., h:]
+    return x[..., 0]
+
+
 def perform_left_shift(planes: jnp.ndarray, shift_size: int) -> jnp.ndarray:
     """Shift every bit vector's bits toward lower indices by `shift_size`.
 

@@ -227,7 +227,7 @@ def collide_with_types_bit_bit(
             a_planes, b_planes, zero, margin, sv_offset
         )
     records = jnp.where(hit[None, :], records, jnp.zeros_like(records))
-    meanings = jnp.bitwise_or.reduce(records, axis=1)
+    meanings = bitops.or_reduce_words_spmd(records)  # SPMD-safe (sharded maps)
     count = jnp.sum(hit, dtype=jnp.uint32)
     if mark_collisions:
         plane0 = jnp.where(hit, a_planes[0] | bitops.UINT32(1 << 2), a_planes[0])
@@ -243,7 +243,7 @@ def collide_with_types_bit_prob(
     voxel's full vector is OR'd into the colliding-meanings record."""
     hit = prob_occupied(prob, t) & bitops.occupied(bit_planes)
     masked = jnp.where(hit[None, :], bit_planes, jnp.zeros_like(bit_planes))
-    meanings = jnp.bitwise_or.reduce(masked, axis=1)
+    meanings = bitops.or_reduce_words_spmd(masked)  # SPMD-safe (sharded maps)
     count = jnp.sum(hit, dtype=jnp.uint32)
     if mark_collisions:
         plane0 = jnp.where(hit, bit_planes[0] | bitops.UINT32(1 << 2), bit_planes[0])

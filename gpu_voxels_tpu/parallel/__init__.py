@@ -1,3 +1,4 @@
+from .shard_value import assert_sharded, reshard_like, shard_map_value
 from .sharded import (
     build_sharded_bit_cycle,
     build_sharded_cycle,
@@ -10,6 +11,7 @@ from .sharded import (
 )
 
 __all__ = [
+    "assert_sharded",
     "build_sharded_bit_cycle",
     "build_sharded_cycle",
     "build_sharded_hier_probe",
@@ -17,5 +19,7 @@ __all__ = [
     "build_sharded_paged_probe",
     "build_sharded_sensor_cycle",
     "make_grid_mesh",
+    "reshard_like",
+    "shard_map_value",
     "sharded_collide_count",
 ]

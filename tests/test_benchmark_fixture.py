@@ -32,3 +32,37 @@ def test_collision_benchmark(bench_params, capsys):
     assert "voxelmap::collision" in summary
     if iters > 1:
         print("\n" + summary)
+
+
+def test_bench_regression_guard():
+    """bench.py's envelope check: metrics drifting >tol in the bad direction
+    (or missing an exact contract) produce regression entries; unmeasured
+    keys (partial run) never do."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    report = {
+        "value": 3.7e11,          # inside the band
+        "cycle_hz_512": 100.0,    # way below 180 -15% -> regression
+        "b4_pba_edt_ms": 160.0,   # above 108.5 +15% -> regression
+        "b1_linkage_count": 7999, # exact contract broken -> regression
+        "b2_sensor_fusion_hz": 0, # "not measured" sentinel: skipped
+    }
+    regs = bench._check_regressions(report)
+    keys = {r.split(":")[0] for r in regs}
+    assert keys == {"cycle_hz_512", "b4_pba_edt_ms", "b1_linkage_count"}
+
+    # a fully in-band report is clean
+    clean = {
+        "value": 3.8e11,
+        "cycle_hz_512": 185.0,
+        "b1_linkage_count": 8000,
+        "b4_pba_edt_ms": 100.0,
+    }
+    assert bench._check_regressions(clean) == []

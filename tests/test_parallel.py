@@ -198,3 +198,36 @@ def test_sharded_list_collide_matches_single_device():
         got = int(fn(la.ids, la.ids_hi, lb.ids, lb.ids_hi))
         expect = int(la.collide_with(lb))
         assert got == expect and got > 0, id_mode
+
+
+def test_sharded_exact_edt_bit_identical():
+    """Z-slab sharded parallel_banding (halo-carried Z flood + local envelope
+    sweeps + gathered coarse bounds) must return the exact single-device
+    packed output bit-for-bit (the SURVEY §7.11 halo-exchange mandate on the
+    flagship exact EDT)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gpu_voxels_tpu.ops import edt, edt_envelope
+    from gpu_voxels_tpu.parallel.sharded_edt_exact import (
+        build_sharded_parallel_banding,
+    )
+
+    mesh = make_grid_mesh(8, world=1)
+    dims = (16, 32, 64)  # dzl = 8 per slab
+    n = dims[0] * dims[1] * dims[2]
+    rng = np.random.default_rng(7)
+    mask = np.zeros(n, bool)
+    mask[rng.integers(0, n, 200)] = True
+    packed = edt.init_from_obstacle_mask(jnp.asarray(mask), dims)
+
+    fn = build_sharded_parallel_banding(mesh, dims, bound_c=8)
+    sharded = np.asarray(fn(jax.device_put(packed, NamedSharding(mesh, P("z")))))
+    single = np.asarray(edt_envelope.parallel_banding(packed, dims, bound_c=8))
+    np.testing.assert_array_equal(sharded, single)
+
+    # an empty grid (no sites anywhere) must stay uninitialised everywhere
+    empty = edt.init_from_obstacle_mask(jnp.zeros(n, bool), dims)
+    out = np.asarray(fn(jax.device_put(empty, NamedSharding(mesh, P("z")))))
+    from gpu_voxels_tpu.constants import PBA_UNINITIALISED_PACKED
+
+    assert (out == PBA_UNINITIALISED_PACKED).all()
