@@ -1,8 +1,9 @@
 """Port of examples/URDF_Loader.cpp: load a URDF robot, animate a joint and
-collide against an environment map. Uses a small built-in URDF when no path
-is given (the reference ships binary robot models we do not copy)."""
+collide against an environment map. Defaults to the shipped
+examples/models/pan_tilt.urdf, whose tilt link references a mesh resolved to
+the same-named tilt_link.binvox next to it (robot_link.cpp:226 convention) —
+the real mesh-file load path, not synthetic geometry."""
 import sys
-import tempfile
 from pathlib import Path
 
 import numpy as np
@@ -10,23 +11,7 @@ import numpy as np
 from gpu_voxels_tpu.api import GpuVoxels
 from gpu_voxels_tpu.constants import BitVoxelMeaning, MapType
 
-DEMO_URDF = """<?xml version="1.0"?>
-<robot name="pan_tilt">
-  <link name="base"/>
-  <link name="pan"/>
-  <link name="tilt"/>
-  <joint name="pan_joint" type="revolute">
-    <parent link="base"/> <child link="pan"/>
-    <origin xyz="0 0 0.5" rpy="0 0 0"/> <axis xyz="0 0 1"/>
-    <limit lower="-3.14" upper="3.14"/>
-  </joint>
-  <joint name="tilt_joint" type="revolute">
-    <parent link="pan"/> <child link="tilt"/>
-    <origin xyz="0.4 0 0" rpy="0 0 0"/> <axis xyz="0 1 0"/>
-    <limit lower="-1.57" upper="1.57"/>
-  </joint>
-</robot>
-"""
+DEMO_URDF_PATH = Path(__file__).resolve().parent / "models" / "pan_tilt.urdf"
 
 
 def main(urdf_path=None):
@@ -36,17 +21,16 @@ def main(urdf_path=None):
     gvl.add_map(MapType.MT_PROBAB_VOXELMAP, "env_map")
 
     if urdf_path is None:
-        tmp = Path(tempfile.mkdtemp()) / "demo.urdf"
-        tmp.write_text(DEMO_URDF)
-        urdf_path = tmp
+        urdf_path = DEMO_URDF_PATH
     gvl.add_robot("bot", urdf_path)
     robot = gvl.get_robot("bot")
-    # give the tilt link some geometry (the reference loads .binvox files)
-    robot.update_point_cloud("tilt", np.linspace([0.05, 0, 0], [0.5, 0, 0], 12).astype(np.float32))
+    n_mesh = int(np.asarray(robot.get_transformed_clouds().points).shape[0])
+    print(f"loaded {urdf_path}: {n_mesh} mesh-cloud points")
 
     gvl.insert_box_into_map((1.4, 0.9, 1.4), (1.8, 1.2, 1.8), "env_map", BitVoxelMeaning.eBVM_OCCUPIED)
 
     base_offset = np.array([1.2, 1.2, 1.0], np.float32)
+    total = 0
     for i, pan in enumerate(np.linspace(0, np.pi / 2, 5)):
         gvl.set_robot_configuration("bot", {"pan_joint": float(pan), "tilt_joint": 0.2})
         gvl.clear_map("robot_map")
@@ -54,7 +38,8 @@ def main(urdf_path=None):
         gvl.insert_point_cloud_into_map(np.asarray(clouds.points) + base_offset, "robot_map")
         n = int(gvl.get_map("robot_map").collide_with(gvl.get_map("env_map"), 0.7))
         print(f"pan={pan:.2f}: {n} collisions")
-    return n
+        total += n
+    return {"mesh_points": n_mesh, "total_collisions": total}
 
 
 if __name__ == "__main__":

@@ -211,6 +211,13 @@ class PagedSnapshot:
 # recompiles happen only on capacity doublings / new batch sizes.
 
 
+def _host_fetch(arr):
+    """The allocator's single device->host fetch point. Tests stub this to
+    count transfer volume (the steady-state contract is one scalar per
+    insert; allocation frames add one scalar + one O(new tiles) prefix)."""
+    return np.asarray(arr)
+
+
 def _canon_offset(offset) -> tuple:
     """Offsets are static jit arguments; canonicalize lists/arrays to a
     hashable int tuple."""
@@ -263,6 +270,40 @@ def _needs_allocation(pages, skeys, srows, coords, inside, sdims: Dims, cap):
     coords array."""
     slot, _ = _pool_address(pages, skeys, srows, coords, inside, sdims, cap)
     return jnp.any(inside & (slot == cap))
+
+
+@functools.partial(jax.jit, static_argnames=("sdims",))
+def _new_tile_blocks(pages, skeys, srows, coords, inside, sdims: Dims, cap):
+    """(n_new, blocks): unique block coords of in-bounds points whose tile is
+    UNALLOCATED, compacted to the front of `blocks` int32[N, 3].
+
+    Device-side dedup so a frame entering fresh territory fetches O(new
+    tiles), not O(points): blocks are identified by their (page key, index
+    within page) pair — both int32-safe at any supported world size (page
+    keys are < 2^30 by the dims check; a packed block key would need 39 bits
+    past 8192^3 and jnp has no real int64) — lexsorted, first-occurrence
+    marked, and scatter-compacted. The host fetches the n_new scalar and then
+    only the `blocks[:n_new]` prefix."""
+    slot, _ = _pool_address(pages, skeys, srows, coords, inside, sdims, cap)
+    new = inside & (slot == cap)
+    sx, sy, _ = sdims
+    pc = coords // PAGE_EDGE
+    skey = (pc[:, 2] * sy + pc[:, 1]) * sx + pc[:, 0]
+    bc = coords // B
+    within = ((bc[:, 2] % SB) * SB + (bc[:, 1] % SB)) * SB + bc[:, 0] % SB
+    sent = jnp.int32(2**31 - 1)  # > any real page key: sorts to the back
+    k1 = jnp.where(new, skey, sent)
+    k2 = jnp.where(new, within, sent)
+    order = jnp.lexsort((k2, k1))
+    k1s, k2s, bcs = k1[order], k2[order], bc[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]
+    )
+    take = first & (k1s != sent)
+    n_new = jnp.sum(take, dtype=jnp.int32)
+    pos = jnp.where(take, jnp.cumsum(take) - 1, coords.shape[0])
+    blocks = jnp.zeros((coords.shape[0], 3), jnp.int32).at[pos].set(bcs, mode="drop")
+    return n_new, blocks
 
 
 @functools.partial(jax.jit, static_argnames=("sdims", "occ_bit", "flag"))
@@ -629,29 +670,31 @@ class PagedHierarchicalMap(DiskIO):
 
     # -- insertion --------------------------------------------------------------
     def _allocate_for(self, coords, inside) -> None:
-        """Host: allocate tiles for the blocks touched by device coords
-        (dedup in int64 numpy — block keys exceed int32 past 8192^3 worlds);
-        ONE device fetch. Steady-state inserts (every touched tile already
-        allocated — the common sensor-loop case) skip that fetch: the
-        device-side pre-check answers with a single scalar."""
+        """Host: allocate tiles for the blocks touched by device coords.
+
+        Steady-state inserts (every touched tile already allocated — the
+        common sensor-loop case) fetch ONE scalar (`_needs_allocation`).
+        When allocation IS needed, the new-tile blocks are deduped and
+        compacted ON DEVICE (`_new_tile_blocks`) and the host fetches only
+        the count scalar + that compacted prefix — O(new tiles), never
+        O(points) (a 640x480 frame entering fresh territory fetches a few
+        hundred rows, not 300k ray cells)."""
         if self._n_slots and not bool(
-            _needs_allocation(
-                self.pages, self.skeys, self.srows, coords, inside,
-                self.sdims, self.pool.shape[0],
+            _host_fetch(
+                _needs_allocation(
+                    self.pages, self.skeys, self.srows, coords, inside,
+                    self.sdims, self.pool.shape[0],
+                )
             )
         ):
             return
-        cx, cy, _ = self.cdims
-        c_np = np.asarray(coords).reshape(-1, 3).astype(np.int64)
-        in_np = np.asarray(inside).reshape(-1)
-        blk_np = c_np // B
-        key64 = (blk_np[:, 2] * cy + blk_np[:, 1]) * cx + blk_np[:, 0]
-        ukeys = np.unique(np.where(in_np, key64, -1))
-        ukeys = ukeys[ukeys >= 0]
-        ubx = ukeys % cx
-        uby = (ukeys // cx) % cy
-        ubz = ukeys // (cx * cy)
-        self._allocate(np.stack([ubx, uby, ubz], axis=1))
+        n_new, blocks = _new_tile_blocks(
+            self.pages, self.skeys, self.srows, coords, inside,
+            self.sdims, self.pool.shape[0],
+        )
+        n = int(_host_fetch(n_new))
+        if n:
+            self._allocate(np.asarray(_host_fetch(blocks[:n]), np.int64))
 
     def insert_point_cloud(
         self,
@@ -719,18 +762,27 @@ class PagedHierarchicalMap(DiskIO):
         ray_coords, live = _free_ray_cells(
             pts, origin, self.side_length, self.dims, max_steps
         )
-        if not self.probabilistic:
-            free_np = np.asarray(ray_coords.reshape(-1, 3))[np.asarray(live).reshape(-1)]
-            if free_np.size:
-                free_pts = (free_np.astype(np.float32) + 0.5) * float(self.side_length)
-                self.insert_point_cloud(free_pts, BitVoxelMeaning.eBVM_FREE, static_map)
-            return self.insert_point_cloud(
-                pts, BitVoxelMeaning.eBVM_OCCUPIED, static_map
-            )
-
         hit_coords, hit_inside = _voxelize_points(pts, self.side_length, self.dims)
         dims_arr = jnp.asarray(self.dims, jnp.int32)
         rc = jnp.clip(ray_coords.reshape(-1, 3), 0, dims_arr - 1)
+        if not self.probabilistic:
+            # carve FREE then set hits OCCUPIED, both as device scatters over
+            # the same allocation pass (hits override free, NTree's object-
+            # over-freespace priority); the ray cells never visit the host
+            all_coords = jnp.concatenate([rc, hit_coords], axis=0)
+            all_inside = jnp.concatenate([live.reshape(-1), hit_inside], axis=0)
+            self._allocate_for(all_coords, all_inside)
+            flag = NS_STATIC_MAP if static_map else NS_DYNAMIC_MAP
+            self.pool = _scatter_pool(
+                self.pool, self.pages, self.skeys, self.srows, rc,
+                live.reshape(-1), self.sdims, int(NS_FREE), int(flag),
+            )
+            self.pool = _scatter_pool(
+                self.pool, self.pages, self.skeys, self.srows, hit_coords,
+                hit_inside, self.sdims, int(NS_OCCUPIED), int(flag),
+            )
+            self._rebuild_coarse()
+            return self
         all_coords = jnp.concatenate([rc, hit_coords], axis=0)
         all_inside = jnp.concatenate([live.reshape(-1), hit_inside], axis=0)
         weights = jnp.concatenate([

@@ -85,10 +85,20 @@ class HierarchicalValidityChecker(GvlValidityChecker):
     """Validity against a hierarchical map (config: octree-tier map vs
     voxellist intersection inside motion checks at high effective
     resolution). Probes descend the status pyramid per robot voxel, so
-    mostly-uniform space costs a single coarse gather."""
+    mostly-uniform space costs a single coarse gather.
+
+    Accepts a dense `HierarchicalMap`/`HierarchicalBitMap` pytree, a
+    `PagedSnapshot`, or a host-stateful `PagedHierarchicalMap` (the sparse
+    octree tier; auto-snapshotted — at >=1024^3 the paged tier covers the
+    same world in ~1/10 the memory of the dense status pyramid, see
+    docs/PERFORMANCE.md config-#5 row). After mutating a paged env, call
+    `refresh()` to re-capture the snapshot the compiled batch probes."""
 
     def __init__(self, env_map, robot, max_colliding_voxels: int = 0, min_level: int = 0):
-        self.env = env_map
+        # PagedHierarchicalMap is host-stateful (not a pytree); jitted
+        # consumers take its immutable snapshot() instead (maps/paged.py:80)
+        self.env = env_map.snapshot() if hasattr(env_map, "snapshot") else env_map
+        self._env_source = env_map if hasattr(env_map, "snapshot") else None
         self.robot = robot
         self.max_colliding = int(max_colliding_voxels)
         self.min_level = int(min_level)
@@ -126,6 +136,15 @@ class HierarchicalValidityChecker(GvlValidityChecker):
             return jnp.sum(first & (key != jnp.uint32(0xFFFFFFFF)), dtype=jnp.uint32)
 
         return colliding_voxels
+
+    def refresh(self) -> None:
+        """Re-capture the paged env's snapshot after host-side mutations.
+
+        No-op for pytree (dense) envs, which callers rebind via `self.env`.
+        The compiled batch program is shape-stable across snapshots unless
+        the pool capacity doubled (then jit recompiles on the new shape)."""
+        if self._env_source is not None:
+            self.env = self._env_source.snapshot()
 
     def colliding_voxels(self, cfg) -> int:
         return int(self._check(jnp.asarray(cfg, jnp.float32), self.env))

@@ -110,16 +110,40 @@ def read_voxel_map(path):
     raise ValueError(f"unknown map type {map_type}")
 
 
-def write_hierarchical_map(h, path) -> None:
-    """NTree::serialize equivalent (NTree.hpp:3283-3400): persist the fine
-    ground-truth grid + metadata; the pyramid is an invariant rebuilt on
-    load. The probabilistic tier's ground truth is the int8 occupancy grid,
-    the deterministic tier's the uint8 status grid."""
+_ASCII_MAGIC = b"GPU_VOXELS_TPU_OCTREE ascii v1"
+
+
+def _write_octree_ascii_header(f, map_type: int, side_length: float, dims, levels: int):
+    f.write(_ASCII_MAGIC + b"\n")
+    # side_length is float32 in the binary header; hex keeps the roundtrip exact
+    f.write(
+        (
+            f"map_type {map_type}\n"
+            f"side_length {float(np.float32(side_length)).hex()}\n"
+            f"dims {dims[0]} {dims[1]} {dims[2]}\n"
+            f"levels {levels}\n"
+        ).encode()
+    )
+
+
+def write_hierarchical_map(h, path, ascii: bool = False) -> None:
+    """NTree::serialize equivalent (NTree.hpp:3283-3400, which supports both
+    a binary and an ascii mode): persist the fine ground-truth grid +
+    metadata; the pyramid is an invariant rebuilt on load. The probabilistic
+    tier's ground truth is the int8 occupancy grid, the deterministic tier's
+    the uint8 status grid. ascii=True writes the human-readable variant
+    (read back by the same read_hierarchical_map)."""
     from ..maps.hierarchical import HierarchicalBitMap
 
     fine = np.asarray(
         h.status if isinstance(h, HierarchicalBitMap) else h.occupancy
     )
+    if ascii:
+        with open(path, "wb") as f:
+            _write_octree_ascii_header(f, int(h.map_type), h.side_length, h.dims, h.levels)
+            f.write(("shape %d %d %d\n" % fine.shape).encode())
+            np.savetxt(f, fine.reshape(fine.shape[0], -1), fmt="%d")
+        return
     header = np.zeros((), dtype=_HEADER)
     header["map_type"] = int(h.map_type)
     header["side_length"] = h.side_length
@@ -131,28 +155,102 @@ def write_hierarchical_map(h, path) -> None:
         fine.tofile(f)
 
 
-def write_paged_map(m, path) -> None:
+def write_paged_map(m, path, ascii: bool = False) -> None:
     """Sparse paged tier serialization (NTree::serialize analogue for
-    octree-scale worlds). Ground truth is the tile pool + the block list;
-    the page directory, summaries and pyramid are invariants rebuilt on
-    load. The levels field is written NEGATIVE to distinguish this body
-    from the dense hierarchical format sharing MT_BITVECTOR_OCTREE. The
-    probabilistic tier (MT_PROBAB_OCTREE header) persists the int8
-    log-odds pool instead of the derived status pool."""
+    octree-scale worlds; NTree.hpp:3283-3400 bin/ascii). Ground truth is the
+    tile pool + the block list; the page directory, summaries and pyramid
+    are invariants rebuilt on load. The levels field is written NEGATIVE to
+    distinguish this body from the dense hierarchical format sharing
+    MT_BITVECTOR_OCTREE. The probabilistic tier (MT_PROBAB_OCTREE header)
+    persists the int8 log-odds pool instead of the derived status pool."""
+    n = m.n_tiles()
+    slot_block = np.asarray(m.slot_block[:n], "<i4")
+    pool = (
+        np.asarray(m.occ_pool[:n], np.int8)
+        if m.probabilistic
+        else np.asarray(m.pool[:n], np.uint8)
+    )
+    if ascii:
+        with open(path, "wb") as f:
+            _write_octree_ascii_header(
+                f, int(m.map_type), m.side_length, m.dims, -m.fine_levels
+            )
+            f.write(f"tiles {n}\n".encode())
+            if n:
+                # one line per tile: block coords then the 512 cell values
+                np.savetxt(
+                    f,
+                    np.concatenate([slot_block, pool.astype("<i4")], axis=1),
+                    fmt="%d",
+                )
+        return
     header = np.zeros((), dtype=_HEADER)
     header["map_type"] = int(m.map_type)
     header["side_length"] = m.side_length
     header["dims"] = m.dims
-    n = m.n_tiles()
     with open(path, "wb") as f:
         f.write(header.tobytes())
         f.write(np.int32(-m.fine_levels).tobytes())
         f.write(np.int32(n).tobytes())
-        np.asarray(m.slot_block[:n], "<i4").tofile(f)
-        if m.probabilistic:
-            np.asarray(m.occ_pool[:n], np.int8).tofile(f)
-        else:
-            np.asarray(m.pool[:n], np.uint8).tofile(f)
+        slot_block.tofile(f)
+        pool.tofile(f)
+
+
+def _read_octree_ascii(path):
+    """Read back either octree tier's ascii serialization."""
+    import jax.numpy as jnp
+
+    from ..maps.hierarchical import (
+        HierarchicalBitMap,
+        HierarchicalProbMap,
+        _build_pyramid,
+        _status_from_occupancy,
+    )
+
+    with open(path, "rb") as f:
+        assert f.readline().strip() == _ASCII_MAGIC
+        fields = {}
+        for _ in range(4):
+            k, v = f.readline().decode().split(None, 1)
+            fields[k] = v.strip()
+        map_type = MapType(int(fields["map_type"]))
+        side = float.fromhex(fields["side_length"])
+        dims = tuple(int(v) for v in fields["dims"].split())
+        levels = int(fields["levels"])
+        parts = f.readline().decode().split()
+        kind, args = parts[0], [int(v) for v in parts[1:]]
+        if levels < 0:  # paged body
+            from ..maps.paged import TILE, PagedHierarchicalMap
+
+            prob = map_type == MapType.MT_PROBAB_OCTREE
+            n = args[0]
+            body = (
+                np.loadtxt(f, dtype=np.int64, ndmin=2)
+                if n
+                else np.zeros((0, 3 + TILE), np.int64)
+            )
+            slot_block = body[:, :3].astype(np.int32)
+            pool = body[:, 3:].astype(np.int8 if prob else np.uint8)
+            m = PagedHierarchicalMap(dims, side, probabilistic=prob)
+            if n:
+                m._allocate(slot_block)
+                if prob:
+                    m.occ_pool = m.occ_pool.at[:n].set(jnp.asarray(pool))
+                    m.pool = m.pool.at[:n].set(_status_from_occupancy(m.occ_pool[:n]))
+                else:
+                    m.pool = m.pool.at[:n].set(jnp.asarray(pool))
+                m._rebuild_coarse()
+            return m
+        # dense body: kind == "shape", args are the 3 extents
+        assert kind == "shape" and len(args) == 3
+        shape = tuple(args)
+        fine = np.loadtxt(f, dtype=np.int64, ndmin=2).reshape(shape)
+    if map_type == MapType.MT_BITVECTOR_OCTREE:
+        s0 = jnp.asarray(fine.astype(np.uint8))
+        return HierarchicalBitMap(tuple(_build_pyramid(s0, levels)), dims, side, levels)
+    occ_j = jnp.asarray(fine.astype(np.int8))
+    pyr = tuple(_build_pyramid(_status_from_occupancy(occ_j), levels))
+    return HierarchicalProbMap(occ_j, pyr, dims, side, levels)
 
 
 def read_hierarchical_map(path):
@@ -166,6 +264,9 @@ def read_hierarchical_map(path):
     )
 
     with open(path, "rb") as f:
+        if f.read(len(_ASCII_MAGIC)) == _ASCII_MAGIC:
+            return _read_octree_ascii(path)
+        f.seek(0)
         header = np.frombuffer(f.read(_HEADER.itemsize), dtype=_HEADER)[0]
         levels = int(np.frombuffer(f.read(4), "<i4")[0])
         if levels < 0:  # sparse paged body (write_paged_map)

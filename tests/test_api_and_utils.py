@@ -215,6 +215,30 @@ def test_hierarchical_disk_roundtrip(tmp_path):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_hierarchical_ascii_roundtrip(tmp_path):
+    """NTree::serialize's ascii mode (NTree.hpp:3283-3400) equivalent: the
+    dense octree tier roundtrips through the human-readable format."""
+    from gpu_voxels_tpu.maps.hierarchical import HierarchicalBitMap, HierarchicalProbMap
+
+    pts = np.array([[2.5, 3.5, 4.5], [9.5, 1.5, 0.5]], np.float32)
+    for cls in (HierarchicalProbMap, HierarchicalBitMap):
+        h = cls.create((16, 16, 16), side_length=0.3).insert_point_cloud(pts / 3)
+        f = tmp_path / "h.txt"
+        map_io.write_hierarchical_map(h, f, ascii=True)
+        assert f.read_bytes().startswith(b"GPU_VOXELS_TPU_OCTREE ascii")
+        back = map_io.read_hierarchical_map(f)
+        assert type(back) is type(h)
+        assert back.dims == h.dims and back.levels == h.levels
+        # the on-disk side_length is float32 (binary header parity)
+        assert back.side_length == float(np.float32(h.side_length))
+        if cls is HierarchicalBitMap:
+            np.testing.assert_array_equal(np.asarray(back.status), np.asarray(h.status))
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(back.occupancy), np.asarray(h.occupancy)
+            )
+
+
 def test_hierarchical_validity_checker():
     from gpu_voxels_tpu.maps.hierarchical import HierarchicalProbMap
     from gpu_voxels_tpu.planning import MotionValidator

@@ -40,7 +40,12 @@ def test_shift_vs_transform():
 
 
 def test_urdf_loader():
-    _run("urdf_loader")
+    # the shipped pan_tilt.urdf resolves its mesh reference to the checked-in
+    # tilt_link.binvox (252-voxel rod, robot_link.cpp:226 convention): the
+    # REAL mesh-file load path, with collisions when the rod sweeps the box
+    out = _run("urdf_loader")
+    assert out["mesh_points"] == 252
+    assert out["total_collisions"] > 0
 
 
 def test_maps_demo():

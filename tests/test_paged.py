@@ -31,6 +31,55 @@ def test_insert_probe_scales_past_dense_wall():
     assert not bool(occ2.any()) and bool(unk2.all())
 
 
+def test_allocation_fetches_o_new_tiles_not_o_points(monkeypatch):
+    """Device-side allocation path (VERDICT r3 item #8): a frame entering
+    fresh territory fetches the new-tile count + the compacted new-block
+    prefix — O(new tiles) — never the full O(points) coords array; a
+    steady-state insert (all tiles allocated) fetches ONE scalar."""
+    from gpu_voxels_tpu.maps import paged as paged_mod
+
+    fetches = []
+    real = paged_mod._host_fetch
+
+    def counting(arr):
+        out = real(arr)
+        fetches.append(int(np.asarray(out).size))
+        return out
+
+    monkeypatch.setattr(paged_mod, "_host_fetch", counting)
+
+    m = PagedHierarchicalMap(DIMS, 1.0)
+    # 50k points clustered into few blocks: new tiles << points
+    rng = np.random.default_rng(3)
+    centers = rng.uniform(64, 4000, (6, 3)).astype(np.float32)
+    pts = (centers[rng.integers(0, 6, 50_000)] + rng.uniform(0, 4, (50_000, 3))).astype(
+        np.float32
+    )
+    m.insert_point_cloud(pts)
+    nt = m.n_tiles()
+    assert nt < 200  # clustered: tiles << points
+    # fresh map: one count scalar + one [n_new, 3] prefix (no pre-check)
+    assert fetches == [1, 3 * nt], fetches
+
+    # steady state: same territory -> exactly one pre-check scalar
+    fetches.clear()
+    m.insert_point_cloud(pts[:1000])
+    assert fetches == [1], fetches
+
+    # partial growth: pre-check scalar + count + O(new tiles) prefix only
+    fetches.clear()
+    n0 = m.n_tiles()
+    grow = np.concatenate([pts[:30_000], pts[:100] + 900.0]).astype(np.float32)
+    m.insert_point_cloud(grow)
+    new_tiles = m.n_tiles() - n0
+    assert new_tiles > 0
+    assert fetches == [1, 1, 3 * new_tiles], fetches
+
+    # correctness unchanged: every inserted point probes occupied
+    occ, _, _ = m.probe(jnp.asarray(np.floor(pts[:500]).astype(np.int32)))
+    assert bool(np.asarray(occ).all())
+
+
 def test_hard_status_semantics_and_flags():
     m = PagedHierarchicalMap(DIMS, 1.0)
     p = np.array([[100.5, 100.5, 100.5]], np.float32)
@@ -161,6 +210,50 @@ def test_paged_snapshot_motion_validity():
     assert not bad
 
 
+def test_paged_checker_matches_dense_and_refreshes():
+    """The paged tier is a drop-in env for HierarchicalValidityChecker (the
+    config-#5 route at >=1024^3, gvl_ompl_planner_helper.cpp:42-330 at
+    octree/DataTypes.h scale): batch colliding-voxel counts equal the dense
+    status pyramid's bit-for-bit, the host-stateful map is accepted directly
+    (auto-snapshot), and refresh() re-captures after mutation."""
+    from dataclasses import replace
+
+    from gpu_voxels_tpu.geometry.pointcloud import MetaPointCloud
+    from gpu_voxels_tpu.maps.hierarchical import HierarchicalBitMap
+    from gpu_voxels_tpu.planning.validity import HierarchicalValidityChecker
+
+    rng = np.random.default_rng(7)
+    env_pts = rng.uniform(0, 128, (4000, 3)).astype(np.float32)
+    dense = HierarchicalBitMap.create((128, 128, 128)).insert_point_cloud(env_pts)
+    paged = PagedHierarchicalMap((128, 128, 128), 1.0)
+    paged.insert_point_cloud(env_pts)
+
+    robot_cloud = MetaPointCloud.from_clouds(
+        [rng.uniform(-2, 2, (60, 3)).astype(np.float32)], names=("body",)
+    )
+
+    class Translated:
+        def transformed_clouds_for(self, cfg):
+            return replace(robot_cloud, points=robot_cloud.points + cfg)
+
+    states = rng.uniform(8.0, 120.0, (17, 3)).astype(np.float32)
+    cv_dense = HierarchicalValidityChecker(dense, Translated()).batch_colliding_voxels(
+        states
+    )
+    checker = HierarchicalValidityChecker(paged, Translated())  # map, not snapshot
+    cv_paged = checker.batch_colliding_voxels(states)
+    assert (cv_dense == cv_paged).all()
+    assert int(cv_dense.sum()) > 0  # scene actually collides somewhere
+
+    # mutate the paged env; stale snapshot until refresh()
+    free0 = states[int(np.flatnonzero(cv_paged == 0)[0])]
+    blob = (free0[None, :] + rng.uniform(-2, 2, (60, 3))).astype(np.float32)
+    paged.insert_point_cloud(blob)
+    assert int(checker.batch_colliding_voxels(states[:1])[0]) == int(cv_paged[0])
+    checker.refresh()
+    assert int(checker.colliding_voxels(free0)) > 0
+
+
 def test_free_space_insert_carves_rays():
     """insertPointCloudWithFreespaceCalculation on the sparse tier: cells
     between sensor and hit become hard FREE, hits occupied, off-ray space
@@ -244,6 +337,36 @@ def test_paged_disk_roundtrip(tmp_path):
     )
     o, _, f = m2.probe(jnp.asarray([[80, 80, 80]], jnp.int32))
     assert bool(f[0]) and not bool(o[0])
+
+
+def test_paged_ascii_roundtrip(tmp_path):
+    """NTree::serialize ascii mode (NTree.hpp:3283-3400) on the sparse tier:
+    both instantiations roundtrip pool contents and probe results."""
+    from gpu_voxels_tpu.utils import io as map_io
+
+    pts = np.array([[3000.25, 17.75, 1222.25], [5.25, 1500.25, 1234.75]], np.float32)
+    for prob in (False, True):
+        m = PagedHierarchicalMap((4096, 4096, 4096), 0.5, probabilistic=prob)
+        m.insert_point_cloud(pts)
+        path = tmp_path / "paged.txt"
+        map_io.write_paged_map(m, path, ascii=True)
+        assert path.read_bytes().startswith(b"GPU_VOXELS_TPU_OCTREE ascii")
+        m2 = map_io.read_hierarchical_map(path)
+        assert isinstance(m2, PagedHierarchicalMap) and m2.probabilistic == prob
+        assert m2.dims == m.dims and m2.side_length == m.side_length
+        assert m2.n_tiles() == m.n_tiles()
+        if prob:
+            np.testing.assert_array_equal(
+                np.asarray(m2.occ_pool[: m2.n_tiles()]),
+                np.asarray(m.occ_pool[: m.n_tiles()]),
+            )
+        np.testing.assert_array_equal(
+            np.asarray(m2.pool[: m2.n_tiles()]), np.asarray(m.pool[: m.n_tiles()])
+        )
+        q = jnp.asarray(np.floor(pts / 0.5).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(m.probe_status(q)), np.asarray(m2.probe_status(q))
+        )
 
 
 def test_probabilistic_paged_octree_scale():
