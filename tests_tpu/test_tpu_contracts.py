@@ -95,6 +95,24 @@ def test_edt_parallel_banding_exact_on_tpu():
     assert int(pba.differences(brute)) == 0
 
 
+def test_jump_flood_api_routes_exact_on_tpu():
+    """jumpFlood3D API (DistanceVoxelMap.hpp:136): on TPU the large-grid
+    route is the exact envelope sweep (9.6 ms vs 54.7 ms multires JFA at
+    256^3 — docs/PERFORMANCE.md round-4 measurement); differences3D against
+    the brute oracle must be 0 on the routed path."""
+    dims = (128, 128, 128)
+    rng = np.random.default_rng(12)
+    obs = np.unique(
+        np.stack([rng.integers(0, d, 400) for d in dims], -1), axis=0
+    )
+    m = DistanceVoxelMap.create(dims).insert_point_cloud(
+        obs.astype(np.float32) + 0.5
+    )
+    jf = m.jump_flood()  # routes through ops/edt_envelope on TPU
+    brute = m.exact_distances(obs.astype(np.int32))
+    assert int(jf.differences(brute)) == 0
+
+
 def test_list_dispatch_directions_on_tpu():
     """The round-3 collide dispatch additions on hardware: list->dense
     routing (CollidableWith*VoxelMap on BitVoxelList, BitVoxelList.h:110-114)
