@@ -310,6 +310,30 @@ def main():
     print(f"EDT multires jump-flood 256^3 (10k obstacles): {t_edt*1e3:.1f} ms", file=sys.stderr)
     _REPORT["edt_jfa_ms_256"] = t_edt * 1e3
 
+    # the jumpFlood3D API route on TPU: exact envelope sweeps (the multires
+    # JFA above remains the library/sharded building block)
+    from gpu_voxels_tpu.ops import edt_envelope as _env
+
+    def build_edt_api(k):
+        @jax.jit
+        def run(p):
+            def body(i, acc):
+                pp = p.at[0].set(p[0] ^ (acc & jnp.uint32(1)))
+                out = _env.parallel_banding(pp, dims_e)
+                return acc + out[ne // 2]
+
+            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+        return run
+
+    t_edt_api = _timed_loop(build_edt_api, 6, packed)
+    print(
+        f"EDT jump_flood() API route = exact envelope 256^3 (10k obstacles): "
+        f"{t_edt_api*1e3:.1f} ms",
+        file=sys.stderr,
+    )
+    _REPORT["edt_api_ms_256"] = t_edt_api * 1e3
+
     # insert throughput: 307k points into 512^3
     def build_insert(k):
         @jax.jit

@@ -23,6 +23,7 @@ NTree::propagate (NTree.hpp:3056).
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field, replace
 from typing import List, Tuple
 
@@ -326,6 +327,71 @@ class _PyramidQueries(DiskIO):
         return inside.reshape(-1)
 
 
+# Whole-method sensor-fusion programs, jitted once at module scope: called
+# eagerly the fusion + pyramid rebuild is ~40+ separate dispatches, which is
+# seconds per frame on relayed TPU backends (see utils/compiled.py). The map
+# pytree is a traced argument (dims/side_length ride along as static fields);
+# camera intrinsics are static scalars — numerics identical to the eager
+# Python floats, recompile only when the camera model changes.
+@functools.partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "cx", "cy", "invalid_value", "carve_pool"),
+    inline=True,
+)
+def _depth_fusion_prob(m, depth, pose, fx, fy, cx, cy, invalid_value, carve_pool):
+    flat = raycast_ops.insert_depth_image(
+        m.occupancy.reshape(-1), depth, pose, fx, fy, cx, cy,
+        m.side_length, m.padded_dims,
+        invalid_value=invalid_value, carve_pool=carve_pool,
+    )
+    return m._rebuilt(flat.reshape(m.occupancy.shape))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "cx", "cy", "invalid_value", "carve_pool"),
+    inline=True,
+)
+def _depth_fusion_bit(m, depth, pose, fx, fy, cx, cy, invalid_value, carve_pool):
+    pd = m.padded_dims
+    n = pd[0] * pd[1] * pd[2]
+    pts = raycast_ops.depth_image_to_point_cloud(depth, fx, fy, cx, cy, invalid_value)
+    from ..geometry import transforms
+
+    world = transforms.transform_points(pose, pts)
+    finite = jnp.all(jnp.isfinite(world), axis=-1)
+    idx, _ = insert_ops.voxelize(
+        jnp.where(finite[:, None], world, -1.0), m.side_length, pd
+    )
+    hits = jnp.zeros((n,), bool).at[idx].set(True, mode="drop")
+    if carve_pool > 1:
+        from ..ops.raycast_pallas import projective_free_space_tpu
+
+        free = projective_free_space_tpu(
+            depth, pose, fx, fy, cx, cy, m.side_length, pd, invalid_value,
+            pool=carve_pool,
+        )
+    elif jax.devices()[0].platform == "tpu":
+        from ..ops.raycast_pallas import projective_free_space_exact_tpu
+
+        free = projective_free_space_exact_tpu(
+            depth, pose, fx, fy, cx, cy, m.side_length, pd, invalid_value
+        )
+    else:
+        free = raycast_ops.projective_free_space(
+            depth, pose, fx, fy, cx, cy, m.side_length, pd, invalid_value
+        )
+    out = m._hard_set(free & ~hits, NS_FREE, NS_DYNAMIC_MAP)
+    return out._hard_set(hits, NS_OCCUPIED, NS_DYNAMIC_MAP)
+
+
+def _sensor_scalars(sensor):
+    return (
+        float(sensor.fx), float(sensor.fy), float(sensor.cx), float(sensor.cy),
+        float(sensor.invalid_value),
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class HierarchicalProbMap(_PyramidQueries):
@@ -371,6 +437,7 @@ class HierarchicalProbMap(_PyramidQueries):
         flat = flat.at[idx].set(jnp.full(idx.shape, val), mode="drop")
         return self._rebuilt(flat.reshape(self.occupancy.shape))
 
+    @compiled("sensor_origin", "max_steps", arrays=("points",))
     def insert_point_cloud_with_free_space(
         self, points, sensor_origin=(0.0, 0.0, 0.0), max_steps: int = 256
     ) -> "HierarchicalProbMap":
@@ -391,24 +458,14 @@ class HierarchicalProbMap(_PyramidQueries):
     def insert_depth_image(self, depth, sensor, carve_pool: int = 1) -> "HierarchicalProbMap":
         """Projective sensor fusion (fast path): hits + visibility-carved
         free space on the fine grid, then one propagate pass. carve_pool=1 is
-        the exact carve; 8 selects the Pallas pooled conservative carve."""
-        from ..ops import raycast
-
-        pd = self.padded_dims
-        flat = raycast.insert_depth_image(
-            self.occupancy.reshape(-1),
-            jnp.asarray(depth, jnp.float32),
-            sensor.pose(),
-            sensor.fx,
-            sensor.fy,
-            sensor.cx,
-            sensor.cy,
-            self.side_length,
-            pd,
-            invalid_value=sensor.invalid_value,
-            carve_pool=carve_pool,
+        the exact carve; 8 selects the Pallas pooled conservative carve.
+        Runs as ONE jitted program (_depth_fusion_prob)."""
+        fx, fy, cx, cy, inv = _sensor_scalars(sensor)
+        return _depth_fusion_prob(
+            self, jnp.asarray(depth, jnp.float32),
+            jnp.asarray(sensor.pose(), jnp.float32),
+            fx, fy, cx, cy, inv, int(carve_pool),
         )
-        return self._rebuilt(flat.reshape(self.occupancy.shape))
 
     def build(self, points, free_bounding_box: bool = False) -> "HierarchicalProbMap":
         """NTree::build (NTree.hpp:385-540): (re)construct from a point set.
@@ -497,6 +554,7 @@ class HierarchicalBitMap(_PyramidQueries):
         occ_bit = NS_FREE if int(meaning) == int(BitVoxelMeaning.eBVM_FREE) else NS_OCCUPIED
         return self._hard_set(mask, occ_bit, NS_STATIC_MAP if static_map else NS_DYNAMIC_MAP)
 
+    @compiled("sensor_origin", "max_steps", arrays=("points",))
     def insert_point_cloud_with_free_space(
         self, points, sensor_origin=(0.0, 0.0, 0.0), max_steps: int = 256
     ) -> "HierarchicalBitMap":
@@ -518,35 +576,16 @@ class HierarchicalBitMap(_PyramidQueries):
         """Projective deterministic sensor fusion: visibility-carved cells
         hard FREE, measurement cells hard OCCUPIED (ns_DYNAMIC_MAP).
         carve_pool=1 is the exact carve; 8 selects the Pallas pooled
-        conservative carve."""
-        pd = self.padded_dims
-        n = pd[0] * pd[1] * pd[2]
-        depth = jnp.asarray(depth, jnp.float32)
-        pts = raycast_ops.depth_image_to_point_cloud(
-            depth, sensor.fx, sensor.fy, sensor.cx, sensor.cy, sensor.invalid_value
+        conservative carve. Runs as ONE jitted program (_depth_fusion_bit);
+        on TPU the exact carve routes through the Pallas band-refinement
+        kernel (bit-identical to projective_free_space) like the dense
+        ProbVoxelMap path."""
+        fx, fy, cx, cy, inv = _sensor_scalars(sensor)
+        return _depth_fusion_bit(
+            self, jnp.asarray(depth, jnp.float32),
+            jnp.asarray(sensor.pose(), jnp.float32),
+            fx, fy, cx, cy, inv, int(carve_pool),
         )
-        from ..geometry import transforms
-
-        world = transforms.transform_points(sensor.pose(), pts)
-        finite = jnp.all(jnp.isfinite(world), axis=-1)
-        idx, _ = insert_ops.voxelize(
-            jnp.where(finite[:, None], world, -1.0), self.side_length, pd
-        )
-        hits = jnp.zeros((n,), bool).at[idx].set(True, mode="drop")
-        if carve_pool > 1:
-            from ..ops.raycast_pallas import projective_free_space_tpu
-
-            free = projective_free_space_tpu(
-                depth, sensor.pose(), sensor.fx, sensor.fy, sensor.cx, sensor.cy,
-                self.side_length, pd, sensor.invalid_value, pool=carve_pool,
-            )
-        else:
-            free = raycast_ops.projective_free_space(
-                depth, sensor.pose(), sensor.fx, sensor.fy, sensor.cx, sensor.cy,
-                self.side_length, pd, sensor.invalid_value,
-            )
-        out = self._hard_set(free & ~hits, NS_FREE, NS_DYNAMIC_MAP)
-        return out._hard_set(hits, NS_OCCUPIED, NS_DYNAMIC_MAP)
 
     def build(self, points, free_bounding_box: bool = False) -> "HierarchicalBitMap":
         """NTree::build (NTree.hpp:385-540): (re)construct from a point set.

@@ -51,6 +51,37 @@ def _n(dims: Dims) -> int:
     return dims[0] * dims[1] * dims[2]
 
 
+# Sensor-fusion programs are jitted ONCE at module scope (lazily, to dodge the
+# import cycle with ops.raycast): called eagerly, raycast.insert_depth_image /
+# insert_sensor_data issue ~40 separate op dispatches, which costs ~1 s/frame
+# on relayed TPU backends (each dispatch is a round trip) — two orders of
+# magnitude over the 18 ms fused program bench.py measures. Scalar intrinsics
+# are static: they become compile-time constants with numerics identical to
+# the eager Python floats, and recompiles happen only when the camera model
+# changes. Same consolidation as utils/compiled for the collide family.
+_SENSOR_PROGS: dict = {}
+
+
+def _sensor_prog(name: str):
+    prog = _SENSOR_PROGS.get(name)
+    if prog is None:
+        from ..ops import raycast
+
+        statics = {
+            "insert_depth_image": (
+                "fx", "fy", "cx", "cy", "side_length", "dims",
+                "invalid_value", "cut_real_robot", "carve_pool",
+            ),
+            "insert_sensor_data": (
+                "sensor_origin", "side_length", "dims",
+                "enable_raycasting", "cut_real_robot", "max_steps",
+            ),
+        }[name]
+        prog = jax.jit(getattr(raycast, name), static_argnames=statics, inline=True)
+        _SENSOR_PROGS[name] = prog
+    return prog
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class _DenseMap(DiskIO):
@@ -315,9 +346,9 @@ class ProbVoxelMap(_DenseMap):
                 if hasattr(robot_map, "occupied_mask")
                 else robot_map
             )
-        new = raycast.insert_sensor_data(
+        new = _sensor_prog("insert_sensor_data")(
             self.data,
-            sensor_origin,
+            tuple(float(v) for v in sensor_origin),
             jnp.asarray(points, jnp.float32),
             self.side_length,
             self.dims,
@@ -334,20 +365,18 @@ class ProbVoxelMap(_DenseMap):
         see ops/raycast.insert_depth_image). carve_pool=1 is the exact
         reference carve; pass 8 for the Pallas pooled 75 Hz path
         (conservative, under-carves near depth edges)."""
-        from ..ops import raycast
-
-        new = raycast.insert_depth_image(
+        new = _sensor_prog("insert_depth_image")(
             self.data,
             jnp.asarray(depth, jnp.float32),
-            sensor.pose(),
-            sensor.fx,
-            sensor.fy,
-            sensor.cx,
-            sensor.cy,
+            jnp.asarray(sensor.pose(), jnp.float32),
+            float(sensor.fx),
+            float(sensor.fy),
+            float(sensor.cx),
+            float(sensor.cy),
             self.side_length,
             self.dims,
-            invalid_value=sensor.invalid_value,
-            carve_pool=carve_pool,
+            invalid_value=float(sensor.invalid_value),
+            carve_pool=int(carve_pool),
         )
         return self._carry_sensor(replace(self, data=new))
 

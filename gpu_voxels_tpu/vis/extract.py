@@ -38,17 +38,27 @@ def occupied_coords(m, threshold: float = 0.5, max_cubes: Optional[int] = None) 
         return np.asarray(m.coords_from_ids(m.ids[:n], m.ids_hi[:n]))
     from ..maps.hierarchical import HierarchicalProbMap
 
+    from ..ops.compact import compacted_nonzero
+
     if isinstance(m, HierarchicalProbMap):
         # honor the caller's threshold against the ground-truth occupancy
         # grid (the status pyramid bakes the octree's fixed
         # THRESHOLD_OCCUPANCY, which is the probe contract, not the
-        # visualization contract)
+        # visualization contract); mask + compaction stay on device so the
+        # readback is O(occupied), not the padded occupancy grid
+        import jax.numpy as jnp
+
         from ..constants import UNKNOWN_PROBABILITY, float_to_probability
 
-        occ = np.asarray(m.occupancy)
+        occ = m.occupancy
         t = float_to_probability(threshold)
-        mask3 = (occ.astype(np.int32) >= t) & (occ != UNKNOWN_PROBABILITY)
-        z, y, x = np.nonzero(mask3)
+        mask3 = (occ.astype(jnp.int32) >= t) & (occ != jnp.int8(UNKNOWN_PROBABILITY))
+        idx = compacted_nonzero(mask3.reshape(-1))
+        pdx, pdy, _ = m.padded_dims
+        z = idx // (pdx * pdy)
+        rem = idx - z * pdx * pdy
+        y = rem // pdx
+        x = rem - y * pdx
         keep = (x < m.dims[0]) & (y < m.dims[1]) & (z < m.dims[2])
         coords = np.stack([x[keep], y[keep], z[keep]], axis=1).astype(np.int32)
         return coords[:max_cubes] if max_cubes is not None else coords
@@ -56,19 +66,19 @@ def occupied_coords(m, threshold: float = 0.5, max_cubes: Optional[int] = None) 
         coords = np.asarray(m.extract_occupied_coords())
         return coords[:max_cubes] if max_cubes is not None else coords
     if isinstance(m, ProbVoxelMap):
-        mask = np.asarray(m.occupied_mask(threshold))
+        mask = m.occupied_mask(threshold)
     elif isinstance(m, BitVectorVoxelMap):
-        mask = np.asarray(m.occupied_mask())
+        mask = m.occupied_mask()
     elif isinstance(m, CountingVoxelMap):
-        mask = np.asarray(m.occupied_mask(1))
+        mask = m.occupied_mask(1)
     elif isinstance(m, DistanceVoxelMap):
-        mask = np.asarray(m.obstacle_mask())
+        mask = m.obstacle_mask()
     else:
         raise TypeError(type(m))
     dx, dy, _ = m.dims
-    idx = np.nonzero(mask)[0]
-    if max_cubes is not None:
-        idx = idx[:max_cubes]
+    # device compaction: the viewer fetch is O(occupied) (bounded by
+    # max_cubes when given), never the O(N) mask — ops/compact.py
+    idx = compacted_nonzero(mask, capacity=max_cubes)
     z = idx // (dx * dy)
     rem = idx - z * dx * dy
     y = rem // dx
@@ -359,20 +369,34 @@ def extract_distance_slice(m, axis: str = "z", index: Optional[int] = None):
     return coords, dist.astype(np.float32)
 
 
-def extract_cubes(m, threshold: float = 0.5) -> Tuple[np.ndarray, np.ndarray]:
+def extract_cubes(
+    m, threshold: float = 0.5, max_cubes: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
     """(centers float32[K,3] in metric space, types uint8[K]).
 
     Types: for bit maps the lowest set meaning bit per voxel; for prob maps
     eBVM_OCCUPIED; mirrors what the reference visualizer colors by.
+    max_cubes bounds the device->host fetch (compaction capacity) — the
+    live-viewer budget knob.
     """
     from ..maps.voxelmap import BitVectorVoxelMap
 
-    coords = occupied_coords(m, threshold)
+    coords = occupied_coords(m, threshold, max_cubes=max_cubes)
     centers = (coords.astype(np.float32) + 0.5) * m.side_length
     if isinstance(m, BitVectorVoxelMap):
+        import jax.numpy as jnp
+
         dx, dy, _ = m.dims
         lin = coords[:, 2] * dx * dy + coords[:, 1] * dx + coords[:, 0]
-        planes = np.asarray(m.data)[:, lin]  # [8, K]
+        # gather the K occupied columns ON DEVICE: the readback is [8, K]
+        # words, never the full 32N-byte plane set (536 MB at 512^3). K pads
+        # to a pow2 bucket so per-frame-varying counts reuse one compiled
+        # gather per bucket instead of recompiling every call
+        k = len(lin)
+        kp = 1 << max(k - 1, 0).bit_length() if k else 1
+        lin_p = np.zeros((kp,), np.int32)
+        lin_p[:k] = lin.astype(np.int32)
+        planes = np.asarray(m.data[:, jnp.asarray(lin_p)])[:, :k]
         types = np.zeros(len(lin), np.uint8)
         found = np.zeros(len(lin), bool)
         for p in range(planes.shape[0]):

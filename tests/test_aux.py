@@ -52,6 +52,155 @@ def test_depth_sources():
     assert SensorModel().initial_probability == 72
 
 
+def test_streaming_depth_source_cadence():
+    """StreamingDepthSource reproduces the Kinect grabber's timing contract
+    (helpers/Kinect.h:36-70): frames become due at the cadence, early polls
+    return None, slow consumers DROP missed frames (latest wins)."""
+    import time
+
+    from gpu_voxels_tpu.sensors import StreamingDepthSource
+
+    frames = [np.full((2, 2), float(i), np.float32) for i in range(100)]
+    src = StreamingDepthSource(frames, hz=200.0)
+    f0 = src.get_frame()
+    assert float(f0[0, 0]) == 0.0
+    assert src.get_frame() is None  # polled again immediately: not due yet
+    f1 = src.wait_for_frame(timeout_s=1.0)  # blocks until due
+    assert f1 is not None and float(f1[0, 0]) >= 1.0
+    time.sleep(5.5 / 200.0)  # sleep past ~5 frames: they are dropped
+    fn = src.get_frame()
+    assert fn is not None and float(fn[0, 0]) >= float(f1[0, 0]) + 4
+    # non-loop sources exhaust
+    short = StreamingDepthSource(frames[:2], hz=1000.0, loop=False)
+    assert short.wait_for_frame(0.1) is not None  # frame 0
+    time.sleep(3.0 / 1000.0)
+    assert short.get_frame() is None  # past the recording: exhausted
+    assert short.wait_for_frame(0.01) is None
+
+
+def test_socket_depth_source_roundtrip():
+    """Length-prefixed float32 frames over TCP land in the latest-wins
+    buffer; get_frame() returns each new frame once."""
+    import socket
+    import threading
+    import time
+
+    from gpu_voxels_tpu.sensors import SocketDepthSource
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    sent = [np.arange(6, dtype=np.float32).reshape(2, 3) + i for i in range(3)]
+
+    def producer():
+        conn, _ = server.accept()
+        for f in sent:
+            SocketDepthSource.send_frame(conn, f)
+        conn.close()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    src = SocketDepthSource("127.0.0.1", port)
+    deadline = time.monotonic() + 5.0
+    got = []
+    while len(got) < 1 and time.monotonic() < deadline:
+        f = src.get_frame()
+        if f is not None:
+            got.append(f)
+        time.sleep(0.01)
+    t.join(5.0)
+    # drain whatever arrived after the producer finished
+    f = src.get_frame()
+    if f is not None:
+        got.append(f)
+    assert got, "no frame arrived over the socket"
+    last = got[-1]
+    assert last.shape == (2, 3)
+    assert any(np.array_equal(last, s) for s in sent)
+    assert src.get_frame() is None  # same frame is never handed out twice
+    src.close()
+
+
+def test_async_vis_publisher(tmp_path):
+    """AsyncVisPublisher: publish() is non-blocking and latest-wins; flush
+    drains; the newest published map is what lands on disk."""
+    from gpu_voxels_tpu.vis.provider import AsyncVisPublisher
+
+    m1 = ProbVoxelMap.create((8, 8, 8), 1.0).insert_point_cloud(
+        np.array([[1.5, 1.5, 1.5]], np.float32)
+    )
+    m2 = m1.insert_point_cloud(np.array([[4.5, 4.5, 4.5]], np.float32))
+    pub = AsyncVisPublisher("live", out_dir=tmp_path)
+    for _ in range(5):
+        pub.publish(m1)
+    pub.publish(m2)
+    assert pub.flush(timeout_s=30.0)
+    pub.stop()
+    assert pub.frames_painted >= 1  # latest-wins: far fewer paints than publishes
+    ply = (tmp_path / "live.ply").read_text()
+    assert "4.5" in ply or "vertex" in ply  # snapshot of the newest map exists
+
+
+def test_provider_live_vis_and_async_collide(tmp_path, monkeypatch):
+    """Provider(live_vis=True): visualize() is O(1) publish; collide_async
+    returns a device scalar equal to collide()."""
+    monkeypatch.setenv("GPU_VOXELS_VIS_DIR", str(tmp_path))
+    from gpu_voxels_tpu.providers import Provider
+
+    env = Provider("env_live", live_vis=True)
+    env.init(
+        ProbVoxelMap.create((16, 16, 16), 1.0).insert_point_cloud(
+            np.array([[8.5, 8.5, 4.5]], np.float32)
+        )
+    )
+    robot = Provider("robot_live")
+    robot.init(
+        BitVectorVoxelMap.create((16, 16, 16), 1.0).insert_point_cloud(
+            np.array([[8.5, 8.5, 4.5]], np.float32)
+        )
+    )
+    robot.set_collide_with(env, coll_threshold=0.7)
+    assert robot.collide() == 1
+    assert int(robot.collide_async()) == 1
+    env.visualize()
+    assert env.finish_visualization() >= 1
+    assert (tmp_path / "env_live.ply").exists()
+
+
+def test_device_compaction_matches_nonzero():
+    """ops/compact: device stream compaction (the Extract kernel's
+    ballot+prefix-sum, Extract.h:50, as one XLA pass) is byte-identical to
+    np.flatnonzero, with capacity truncation and exact overflow counts —
+    visualization readback fetches O(occupied), never the O(N) mask."""
+    import jax.numpy as jnp
+
+    from gpu_voxels_tpu.ops.compact import compact_indices, compacted_nonzero
+    from gpu_voxels_tpu.vis.extract import occupied_coords
+
+    rng = np.random.default_rng(11)
+    mask = rng.random(50_000) < 0.02
+    np.testing.assert_array_equal(
+        compacted_nonzero(jnp.asarray(mask)), np.flatnonzero(mask)
+    )
+    np.testing.assert_array_equal(
+        compacted_nonzero(jnp.asarray(mask), capacity=7), np.flatnonzero(mask)[:7]
+    )
+    count, _ = compact_indices(jnp.asarray(mask), 7)
+    assert int(count) == int(mask.sum())  # total count survives truncation
+    assert compacted_nonzero(jnp.zeros(256, bool)).size == 0
+
+    # occupied_coords goes through the device path and stays exact
+    pts = rng.uniform(0, 24, (500, 3)).astype(np.float32)
+    m = ProbVoxelMap.create((24, 24, 24), 1.0).insert_point_cloud(pts)
+    co = occupied_coords(m, 0.5)
+    assert len(co) == int(np.asarray(m.occupied_mask(0.5)).sum())
+    dx, dy, _ = m.dims
+    lin = co[:, 2] * dx * dy + co[:, 1] * dx + co[:, 0]
+    assert bool(np.asarray(m.occupied_mask(0.5))[lin].all())
+
+
 def test_converters_roundtrip():
     pts = np.array([[3.5, 3.5, 3.5]], np.float32)
     dm = DistanceVoxelMap.create((16, 16, 16)).insert_point_cloud(pts).jump_flood()

@@ -24,7 +24,11 @@ def test_swept_volume_vs_environment():
 
 
 def test_robot_vs_environment():
-    _run("robot_vs_environment")
+    # the fused live loop (one compiled program per frame) processes every
+    # cadenced frame; the 30 Hz TPU contract lives in tests_tpu
+    out = _run("robot_vs_environment")
+    assert out["processed"] >= 5
+    assert len(out["counts"]) >= 1
 
 
 def test_distance_voxel_test():

@@ -35,6 +35,27 @@ def test_octree_bench_on_tpu():
     assert _run("octree_bench", dim=64, n_points=5_000)
 
 
+def test_live_streaming_loop_sustains_30hz():
+    """The LIVE end-to-end loop (RobotVsEnvironment.cpp:163-201 shape):
+    StreamingDepthSource at a RealSense-class 60 Hz cadence (latest-wins,
+    helpers/Kinect.h:36-70) -> 640x480 exact-carve fusion into a 256^3
+    ProbVoxelMap -> animated DH robot insert -> collide -> async visualize
+    publish, sustains >= 30 Hz including the publish path (VERDICT r3
+    item #6 contract)."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        os.environ["GPU_VOXELS_VIS_DIR"] = d
+        try:
+            out = _run("robot_vs_environment", frames=90, live_vis=True)
+        finally:
+            os.environ.pop("GPU_VOXELS_VIS_DIR", None)
+    assert out["processed"] >= 80  # at most a few frames dropped
+    assert out["sustained_hz"] >= 30.0, out
+    assert max(out["counts"]) >= 0 and len(out["counts"]) == out["processed"]
+
+
 def test_swept_fitter_on_tpu():
     # the multi-robot deconfliction search finds both valid orderings and a
     # nonzero conflict-free start delay on hardware
