@@ -8,9 +8,14 @@ kernelCollideVoxelMapsDebug workload) and vs_baseline is measured against the
 
 Regression guard: BENCH_EXPECT.json holds the expected envelope per metric;
 any metric drifting >10% below (or above, for latencies) its expectation adds
-a "regressions" entry and a stderr WARN line. The JSON line is emitted at the
-END (so it carries every config) but a SIGTERM/SIGINT handler flushes the
-partial line first — a driver timeout can never lose the scored headline.
+a "regressions" entry and a stderr WARN line. The scored JSON line is emitted
+EARLY — right after the headline + cycle measurements — so a driver-side
+timeout can never lose it (a SIGTERM/SIGINT handler additionally flushes a
+partial line if even the headline is interrupted). Every remaining phase
+reports on stderr; the END of the run re-checks regressions over the complete
+set, prints the full dict to stderr, and writes it to BENCH_SELF.json. A
+persistent XLA compilation cache (.jax_cache/, via utils/jitcache) makes
+repeat runs compile-free: cold ~17 min, warm minutes.
 
 Measurement method: the TPU here sits behind a relay with ~3ms dispatch and
 ~30ms fetch latency, so per-call wall timing lies. Each measurement runs K
@@ -45,6 +50,27 @@ def _emit_report():
     for r in _REPORT["regressions"]:
         print(f"WARN regression: {r}", file=sys.stderr)
     print(json.dumps(_REPORT), flush=True)
+
+
+def _finalize_report():
+    """End-of-run: re-check regressions over the COMPLETE report, surface
+    WARNs on stderr, mirror the full dict to stderr + BENCH_SELF.json.
+
+    The scored stdout line is emitted EARLY (right after the headline+cycle
+    measurements) because a driver-side timeout must never lose it — that is
+    exactly how round 4's bench record was lost when emission moved to the
+    end. The per-config numbers still reach the record via the stderr tail
+    and this side file."""
+    _REPORT["regressions"] = _check_regressions(_REPORT)
+    for r in _REPORT["regressions"]:
+        print(f"WARN regression: {r}", file=sys.stderr)
+    print("full report: " + json.dumps(_REPORT), file=sys.stderr, flush=True)
+    try:
+        (Path(__file__).resolve().parent / "BENCH_SELF.json").write_text(
+            json.dumps(_REPORT, indent=1) + "\n"
+        )
+    except OSError as exc:
+        print(f"BENCH_SELF.json not written: {exc!r}", file=sys.stderr)
 
 
 def _on_signal(signum, frame):
@@ -110,6 +136,11 @@ def _timed_loop(build_fn, iters, *args):
 def main():
     import jax
     import jax.numpy as jnp
+
+    from gpu_voxels_tpu.utils.jitcache import enable_persistent_cache
+
+    cache = enable_persistent_cache()
+    print(f"persistent compilation cache: {cache}", file=sys.stderr)
 
     from gpu_voxels_tpu.geometry import generation
     from gpu_voxels_tpu.maps.voxelmap import ProbVoxelMap
@@ -196,6 +227,10 @@ def main():
         file=sys.stderr,
     )
     _REPORT["cycle_hz_512"] = 1.0 / t_cycle
+
+    # emit the scored stdout line NOW (headline + cycle measured): every
+    # remaining phase only adds stderr diagnostics + the end-of-run side file
+    _emit_report()
 
     # --- secondary workloads (stderr diagnostics, best-effort) -------------
     from gpu_voxels_tpu import bitops
@@ -310,16 +345,24 @@ def main():
     print(f"EDT multires jump-flood 256^3 (10k obstacles): {t_edt*1e3:.1f} ms", file=sys.stderr)
     _REPORT["edt_jfa_ms_256"] = t_edt * 1e3
 
-    # the jumpFlood3D API route on TPU: exact envelope sweeps (the multires
-    # JFA above remains the library/sharded building block)
-    from gpu_voxels_tpu.ops import edt_envelope as _env
+    # the jumpFlood3D API route on TPU: driven through the PUBLIC
+    # DistanceVoxelMap.jump_flood() (inline-jit traces into the loop) so this
+    # guard covers the actual routing condition, not just the kernel it is
+    # expected to pick (on TPU at 256^3 that is the exact envelope sweeps)
+    from dataclasses import replace as _dc_replace
+
+    from gpu_voxels_tpu.maps.distance_map import DistanceVoxelMap as _DVM
+
+    # 1-element placeholder data: replace() swaps in the real grid inside the
+    # loop, and a full proto would close a 64 MB constant into the jit
+    _dvm_proto = _DVM(jnp.zeros((1,), jnp.uint32), dims_e, 1.0)
 
     def build_edt_api(k):
         @jax.jit
         def run(p):
             def body(i, acc):
                 pp = p.at[0].set(p[0] ^ (acc & jnp.uint32(1)))
-                out = _env.parallel_banding(pp, dims_e)
+                out = _dc_replace(_dvm_proto, data=pp).jump_flood().data
                 return acc + out[ne // 2]
 
             return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
@@ -540,4 +583,5 @@ if __name__ == "__main__":
         if not _HEADLINE_DONE:
             raise  # headline failed: a real benchmark failure
         print(f"secondary diagnostics aborted: {exc!r}", file=sys.stderr)
-    _emit_report()
+    _emit_report()  # no-op when the early emission already fired
+    _finalize_report()

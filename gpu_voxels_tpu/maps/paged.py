@@ -694,7 +694,11 @@ class PagedHierarchicalMap(DiskIO):
         )
         n = int(_host_fetch(n_new))
         if n:
-            self._allocate(np.asarray(_host_fetch(blocks[:n]), np.int64))
+            # pow2-bucket the fetched prefix so distinct new-tile counts share
+            # compiled fetch programs (each fresh shape costs ~15 s through the
+            # remote compiler — same rationale as ops/compact.py); trim on host.
+            kp = min(int(blocks.shape[0]), max(8, 1 << (n - 1).bit_length()))
+            self._allocate(np.asarray(_host_fetch(blocks[:kp]), np.int64)[:n])
 
     def insert_point_cloud(
         self,

@@ -43,7 +43,33 @@ I32 = jnp.int32
 _NEG_INF = -3.0e38
 
 import os as _os
-_TILE = tuple(int(v) for v in _os.environ.get('GV_CARVE_TILE', '8,8,128').split(','))
+
+
+def _parse_tile(spec: str) -> Tuple[int, int, int]:
+    """Validate the GV_CARVE_TILE override (TZ,TY,TX). TPU layout demands
+    TX % 128 == 0 and TZ/TY multiples of 8 (sublane tiling); a malformed or
+    layout-violating value falls back to the 8,8,128 default with a warning
+    instead of an opaque Mosaic error (or an import-time crash)."""
+    default = (8, 8, 128)
+    try:
+        tile = tuple(int(v) for v in spec.split(","))
+    except ValueError:
+        tile = ()
+    if (len(tile) != 3 or min(tile) <= 0 or tile[2] % 128
+            or tile[0] % 8 or tile[1] % 8):
+        if spec != "8,8,128":
+            import warnings
+
+            warnings.warn(
+                f"GV_CARVE_TILE={spec!r} invalid (need TZ,TY,TX with "
+                f"TZ%8==TY%8==0 and TX%128==0); using {default}",
+                RuntimeWarning,
+            )
+        return default
+    return tile
+
+
+_TILE = _parse_tile(_os.environ.get('GV_CARVE_TILE', '8,8,128'))
 
 
 def _interpret() -> bool:

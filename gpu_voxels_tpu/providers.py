@@ -50,10 +50,24 @@ class Provider:
         self.collide_with_provider = other
         self.coll_threshold = float(coll_threshold)
 
+    def _collide_kwargs(self) -> dict:
+        """Pass coll_threshold only to maps whose collide_with takes it: the
+        dense-map signature is (other, coll_threshold, offset) but octree
+        tiers take (other, min_level, offset) and lists (other, offset) —
+        a positional threshold would silently bind to the wrong parameter."""
+        import inspect
+
+        try:
+            params = inspect.signature(type(self.map).collide_with).parameters
+        except (TypeError, ValueError):
+            return {}
+        return {"coll_threshold": self.coll_threshold} if "coll_threshold" in params else {}
+
     def collide(self) -> int:
         if self.collide_with_provider is None or self.collide_with_provider.map is None:
             return 0
-        return int(self.map.collide_with(self.collide_with_provider.map, self.coll_threshold))
+        return int(self.map.collide_with(self.collide_with_provider.map,
+                                         **self._collide_kwargs()))
 
     def collide_async(self):
         """The collision count as a DEVICE scalar (no host sync): live loops
@@ -61,7 +75,8 @@ class Provider:
         latency overlaps the next frame's compute instead of serializing it."""
         if self.collide_with_provider is None or self.collide_with_provider.map is None:
             return None
-        return self.map.collide_with(self.collide_with_provider.map, self.coll_threshold)
+        return self.map.collide_with(self.collide_with_provider.map,
+                                     **self._collide_kwargs())
 
     def new_sensor_data(self, depth: np.ndarray, sensor: Sensor) -> None:
         if hasattr(self.map, "insert_depth_image"):

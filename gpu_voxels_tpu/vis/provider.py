@@ -112,12 +112,29 @@ class AsyncVisPublisher:
         self._busy = False  # worker currently inside a paint
         self._painted = 0  # snapshots actually written by the worker
         self._error: Optional[BaseException] = None
+        self._error_reported = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def publish(self, m) -> None:
-        """Hand the latest map snapshot to the worker (never blocks on IO)."""
+        """Hand the latest map snapshot to the worker (never blocks on IO).
+
+        If the worker died on an exception, the first publish() after the
+        failure warns eagerly (a live loop would otherwise fill the mailbox
+        forever with visualization silently dead); the exception itself is
+        still re-raised by flush()/stop()."""
         with self._cond:
+            if self._error is not None and not self._error_reported:
+                self._error_reported = True
+                import warnings
+
+                warnings.warn(
+                    f"AsyncVisPublisher({self.provider.name!r}) worker died: "
+                    f"{self._error!r}; visualization is stopped "
+                    f"(flush()/stop() re-raises)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             self._slot = m
             self._published += 1
             self._cond.notify()

@@ -143,6 +143,39 @@ def test_async_vis_publisher(tmp_path):
     assert "4.5" in ply or "vertex" in ply  # snapshot of the newest map exists
 
 
+def test_async_vis_publisher_warns_when_worker_dies(tmp_path):
+    """A dead worker must not fail silently: the first publish() after the
+    worker exception warns eagerly (round-4 advisor — a live loop would
+    otherwise fill the mailbox forever), and flush() re-raises."""
+    import warnings
+
+    import pytest
+
+    from gpu_voxels_tpu.vis.provider import AsyncVisPublisher
+
+    m = ProbVoxelMap.create((8, 8, 8), 1.0).insert_point_cloud(
+        np.array([[1.5, 1.5, 1.5]], np.float32)
+    )
+    pub = AsyncVisPublisher("dies", out_dir=tmp_path)
+    boom = RuntimeError("paint failed")
+
+    def exploding(_m, force_repaint=False):
+        raise boom
+
+    pub.provider.visualize = exploding
+    pub.publish(m)
+    pub._thread.join(30.0)  # worker exits on the exception
+    assert pub._error is boom
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pub.publish(m)  # first publish after death: eager warning
+        pub.publish(m)  # subsequent publishes stay silent
+    msgs = [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    assert len(msgs) == 1 and "worker died" in str(msgs[0].message)
+    with pytest.raises(RuntimeError, match="paint failed"):
+        pub.flush(timeout_s=5.0)
+
+
 def test_provider_live_vis_and_async_collide(tmp_path, monkeypatch):
     """Provider(live_vis=True): visualize() is O(1) publish; collide_async
     returns a device scalar equal to collide()."""
@@ -246,6 +279,38 @@ def test_provider_contract():
     src = SyntheticDepthSource(sensor)
     assert env.wait_for_new_data(src, sensor)
     assert robot.collide() >= 0
+
+
+def test_provider_collide_non_dense_maps():
+    """Provider.collide must NOT pass coll_threshold positionally: only the
+    dense-map signature has it 2nd — octree tiers take min_level there and
+    lists take offset, so a positional 1.0 probed the wrong pyramid level /
+    shifted every coordinate (round-4 advisor, providers.py)."""
+    from gpu_voxels_tpu.maps.hierarchical import HierarchicalBitMap
+    from gpu_voxels_tpu.maps.voxellist import bit_vector_voxel_list
+    from gpu_voxels_tpu.providers import Provider
+
+    pts = np.array([[2.5, 2.5, 2.5], [5.5, 5.5, 5.5]], np.float32)
+    env = Provider("env_nd")
+    env.init(ProbVoxelMap.create((16, 16, 16), 1.0).insert_point_cloud(pts))
+
+    # list tier: a positional threshold binds to offset=(1,1,1)-ish -> shift
+    lst = Provider("lst_nd")
+    lst.init(bit_vector_voxel_list((16, 16, 16)).insert_point_cloud(pts, 20))
+    lst.set_collide_with(env)
+    assert lst.collide() == 2
+
+    # octree tier: a positional 1.0 binds to min_level -> wrong pyramid level
+    hier = Provider("hier_nd")
+    hier.init(HierarchicalBitMap.create((16, 16, 16), 1.0).insert_point_cloud(pts))
+    hier.set_collide_with(env)
+    assert hier.collide() == 2
+
+    # dense tier still honors the threshold keyword
+    dense = Provider("dense_nd")
+    dense.init(ProbVoxelMap.create((16, 16, 16), 1.0).insert_point_cloud(pts))
+    dense.set_collide_with(env, coll_threshold=1.0)
+    assert dense.collide() == 2
 
 
 def test_collide_with_type_mask():

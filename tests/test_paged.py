@@ -55,11 +55,16 @@ def test_allocation_fetches_o_new_tiles_not_o_points(monkeypatch):
     pts = (centers[rng.integers(0, 6, 50_000)] + rng.uniform(0, 4, (50_000, 3))).astype(
         np.float32
     )
+    def bucket(n):
+        # the fetched prefix is pow2-bucketed (maps/paged.py _allocate_for) so
+        # distinct new-tile counts reuse compiled fetch programs; still O(tiles)
+        return max(8, 1 << (n - 1).bit_length())
+
     m.insert_point_cloud(pts)
     nt = m.n_tiles()
     assert nt < 200  # clustered: tiles << points
-    # fresh map: one count scalar + one [n_new, 3] prefix (no pre-check)
-    assert fetches == [1, 3 * nt], fetches
+    # fresh map: one count scalar + one [bucket(n_new), 3] prefix (no pre-check)
+    assert fetches == [1, 3 * bucket(nt)], fetches
 
     # steady state: same territory -> exactly one pre-check scalar
     fetches.clear()
@@ -73,7 +78,8 @@ def test_allocation_fetches_o_new_tiles_not_o_points(monkeypatch):
     m.insert_point_cloud(grow)
     new_tiles = m.n_tiles() - n0
     assert new_tiles > 0
-    assert fetches == [1, 1, 3 * new_tiles], fetches
+    assert fetches == [1, 1, 3 * bucket(new_tiles)], fetches
+    assert fetches[2] < len(grow)  # O(new tiles), never O(points)
 
     # correctness unchanged: every inserted point probes occupied
     occ, _, _ = m.probe(jnp.asarray(np.floor(pts[:500]).astype(np.int32)))

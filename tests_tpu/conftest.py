@@ -14,6 +14,12 @@ no TPU platform is available (e.g. plain CI hosts).
 import jax
 import pytest
 
+from gpu_voxels_tpu.utils.jitcache import enable_persistent_cache
+
+# warm persistent compile cache: repeat hardware-tier runs skip the remote
+# compiler entirely (cold compiles are 0.5 s - 4.5 min each through the relay)
+enable_persistent_cache()
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
