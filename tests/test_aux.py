@@ -505,3 +505,24 @@ def test_voxellist_visualize_fingerprint_tracks_ids(tmp_path):
     l2 = l2.insert_point_cloud(np.array([[2.5, 1.5, 1.5]], np.float32), grow=False)
     assert vp.visualize(l2, force_repaint=False)  # ids changed -> repaint
     assert not vp.visualize(l2, force_repaint=False)  # unchanged -> skip
+
+
+def test_jitcache_configuration(monkeypatch, tmp_path):
+    """enable_persistent_cache honors GVTPU_JAX_CACHE (path / empty=disable)
+    and defaults to <repo>/.jax_cache; safe to call repeatedly."""
+    import jax
+
+    from gpu_voxels_tpu.utils.jitcache import enable_persistent_cache
+
+    monkeypatch.setenv("GVTPU_JAX_CACHE", str(tmp_path / "cache"))
+    got = enable_persistent_cache()
+    assert got == str(tmp_path / "cache")
+    assert jax.config.jax_compilation_cache_dir == got
+
+    monkeypatch.setenv("GVTPU_JAX_CACHE", "")
+    assert enable_persistent_cache() is None  # explicit disable
+
+    monkeypatch.delenv("GVTPU_JAX_CACHE")
+    default = enable_persistent_cache()
+    assert default is not None and default.endswith(".jax_cache")
+    assert enable_persistent_cache() == default  # idempotent
