@@ -1,3 +1,4 @@
+from .paged_world import ShardedPagedWorld
 from .shard_value import assert_sharded, reshard_like, shard_map_value
 from .sharded import (
     build_sharded_bit_cycle,
@@ -11,6 +12,7 @@ from .sharded import (
 )
 
 __all__ = [
+    "ShardedPagedWorld",
     "assert_sharded",
     "build_sharded_bit_cycle",
     "build_sharded_cycle",

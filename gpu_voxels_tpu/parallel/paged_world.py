@@ -1,0 +1,362 @@
+"""Multi-chip paged octree: z-slab decomposition of a `PagedHierarchicalMap`.
+
+The paged tier is host-stateful (its tile pool grows on insert), so it cannot
+be laid over a mesh with `NamedSharding` like the dense maps
+(parallel/shard_value.py). Instead the virtual world is partitioned into
+contiguous z-slabs, one independent `PagedHierarchicalMap` per device: each
+chip owns its slab's page directory, tile pool AND allocator, so pool memory,
+scatter/rebuild work and probe gathers all distribute. Tile (8), block-row
+(64) and page (64) boundaries nest inside any 64-multiple slab, so every
+tile belongs to exactly one slab and per-shard results partition the
+single-device ones exactly (asserted by tests and the driver dryrun).
+
+This is a new capability vs the single-GPU reference (SURVEY §2.4 grid
+scaling); the per-shard semantics are the single-device NTree ones
+(`maps/paged.py`, GvlNTree.hpp:150-330). Design notes:
+
+  * Points/depth frames are replicated to every shard (they are small
+    relative to the grid); each shard voxelizes in its slab frame and its
+    scatter drops out-of-slab cells — no host-side routing, no collectives.
+    Free-space rays crossing slab boundaries carve each slab's own cells
+    (the ray walk is replicated, the scatters are local).
+  * All per-shard inputs are `jax.device_put` onto the shard's device first:
+    jit outputs are committed, and a committed-elsewhere operand would make
+    the shard's programs fail device placement.
+  * Every collide direction reduces to the single-device call with the
+    offset translated by the slab origin (both probe directions use
+    `c = coords ± offset`, so `offset_z - z0` lands queries in the slab
+    frame); per-shard counts sum because each global cell is inside exactly
+    one slab.
+  * min_level probes OR over aligned 2^l cubes; a cube never crosses a slab
+    boundary iff 2^min_level divides the slab depth — coarser levels raise.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import BitVoxelMeaning
+from ..maps.paged import PAGE_EDGE, PagedHierarchicalMap
+
+Dims = Tuple[int, int, int]
+
+_PINNED_FIELDS = (
+    "pyramid", "skeys", "srows", "pages", "block_summaries", "page_coord",
+    "pool", "occ_pool", "slot_block", "slot_page", "slot_within",
+)
+
+
+@jax.jit
+def _translate(pts, off):
+    return pts - off
+
+
+@jax.jit
+def _translate_clip(coords, off, hi):
+    return jnp.clip(coords - off, 0, hi)
+
+
+def _pin(m: PagedHierarchicalMap, device) -> None:
+    """Commit every device array of a slab map onto its device. Idempotent;
+    called after construction and after host allocation (which creates
+    uncommitted arrays on the default device)."""
+    for name in _PINNED_FIELDS:
+        v = getattr(m, name, None)
+        if v is not None:
+            setattr(m, name, jax.device_put(v, device))
+
+
+class ShardedPagedWorld:
+    """Z-slab-sharded sparse hierarchical world over `devices`.
+
+    Same insert/probe/collide surface as `PagedHierarchicalMap` (both NTree
+    instantiations: deterministic hard-status and probabilistic log-odds),
+    with memory and work distributed one slab per device. Counts and probe
+    statuses are exactly the single-device map's (tests assert equality).
+    """
+
+    def __init__(
+        self,
+        dims: Dims,
+        side_length: float = 1.0,
+        probabilistic: bool = False,
+        devices: Sequence | None = None,
+    ):
+        devices = list(devices if devices is not None else jax.devices())
+        if not devices:
+            raise ValueError("need at least one device")
+        dx, dy, dz = (int(d) for d in dims)
+        nz = len(devices)
+        if dz % nz:
+            raise ValueError(f"dimz {dz} must divide over {nz} devices")
+        self.slab_dz = dz // nz
+        if self.slab_dz % PAGE_EDGE:
+            raise ValueError(
+                f"slab depth {self.slab_dz} must be a multiple of {PAGE_EDGE} "
+                "(tiles/pages may not cross slab boundaries)"
+            )
+        self.dims: Dims = (dx, dy, dz)
+        self.side_length = float(side_length)
+        self.probabilistic = bool(probabilistic)
+        self.devices = devices
+        self.z0s = [k * self.slab_dz for k in range(nz)]
+        self.shards = []
+        for dev in devices:
+            m = PagedHierarchicalMap((dx, dy, self.slab_dz), side_length, probabilistic)
+            _pin(m, dev)
+            self.shards.append(m)
+
+    # -- helpers ---------------------------------------------------------------
+    def _put_points(self, points, k: int) -> jnp.ndarray:
+        """Replicate `points` onto shard k, translated into its slab frame."""
+        pts = jax.device_put(jnp.asarray(points, jnp.float32), self.devices[k])
+        off = np.asarray(
+            [0.0, 0.0, self.z0s[k] * self.side_length], np.float32
+        )
+        return _translate(pts, off)
+
+    def _put_coords(self, coords, k: int) -> jnp.ndarray:
+        return jax.device_put(jnp.asarray(coords, jnp.int32), self.devices[k])
+
+    def _shard_offset(self, offset, k: int) -> tuple:
+        ox, oy, oz = (int(v) for v in np.asarray(offset).ravel())
+        return (ox, oy, oz - self.z0s[k])
+
+    def _check_min_level(self, min_level: int) -> None:
+        if min_level and self.slab_dz % (1 << min_level):
+            raise ValueError(
+                f"min_level {min_level} cubes (edge {1 << min_level}) would "
+                f"cross slab boundaries (slab depth {self.slab_dz}); use a "
+                "single-device map or fewer/deeper slabs for coarser probes"
+            )
+
+    # -- insertion ---------------------------------------------------------------
+    def insert_point_cloud(
+        self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED, static_map: bool = True
+    ) -> "ShardedPagedWorld":
+        for k, m in enumerate(self.shards):
+            m.insert_point_cloud(self._put_points(points, k), meaning, static_map)
+            _pin(m, self.devices[k])
+        return self
+
+    def insert_point_cloud_with_free_space(
+        self,
+        points,
+        sensor_origin=(0.0, 0.0, 0.0),
+        max_steps: int = 128,
+        static_map: bool = False,
+    ) -> "ShardedPagedWorld":
+        ox, oy, oz = (float(v) for v in sensor_origin)
+        for k, m in enumerate(self.shards):
+            origin_k = (ox, oy, oz - self.z0s[k] * self.side_length)
+            m.insert_point_cloud_with_free_space(
+                self._put_points(points, k), origin_k, max_steps, static_map
+            )
+            _pin(m, self.devices[k])
+        return self
+
+    def insert_depth_image(self, depth, sensor, max_steps: int = 128) -> "ShardedPagedWorld":
+        """Octree sensor pipeline on the sharded world: back-project on each
+        shard's device (replicated compute) with the pose shifted into the
+        slab frame, then the ray-carved sensor insert (Sensor.cu semantics
+        via the slab maps)."""
+        from ..geometry import transforms
+        from ..ops import raycast as raycast_ops
+
+        depth = jnp.asarray(depth, jnp.float32)
+        pose = np.asarray(sensor.pose(), np.float32)
+        for k, m in enumerate(self.shards):
+            pose_k = pose.copy()
+            pose_k[2, 3] -= self.z0s[k] * self.side_length
+            d_k = jax.device_put(depth, self.devices[k])
+            pts = raycast_ops.depth_image_to_point_cloud(
+                d_k, sensor.fx, sensor.fy, sensor.cx, sensor.cy, sensor.invalid_value
+            )
+            world = transforms.transform_points(jnp.asarray(pose_k), pts)
+            finite = jnp.all(jnp.isfinite(world), axis=-1)
+            world = jnp.where(finite[:, None], world, -1e9)
+            m.insert_point_cloud_with_free_space(
+                world, tuple(float(v) for v in pose_k[:3, 3]), max_steps=max_steps
+            )
+            _pin(m, self.devices[k])
+        return self
+
+    # -- probing -------------------------------------------------------------------
+    def probe_status(self, coords, min_level: int = 0) -> np.ndarray:
+        """Status byte per fine voxel (kernel_Octree.h:383-423 semantics),
+        combined from the owning slabs."""
+        self._check_min_level(min_level)
+        coords_np = np.asarray(coords, np.int64)
+        out = np.zeros(coords_np.shape[:-1], np.uint8)
+        parts = []
+        for k, m in enumerate(self.shards):
+            ck = self._put_coords(coords_np, k)
+            off = np.asarray([0, 0, self.z0s[k]], np.int32)
+            hi = np.asarray(
+                [self.dims[0] - 1, self.dims[1] - 1, self.slab_dz - 1], np.int32
+            )
+            parts.append(m.probe_status(_translate_clip(ck, off, hi), min_level))
+        for k, st in enumerate(parts):
+            own = (coords_np[..., 2] >= self.z0s[k]) & (
+                coords_np[..., 2] < self.z0s[k] + self.slab_dz
+            )
+            out = np.where(own, np.asarray(st), out)
+        return out
+
+    def probe(self, coords, min_level: int = 0):
+        from ..maps.hierarchical import NS_FREE, NS_OCCUPIED, NS_UNKNOWN, STATUS_OCCUPANCY_MASK
+
+        status = self.probe_status(coords, min_level)
+        occupied = (status & NS_OCCUPIED) != 0
+        unknown = ((status & NS_UNKNOWN) != 0) & ~occupied
+        free = (status & STATUS_OCCUPANCY_MASK) == NS_FREE
+        return occupied, unknown, free
+
+    def probe_occupancy(self, coords) -> np.ndarray:
+        """int8 log-odds per fine voxel (probabilistic tier)."""
+        if not self.probabilistic:
+            raise TypeError("probe_occupancy requires a probabilistic paged world")
+        from ..constants import UNKNOWN_PROBABILITY
+
+        coords_np = np.asarray(coords, np.int64)
+        out = np.full(coords_np.shape[:-1], UNKNOWN_PROBABILITY, np.int8)
+        parts = []
+        for k, m in enumerate(self.shards):
+            ck = self._put_coords(coords_np, k)
+            off = np.asarray([0, 0, self.z0s[k]], np.int32)
+            hi = np.asarray(
+                [self.dims[0] - 1, self.dims[1] - 1, self.slab_dz - 1], np.int32
+            )
+            parts.append(m.probe_occupancy(_translate_clip(ck, off, hi)))
+        for k, occ in enumerate(parts):
+            own = (coords_np[..., 2] >= self.z0s[k]) & (
+                coords_np[..., 2] < self.z0s[k] + self.slab_dz
+            )
+            out = np.where(own, np.asarray(occ), out)
+        return out
+
+    # -- collision ---------------------------------------------------------------
+    def _sum_shard_counts(self, fn) -> int:
+        vals = [fn(k, m) for k, m in enumerate(self.shards)]  # async dispatch
+        return sum(int(v) for v in vals)
+
+    def collide_with_coords(self, coords, min_level: int = 0, offset=(0, 0, 0)) -> int:
+        self._check_min_level(min_level)
+        return self._sum_shard_counts(
+            lambda k, m: m.collide_with_coords(
+                self._put_coords(coords, k), min_level, self._shard_offset(offset, k)
+            )
+        )
+
+    def collide_with_counting_unknown_coords(
+        self, coords, min_level: int = 0, offset=(0, 0, 0)
+    ):
+        self._check_min_level(min_level)
+        pairs = [
+            m.collide_with_counting_unknown_coords(
+                self._put_coords(coords, k), min_level, self._shard_offset(offset, k)
+            )
+            for k, m in enumerate(self.shards)
+        ]
+        return (
+            sum(int(c) for c, _ in pairs),
+            sum(int(u) for _, u in pairs),
+        )
+
+    def collide_with(self, other, min_level: int = 0, offset=(0, 0, 0)) -> int:
+        """collideWith dispatch (GvlNTree.hpp:150-330) over the slabs: lists,
+        dense maps, paged maps and sharded worlds. Each direction is the
+        single-device call with the slab-translated offset; counts sum."""
+        from ..maps.hierarchical import _reject_octree_offset
+        from ..maps.voxellist import VoxelList
+        from ..maps.voxelmap import BitVectorVoxelMap, ProbVoxelMap
+
+        self._check_min_level(min_level)
+        if isinstance(other, VoxelList):
+            return self._sum_shard_counts(
+                lambda k, m: m.collide_with(
+                    jax.device_put(other, self.devices[k]),
+                    min_level,
+                    self._shard_offset(offset, k),
+                )
+            )
+        if isinstance(other, (ProbVoxelMap, BitVectorVoxelMap)):
+            return self._sum_shard_counts(
+                lambda k, m: m.collide_with(
+                    jax.device_put(other, self.devices[k]),
+                    min_level,
+                    self._shard_offset(offset, k),
+                )
+            )
+        if isinstance(other, (PagedHierarchicalMap, ShardedPagedWorld)):
+            # NTree x NTree (NTree.hpp:1139): probe self at the other octree's
+            # exact occupied set; nonzero offsets rejected like the reference
+            # (GvlNTree.hpp:260-262)
+            _reject_octree_offset(tuple(int(v) for v in np.asarray(offset).ravel()))
+            oc = other.extract_occupied_coords()
+            if oc.shape[0] == 0:
+                return 0
+            return self.collide_with_coords(oc, min_level)
+        raise TypeError(type(other))
+
+    def collide_with_counting_unknown(self, other, min_level: int = 0, offset=(0, 0, 0)):
+        """collideWithTypesConsideringUnknownCells (GvlNTree.h:115-129):
+        (collisions, unknown-cell hits) summed over slabs."""
+        self._check_min_level(min_level)
+        pairs = [
+            m.collide_with_counting_unknown(
+                jax.device_put(other, self.devices[k]),
+                min_level,
+                self._shard_offset(offset, k),
+            )
+            for k, m in enumerate(self.shards)
+        ]
+        return (
+            sum(int(c) for c, _ in pairs),
+            sum(int(u) for _, u in pairs),
+        )
+
+    # -- maintenance ---------------------------------------------------------------
+    def clear_map(self) -> "ShardedPagedWorld":
+        for k, m in enumerate(self.shards):
+            m.clear_map()
+            _pin(m, self.devices[k])
+        return self
+
+    def check_tree(self) -> bool:
+        return all(m.check_tree() for m in self.shards)
+
+    def n_tiles(self) -> int:
+        return sum(m.n_tiles() for m in self.shards)
+
+    def memory_usage(self) -> int:
+        return sum(m.memory_usage() for m in self.shards)
+
+    def extract_occupied_coords(self, max_out: int | None = None) -> np.ndarray:
+        parts = []
+        for k, m in enumerate(self.shards):
+            c = m.extract_occupied_coords()
+            if c.shape[0]:
+                c = c.copy()
+                c[:, 2] += self.z0s[k]
+            parts.append(c)
+        out = np.concatenate(parts, axis=0) if parts else np.zeros((0, 3), np.int32)
+        return out[:max_out] if max_out is not None else out
+
+    def assert_distributed(self) -> None:
+        """Fail loudly if the shards' pools are NOT on distinct devices —
+        the paged analogue of shard_value.assert_sharded (catches a silent
+        single-device fallback slipping into a future edit)."""
+        seen = set()
+        for m, want in zip(self.shards, self.devices):
+            devs = {d for d in m.pool.devices()}
+            if devs != {want}:
+                raise AssertionError(f"shard pool on {devs}, want {{{want}}}")
+            seen |= devs
+        if len(seen) != len(self.devices):
+            raise AssertionError(
+                f"{len(seen)} distinct devices hold pools, want {len(self.devices)}"
+            )

@@ -442,3 +442,40 @@ def test_native_streamed_disk_io_on_tpu(tmp_path):
         finally:
             native._lib, native._load_attempted = lib, att
         assert p.read_bytes() == p2.read_bytes()
+
+
+def test_sharded_paged_world_on_tpu():
+    """ShardedPagedWorld on the real chip (1 device -> 1 slab): the committed
+    device_put / pinning / slab-translation paths run on hardware and every
+    result equals the plain PagedHierarchicalMap's (GvlNTree.hpp:150-330
+    semantics per slab; parallel/paged_world.py)."""
+    import jax
+
+    from gpu_voxels_tpu.maps.paged import PagedHierarchicalMap
+    from gpu_voxels_tpu.parallel import ShardedPagedWorld
+
+    dims = (64, 64, 64)
+    rng = np.random.default_rng(41)
+    pts = rng.uniform([0, 0, 0], dims, size=(300, 3)).astype(np.float32)
+
+    single = PagedHierarchicalMap(dims, 1.0)
+    single.insert_point_cloud_with_free_space(pts, (32.5, 32.5, 2.5), max_steps=64)
+    world = ShardedPagedWorld(dims, 1.0, devices=jax.devices()[:1])
+    world.insert_point_cloud_with_free_space(pts, (32.5, 32.5, 2.5), max_steps=64)
+
+    world.assert_distributed()
+    assert world.check_tree() and world.n_tiles() == single.n_tiles()
+    q = np.concatenate(
+        [
+            rng.integers([0, 0, 0], dims, size=(480, 3)),
+            np.floor(pts[:32]).astype(np.int64),  # guaranteed occupied hits
+        ]
+    ).astype(np.int32)
+    assert (world.probe_status(q) == np.asarray(single.probe_status(q))).all()
+    count = world.collide_with_coords(q)
+    assert count == int(single.collide_with_coords(q)) and count >= 32
+    lst = VoxelList.create(dims, 1.0, "bit", 2048, "linear").insert_point_cloud(
+        rng.uniform([0, 0, 0], dims, size=(200, 3)).astype(np.float32)
+    )
+    off = (1, -2, 3)
+    assert world.collide_with(lst, offset=off) == int(single.collide_with(lst, offset=off))
