@@ -117,10 +117,19 @@ class GpuVoxels:
         else:
             raise NotImplementedError(f"map type {mt}")
         if mesh is not None:
-            from .parallel import shard_map_value
+            from .maps.paged import PagedHierarchicalMap
+            from .parallel import ShardedPagedWorld, shard_map_value
 
-            m = shard_map_value(m, mesh)
-            self._meshes[map_name] = mesh
+            if isinstance(m, PagedHierarchicalMap):
+                # the host-stateful paged tier shards as one slab map (pool
+                # + allocator) per device instead of NamedSharding; it is
+                # self-pinning, so no mesh re-pin registration is needed
+                m = ShardedPagedWorld(
+                    d, s, m.probabilistic, devices=list(mesh.devices.reshape(-1))
+                )
+            else:
+                m = shard_map_value(m, mesh)
+                self._meshes[map_name] = mesh
         self._maps[map_name] = m
         self._locks[map_name] = threading.RLock()
         self._vis[map_name] = VisProvider(map_name)
@@ -282,9 +291,15 @@ class GpuVoxels:
         return True
 
     def load_map(self, map_name: str, path) -> bool:
-        """Map readFromDisk via the facade; rebinds the named map."""
+        """Map readFromDisk via the facade; rebinds the named map (a
+        sharded paged world reloads distributed, onto its own devices)."""
+        from .parallel import ShardedPagedWorld
         from .utils import io as map_io
 
+        cur = self._maps.get(map_name)
+        if isinstance(cur, ShardedPagedWorld):
+            self._maps[map_name] = cur.read_from_disk(path)
+            return True
         self._maps[map_name] = map_io.read_map(path)
         self._locks.setdefault(map_name, threading.RLock())
         self._vis.setdefault(map_name, VisProvider(map_name))

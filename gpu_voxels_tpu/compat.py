@@ -110,6 +110,7 @@ def install() -> None:
     from .maps.paged import PagedHierarchicalMap
     from .maps.voxellist import VoxelList
     from .maps.voxelmap import BitVectorVoxelMap, CountingVoxelMap, ProbVoxelMap
+    from .parallel.paged_world import ShardedPagedWorld
 
     _apply(GpuVoxels, _FACADE_ALIASES)
     for cls in (
@@ -119,6 +120,7 @@ def install() -> None:
         HierarchicalProbMap,
         HierarchicalBitMap,
         PagedHierarchicalMap,
+        ShardedPagedWorld,
     ):
         _apply(cls, _MAP_ALIASES)
     _apply(VoxelList, _LIST_ALIASES)

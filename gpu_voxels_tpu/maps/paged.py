@@ -382,6 +382,25 @@ def _empty_pyramid(coarse_shape, levels: int):
     return tuple(_build_pyramid(jnp.full(coarse_shape, U8(NS_UNKNOWN)), levels))
 
 
+def _free_box_cloud(points, side_length: float) -> np.ndarray:
+    """NTree::build's free_bounding_box (NTree.h:127) as an explicit free
+    cloud: voxel centers of the points' AABB. Raises (without touching any
+    map state) when the box is too large to enumerate."""
+    pts = np.asarray(points, np.float32)
+    lo = np.floor(pts.min(axis=0) / side_length).astype(np.int64)
+    hi = np.floor(pts.max(axis=0) / side_length).astype(np.int64)
+    n_box = int(np.prod(hi - lo + 1))
+    if n_box > 64 * 1024 * 1024:
+        raise ValueError(
+            f"free bounding box spans {n_box} voxels; carve free space "
+            "incrementally via insert_point_cloud_with_free_space instead"
+        )
+    xs, ys, zs = (np.arange(lo[i], hi[i] + 1) for i in range(3))
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    out = (np.stack([gx, gy, gz], axis=-1).reshape(-1, 3) + 0.5) * side_length
+    return out.astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("side_length", "dims", "max_steps"))
 def _free_ray_cells(pts, origin, side_length: float, dims: Dims, max_steps: int):
     """[S,N,3] visited voxel coords + [S,N] live mask for origin->point rays
@@ -870,22 +889,9 @@ class PagedHierarchicalMap(DiskIO):
         before inserting — here as explicit free points over the box
         (tractable for the sensor-scale boxes the reference builds from;
         the virtual remainder of a 32768^3 world stays implicit UNKNOWN)."""
-        free = None
-        if free_bounding_box:
-            # validate BEFORE clear_map: this class mutates in place, so a
-            # rejected box must not destroy the caller's existing contents
-            pts = np.asarray(points, np.float32)
-            lo = np.floor(pts.min(axis=0) / self.side_length).astype(np.int64)
-            hi = np.floor(pts.max(axis=0) / self.side_length).astype(np.int64)
-            n_box = int(np.prod(hi - lo + 1))
-            if n_box > 64 * 1024 * 1024:
-                raise ValueError(
-                    f"free bounding box spans {n_box} voxels; carve free space "
-                    "incrementally via insert_point_cloud_with_free_space instead"
-                )
-            xs, ys, zs = (np.arange(lo[i], hi[i] + 1) for i in range(3))
-            gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
-            free = (np.stack([gx, gy, gz], axis=-1).reshape(-1, 3) + 0.5) * self.side_length
+        # validate BEFORE clear_map: this class mutates in place, so a
+        # rejected box must not destroy the caller's existing contents
+        free = _free_box_cloud(points, self.side_length) if free_bounding_box else None
         self.clear_map()
         if free is not None:
             self.insert_point_cloud(free.astype(np.float32), BitVoxelMeaning.eBVM_FREE)

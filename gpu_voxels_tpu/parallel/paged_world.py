@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import BitVoxelMeaning
-from ..maps.paged import PAGE_EDGE, PagedHierarchicalMap
+from ..maps.paged import B, PAGE_EDGE, PagedHierarchicalMap
 
 Dims = Tuple[int, int, int]
 
@@ -182,6 +182,59 @@ class ShardedPagedWorld:
                 world, tuple(float(v) for v in pose_k[:3, 3]), max_steps=max_steps
             )
             _pin(m, self.devices[k])
+        return self
+
+    def insert_meta_point_cloud(self, meta, meanings=None) -> "ShardedPagedWorld":
+        """insertMetaPointCloud (GvlNTree.hpp:437-453): per-subcloud meanings
+        degrade to the FIRST meaning, exactly like the reference adapter."""
+        meaning = BitVoxelMeaning.eBVM_OCCUPIED
+        if meanings is not None and len(meanings):
+            meaning = meanings[0]
+        return self.insert_point_cloud(meta.points, meaning)
+
+    def insert_robot_configuration(self, robot_links, with_self_collision_test: bool = False):
+        """insertRobotConfiguration (GpuVoxelsMap contract); the
+        self-collision test is the host cell-set check shared with the
+        single-device map (maps/paged.py). Returns (world, ok)."""
+        ok = True
+        if with_self_collision_test:
+            seen: set = set()
+            clash = False
+            for i in range(robot_links.num_clouds):
+                pts = np.asarray(robot_links.get_cloud(i), np.float32)
+                cells = set(
+                    map(tuple, np.floor(pts / self.side_length).astype(np.int64))
+                )
+                if seen & cells:
+                    clash = True
+                seen |= cells
+            ok = not clash
+        return self.insert_meta_point_cloud(robot_links), ok
+
+    def build(self, points, free_bounding_box: bool = False) -> "ShardedPagedWorld":
+        """NTree::build (NTree.hpp:385-540) over the slabs; the free AABB
+        carve spans slabs like any other insert."""
+        from ..maps.paged import _free_box_cloud
+
+        free = _free_box_cloud(points, self.side_length) if free_bounding_box else None
+        self.clear_map()
+        if free is not None:
+            self.insert_point_cloud(free, BitVoxelMeaning.eBVM_FREE)
+        return self.insert_point_cloud(points, BitVoxelMeaning.eBVM_OCCUPIED)
+
+    def clear_voxel_meaning(self, meaning) -> "ShardedPagedWorld":
+        """clearBitVoxelMeaning (GvlNTree.hpp:487-494 semantics per slab)."""
+        for k, m in enumerate(self.shards):
+            m.clear_voxel_meaning(meaning)
+            _pin(m, self.devices[k])
+        return self
+
+    def needs_rebuild(self) -> bool:
+        return any(m.needs_rebuild() for m in self.shards)
+
+    def rebuild(self) -> "ShardedPagedWorld":
+        for m in self.shards:
+            m.rebuild()
         return self
 
     # -- probing -------------------------------------------------------------------
@@ -345,6 +398,97 @@ class ShardedPagedWorld:
             parts.append(c)
         out = np.concatenate(parts, axis=0) if parts else np.zeros((0, 3), np.int32)
         return out[:max_out] if max_out is not None else out
+
+    @property
+    def map_type(self):
+        return self.shards[0].map_type
+
+    # -- conversion / persistence ----------------------------------------------
+    def to_paged_map(self) -> PagedHierarchicalMap:
+        """Gather the slabs into ONE single-device `PagedHierarchicalMap`
+        over the global dims (tile ground truth is copied; directory,
+        summaries and pyramid are rebuilt as invariants, mirroring the
+        disk-read path in utils/io.py)."""
+        from ..maps.hierarchical import _status_from_occupancy
+
+        out = PagedHierarchicalMap(self.dims, self.side_length, self.probabilistic)
+        blocks, payloads = [], []
+        for k, m in enumerate(self.shards):
+            n = m.n_tiles()
+            if not n:
+                continue
+            sb = np.asarray(m.slot_block[:n]).copy()
+            sb[:, 2] += self.z0s[k] // B  # slab z0 is a block multiple
+            blocks.append(sb)
+            payloads.append(
+                np.asarray(m.occ_pool[:n] if self.probabilistic else m.pool[:n])
+            )
+        if blocks:
+            merged = np.concatenate(blocks, axis=0)
+            body = jnp.asarray(np.concatenate(payloads, axis=0))
+            out._allocate(merged)
+            n = merged.shape[0]
+            if self.probabilistic:
+                out.occ_pool = out.occ_pool.at[:n].set(body)
+                out.pool = out.pool.at[:n].set(_status_from_occupancy(out.occ_pool[:n]))
+            else:
+                out.pool = out.pool.at[:n].set(body)
+            out._rebuild_coarse()
+        return out
+
+    @classmethod
+    def from_paged_map(
+        cls, m: PagedHierarchicalMap, devices: Sequence | None = None
+    ) -> "ShardedPagedWorld":
+        """Distribute an existing single-device paged map over `devices`:
+        every tile belongs to exactly one z-slab (slab depth is a block
+        multiple), so the split is a partition of the tile pool."""
+        from ..maps.hierarchical import _status_from_occupancy
+
+        world = cls(m.dims, m.side_length, m.probabilistic, devices)
+        n = m.n_tiles()
+        if n:
+            sb = np.asarray(m.slot_block[:n])
+            body = np.asarray(m.occ_pool[:n] if m.probabilistic else m.pool[:n])
+            slab_blocks = world.slab_dz // B
+            owner = sb[:, 2] // slab_blocks
+            for k, shard in enumerate(world.shards):
+                sel = owner == k
+                if not sel.any():
+                    continue
+                local = sb[sel].copy()
+                local[:, 2] -= k * slab_blocks
+                shard._allocate(local)
+                nk = local.shape[0]
+                payload = jax.device_put(jnp.asarray(body[sel]), world.devices[k])
+                if m.probabilistic:
+                    shard.occ_pool = shard.occ_pool.at[:nk].set(payload)
+                    shard.pool = shard.pool.at[:nk].set(
+                        _status_from_occupancy(shard.occ_pool[:nk])
+                    )
+                else:
+                    shard.pool = shard.pool.at[:nk].set(payload)
+                shard._rebuild_coarse()
+                _pin(shard, world.devices[k])
+        return world
+
+    def write_to_disk(self, path) -> bool:
+        """writeToDisk with format parity: the file is the single-device
+        `write_paged_map` layout (NTree::serialize analogue; tile slots
+        ordered slab-major), so it reads back into either form."""
+        return self.to_paged_map().write_to_disk(path)
+
+    def read_from_disk(self, path) -> "ShardedPagedWorld":
+        """readFromDisk (returns a NEW world on the same devices, matching
+        the repo-wide operations-return-new-instances convention)."""
+        from ..utils import io as map_io
+
+        m = map_io.read_map(path)
+        if int(m.map_type) != int(self.map_type):
+            raise ValueError(
+                f"file holds map type {int(m.map_type)}, world is {int(self.map_type)}"
+            )
+        return type(self).from_paged_map(m, self.devices)
 
     def assert_distributed(self) -> None:
         """Fail loudly if the shards' pools are NOT on distinct devices —

@@ -394,9 +394,13 @@ def write_map(m, path) -> None:
     from ..maps.hierarchical import _PyramidQueries
     from ..maps.paged import PagedHierarchicalMap
     from ..maps.voxellist import VoxelList
+    from ..parallel.paged_world import ShardedPagedWorld
 
     if isinstance(m, VoxelList):
         write_voxel_list(m, path)
+    elif isinstance(m, ShardedPagedWorld):
+        # gathered to the single-device layout: same bytes either way
+        write_paged_map(m.to_paged_map(), path)
     elif isinstance(m, PagedHierarchicalMap):
         write_paged_map(m, path)
     elif isinstance(m, _PyramidQueries):

@@ -251,7 +251,27 @@ def extract_multilevel_cubes(
     """
     from ..maps.hierarchical import _PyramidQueries
     from ..maps.paged import PagedHierarchicalMap
+    from ..parallel.paged_world import ShardedPagedWorld
 
+    if isinstance(m, ShardedPagedWorld):
+        # per-slab extraction (each fetch is local to its device), corners
+        # translated into the global frame; coarsest-first truncation is
+        # applied to the combined set like the single-map sink's
+        parts = [
+            _paged_multilevel(s, min_level, occupied, free, unknown, max_cubes)
+            for s in m.shards
+        ]
+        corners = [c.copy() for c, _, _ in parts]
+        for k, c in enumerate(corners):
+            if c.shape[0]:
+                c[:, 2] += m.z0s[k]
+        corners = np.concatenate(corners, axis=0)
+        sizes = np.concatenate([s for _, s, _ in parts], axis=0)
+        types = np.concatenate([t for _, _, t in parts], axis=0)
+        if max_cubes is not None and corners.shape[0] > max_cubes:
+            order = np.argsort(-sizes.astype(np.int64), kind="stable")[:max_cubes]
+            corners, sizes, types = corners[order], sizes[order], types[order]
+        return corners, sizes, types
     if isinstance(m, PagedHierarchicalMap):
         return _paged_multilevel(m, min_level, occupied, free, unknown, max_cubes)
     if isinstance(m, _PyramidQueries):

@@ -51,10 +51,11 @@ class VisProvider:
         # extract once, feed all three writers
         from ..maps.hierarchical import _PyramidQueries
         from ..maps.paged import PagedHierarchicalMap
+        from ..parallel.paged_world import ShardedPagedWorld
         from .extract import extract_cubes, extract_multilevel_cubes
         from .serve import publish_cubes
 
-        if isinstance(m, (PagedHierarchicalMap, _PyramidQueries)):
+        if isinstance(m, (PagedHierarchicalMap, _PyramidQueries, ShardedPagedWorld)):
             corners, sizes, types = extract_multilevel_cubes(
                 m, max_cubes=self.MAX_CUBES
             )

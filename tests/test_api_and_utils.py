@@ -325,10 +325,12 @@ def test_compat_alias_tables_fully_install():
         ProbVoxelMap,
     )
 
+    from gpu_voxels_tpu.parallel.paged_world import ShardedPagedWorld
+
     map_classes = (
         ProbVoxelMap, BitVectorVoxelMap, CountingVoxelMap,
         HierarchicalProbMap, HierarchicalBitMap, PagedHierarchicalMap,
-        DistanceVoxelMap,
+        DistanceVoxelMap, ShardedPagedWorld,
     )
     tables = [
         (compat._FACADE_ALIASES, (GpuVoxels,)),

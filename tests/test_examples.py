@@ -149,3 +149,9 @@ def test_swept_fitter_three_robots_vs_bruteforce():
 
 def test_tf_interface_demo():
     assert _run("tf_interface_demo") > 0
+
+
+def test_sharded_world_demo():
+    out = _run("sharded_world_demo")
+    assert out["devices"] >= 1 and out["tiles"] > 0
+    assert out["free_cells"] > 0 and out["unknown_cells"] > 0
