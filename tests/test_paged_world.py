@@ -369,3 +369,57 @@ def test_build_meta_robot_and_clear_meaning():
         mpc_clash, with_self_collision_test=True
     )
     assert ok_c is False
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+@pytest.mark.parametrize("probabilistic", [False, True])
+def test_world_stateful_fuzz_vs_single_device(seed, probabilistic):
+    """Random op interleavings (occupied/free inserts, cross-slab sensor
+    carves, meaning clears) applied to the world AND the fuzz-verified
+    single-device map: probe statuses, occupancies, tile counts and collide
+    counts must stay EQUAL after every op. Targets the state machine the
+    slab decomposition adds on top (per-slab allocators, replicated-ray
+    ownership, pin-after-mutation)."""
+    devs = _devices()
+    rng = np.random.default_rng(seed)
+    single = PagedHierarchicalMap(DIMS, 1.0, probabilistic=probabilistic)
+    world = ShardedPagedWorld(DIMS, 1.0, probabilistic=probabilistic, devices=devs)
+    q = _queries(seed=seed + 1, q=768)
+
+    def check():
+        assert world.n_tiles() == single.n_tiles()
+        assert (world.probe_status(q) == np.asarray(single.probe_status(q))).all()
+        if probabilistic:
+            assert (
+                world.probe_occupancy(q) == np.asarray(single.probe_occupancy(q))
+            ).all()
+
+    for step in range(7):
+        op = rng.integers(0, 4)
+        if op == 0:  # occupied insert, static or dynamic map flag
+            pts = _scene(seed=rng.integers(1e6), n=rng.integers(16, 200))
+            static = bool(rng.integers(0, 2))
+            single.insert_point_cloud(pts, static_map=static)
+            world.insert_point_cloud(pts, static_map=static)
+        elif op == 1:  # explicit hard-FREE cells
+            pts = _scene(seed=rng.integers(1e6), n=rng.integers(16, 120))
+            single.insert_point_cloud(pts, BitVoxelMeaning.eBVM_FREE, static_map=False)
+            world.insert_point_cloud(pts, BitVoxelMeaning.eBVM_FREE, static_map=False)
+        elif op == 2:  # sensor carve from a random origin (rays cross slabs)
+            hits = _scene(seed=rng.integers(1e6), n=rng.integers(16, 96))
+            origin = tuple(
+                float(v)
+                for v in rng.uniform([4, 4, 4], [60, 60, 500], size=3)
+            )
+            single.insert_point_cloud_with_free_space(hits, origin, max_steps=256)
+            world.insert_point_cloud_with_free_space(hits, origin, max_steps=256)
+        else:  # occasional full reset via the meaning-clear path
+            single.clear_voxel_meaning(BitVoxelMeaning.eBVM_OCCUPIED)
+            world.clear_voxel_meaning(BitVoxelMeaning.eBVM_OCCUPIED)
+        check()
+
+    assert world.check_tree()
+    assert world.collide_with_coords(q) == int(single.collide_with_coords(q))
+    cw, uw = world.collide_with_counting_unknown_coords(q)
+    cs, us = single.collide_with_counting_unknown_coords(q)
+    assert (cw, uw) == (int(cs), int(us))
