@@ -353,10 +353,50 @@ class VoxelList(DiskIO):
     def insert_meta_point_cloud(self, meta, meanings=None, grow: bool = True) -> "VoxelList":
         if meanings is None:
             return self.insert_point_cloud(meta.points, grow=grow)
+        if self.kind == KIND_BIT:
+            # fused one-pass path (kernelInsertMetaPointCloudVoxelList with
+            # per-subcloud meanings): all links scatter in ONE program
+            sizes = [meta.get_cloud(i).shape[0] for i in range(meta.num_clouds)]
+            per_point = np.repeat(np.asarray([int(m) for m in meanings], np.int32), sizes)
+            return self.insert_point_cloud_with_meanings(meta.points, per_point, grow=grow)
         lst = self
         for i, meaning in enumerate(meanings):
             lst = lst.insert_point_cloud(meta.get_cloud(i), meaning, grow=grow)
         return lst
+
+    @compiled("grow", arrays=("points", "meanings"))
+    def insert_point_cloud_with_meanings(self, points, meanings, grow: bool = True) -> "VoxelList":
+        """Fused PER-POINT-meaning bit insert: one compiled program for an
+        arbitrary mixed-meaning cloud.
+
+        This is the batched swept-volume insert for lists: the reference
+        inserts a robot cloud per trajectory step with meaning
+        eBVM_SWEPT_VOLUME_START + step % 249 in a host loop
+        (gvl_ompl_planner_helper.cpp:102-137, RobotVsEnvironment.cpp:163-201);
+        a loop here would recompile per growing list shape. Points colliding
+        in one voxel OR their meaning bits (the TemplateVoxelList merge
+        semantics, TemplateVoxelList.hpp:142-209). KIND_BIT lists only.
+        """
+        if self.kind != KIND_BIT:
+            raise TypeError("per-point meanings require a bit-vector voxel list")
+        points = jnp.asarray(points, jnp.float32)
+        meanings = jnp.asarray(meanings, jnp.int32)
+        coords = map_to_voxels(points, self.side_length)
+        new_hi, new_lo = self._ids_from_coords(coords)
+        m = new_lo.shape[0]
+        plane = meanings // 32
+        word = jnp.uint32(1) << (meanings % 32).astype(jnp.uint32)
+        newp = (
+            jnp.zeros((NUM_BIT_PLANES, m), jnp.uint32)
+            .at[plane, jnp.arange(m)]
+            .set(word)
+        )
+        hi = jnp.concatenate([self.ids_hi, new_hi])
+        lo = jnp.concatenate([self.ids, new_lo])
+        payload = jnp.concatenate([self.payload, newp], axis=-1)
+        u_hi, u_lo, u_payload, count = self._make_unique(hi, lo, payload)
+        out = replace(self, ids=u_lo, ids_hi=u_hi, payload=u_payload, count=count)
+        return out if grow else out.with_capacity(self.capacity)
 
     def with_capacity(self, capacity: int) -> "VoxelList":
         """Re-fix capacity (truncating invalid tail / padding)."""

@@ -22,6 +22,16 @@ from ..constants import float_to_probability
 from ..ops.insert import linear_index, map_to_voxels
 
 
+def _count_distinct_hits(lin: jnp.ndarray, hit: jnp.ndarray) -> jnp.ndarray:
+    """Distinct colliding voxels (duplicates collapse, like the reference's
+    voxel-level count): sort the hit voxels' linear indices and count first
+    occurrences. Cost scales with the ROBOT's point count, never the grid."""
+    key = jnp.where(hit, lin, jnp.uint32(0xFFFFFFFF))
+    key = jnp.sort(key)
+    first = jnp.concatenate([jnp.ones((1,), bool), key[1:] != key[:-1]])
+    return jnp.sum(first & (key != jnp.uint32(0xFFFFFFFF)), dtype=jnp.uint32)
+
+
 class GvlValidityChecker:
     """State validity: robot FK -> voxelize -> gather env occupancy -> count.
 
@@ -52,7 +62,6 @@ class GvlValidityChecker:
         robot = self.robot
         t = self.t
         dims = env.dims
-        n = env.voxelmap_size
 
         def colliding_voxels(cfg, env_data):
             clouds = robot.transformed_clouds_for(cfg)
@@ -61,12 +70,10 @@ class GvlValidityChecker:
             inside = jnp.all((coords >= 0) & (coords < dims_arr), axis=-1)
             idx = jnp.where(inside, linear_index(coords, dims), 0)
             occ = (env_data[idx].astype(jnp.int32) >= t) & inside
-            # count distinct colliding voxels (duplicates collapse, like the
-            # reference's voxel-level count)
-            hits = jnp.zeros((n,), jnp.int8).at[jnp.where(occ, idx, n)].max(
-                jnp.int8(1), mode="drop"
-            )
-            return jnp.sum(hits, dtype=jnp.uint32)
+            # an earlier one-hot formulation materialized an N-voxel buffer
+            # per vmapped state (batch x full grid), which throttled batched
+            # motion checks; the sort costs O(points log points) instead
+            return _count_distinct_hits(idx.astype(jnp.uint32), occ)
 
         return colliding_voxels
 
@@ -129,11 +136,7 @@ class HierarchicalValidityChecker(GvlValidityChecker):
                 + coords[:, 1].astype(jnp.uint32) * jnp.uint32(dx)
                 + coords[:, 0].astype(jnp.uint32)
             )
-            hit = occ & inside
-            key = jnp.where(hit, lin, jnp.uint32(0xFFFFFFFF))
-            key = jnp.sort(key)
-            first = jnp.concatenate([jnp.ones((1,), bool), key[1:] != key[:-1]])
-            return jnp.sum(first & (key != jnp.uint32(0xFFFFFFFF)), dtype=jnp.uint32)
+            return _count_distinct_hits(lin, occ & inside)
 
         return colliding_voxels
 

@@ -68,6 +68,15 @@ def test_ompl_planning_demo():
     assert _run("ompl_planning_demo")
 
 
+def test_ompl_planner_app():
+    # one full plan-simplify-visualize round of the planner app (the
+    # 3-round moving-obstacle loop runs standalone; one round keeps the
+    # suite's time budget)
+    import ompl_planner_app
+
+    assert ompl_planner_app.main(rounds=1) == 1
+
+
 def test_distance_kinect_demo():
     c = _run("distance_kinect_demo")
     assert c is not None and c >= 0.0

@@ -280,6 +280,27 @@ def test_morton60_coords_beyond_1024():
     assert int(lst.collide_with(other)) == 0
 
 
+def test_insert_with_per_point_meanings_matches_sequential():
+    """The fused per-point-meaning insert (one compiled program) equals the
+    per-meaning host loop it replaces, including OR-merges where points of
+    different meanings share a voxel."""
+    rng = np.random.default_rng(4)
+    pts = (rng.uniform(0, 8, (64, 3)).astype(np.float32) // 1) + 0.5  # dup-heavy
+    meanings = rng.integers(10, 140, 64).astype(np.int32)
+    fused = bit_vector_voxel_list(DIMS).insert_point_cloud_with_meanings(pts, meanings)
+    oracle = bit_vector_voxel_list(DIMS)
+    for m in np.unique(meanings):
+        oracle = oracle.insert_point_cloud(pts[meanings == m], int(m))
+    n = int(fused.count)
+    assert n == int(oracle.count)
+    np.testing.assert_array_equal(ids_of(fused), ids_of(oracle))
+    np.testing.assert_array_equal(
+        np.asarray(fused.payload[:, :n]), np.asarray(oracle.payload[:, :n])
+    )
+    with pytest.raises(TypeError):
+        counting_voxel_list(DIMS).insert_point_cloud_with_meanings(pts, meanings)
+
+
 def test_insert_fixed_capacity_steady_state():
     """grow=False keeps capacity constant across inserts (one compiled
     program per (C, M) shape) and saturates sorted-first on overflow."""
