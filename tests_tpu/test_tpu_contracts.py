@@ -479,3 +479,72 @@ def test_sharded_paged_world_on_tpu():
     )
     off = (1, -2, 3)
     assert world.collide_with(lst, offset=off) == int(single.collide_with(lst, offset=off))
+
+
+def test_rrt_connect_planner_on_tpu():
+    """The library planner on the real chip: RRT-Connect replays the SAME
+    deterministic tree as the CPU suite (all device work is exact integer
+    gather/compare, so extension decisions are backend-independent —
+    tests/test_planning.py builds the identical wall world), and the
+    simplified path is collision-free end to end on hardware."""
+    from gpu_voxels_tpu.planning import (
+        GvlValidityChecker,
+        JointSpace,
+        MotionValidator,
+        PathSimplifier,
+        RRTConnect,
+    )
+
+    class PointRobot:
+        def transformed_clouds_for(self, cfg):
+            class _C:
+                pass
+
+            c = _C()
+            c.points = jnp.asarray(cfg, jnp.float32)[None, :]
+            return c
+
+    ys, zs = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    pts = np.stack(
+        [np.full(ys.size, 8.5), ys.ravel() + 0.5, zs.ravel() + 0.5], axis=1
+    ).astype(np.float32)
+    hole = (pts[:, 1] < 3.0) & (pts[:, 2] < 3.0)
+    env = ProbVoxelMap.create((16, 16, 16), 1.0).insert_point_cloud(pts[~hole])
+    checker = GvlValidityChecker(env, PointRobot(), 0.7)
+    validator = MotionValidator(checker, resolution=0.5)
+    space = JointSpace(np.zeros(3, np.float32), np.full(3, 16.0, np.float32))
+    start = np.array([2.5, 8.5, 8.5], np.float32)
+    goal = np.array([14.5, 8.5, 8.5], np.float32)
+
+    ok, _ = validator.check_motion(start, goal)
+    assert not ok  # the wall blocks the straight segment on hardware too
+    planner = RRTConnect(space, validator, step=2.0, seed=3)
+    assert not planner.endpoint_precheck  # device backend: 1 fetch/extension
+    result = planner.solve(start, goal, max_iters=4000)
+    assert result.solved and result.iterations == 183  # CPU-identical tree
+    path = PathSimplifier(validator, seed=5).simplify(result.path)
+    states = path.interpolate(validator.resolution)
+    assert int(checker.batch_colliding_voxels(states).max()) == 0
+    np.testing.assert_array_equal(path.states[0], start)
+    np.testing.assert_array_equal(path.states[-1], goal)
+
+
+def test_voxellist_per_point_meanings_on_tpu():
+    """Fused per-point-meaning insert equals the sequential per-meaning loop
+    exactly on hardware (ids, count, AND payload bit planes)."""
+    from gpu_voxels_tpu.maps.voxellist import bit_vector_voxel_list
+
+    dims = (32, 32, 32)
+    rng = np.random.default_rng(4)
+    pts = (rng.uniform(0, 8, (64, 3)).astype(np.float32) // 1) + 0.5
+    meanings = rng.choice(np.array([12, 57, 99, 201], np.int32), 64)
+    fused = bit_vector_voxel_list(dims).insert_point_cloud_with_meanings(pts, meanings)
+    oracle = bit_vector_voxel_list(dims)
+    for m in np.unique(meanings):
+        oracle = oracle.insert_point_cloud(pts[meanings == m], int(m))
+    n = int(fused.count)
+    assert n == int(oracle.count)
+    np.testing.assert_array_equal(np.asarray(fused.ids[:n]), np.asarray(oracle.ids[:n]))
+    np.testing.assert_array_equal(
+        np.asarray(fused.payload[:, :n]), np.asarray(oracle.payload[:, :n])
+    )
