@@ -9,13 +9,15 @@ kernelCollideVoxelMapsDebug workload) and vs_baseline is measured against the
 Regression guard: BENCH_EXPECT.json holds the expected envelope per metric;
 any metric drifting >10% below (or above, for latencies) its expectation adds
 a "regressions" entry and a stderr WARN line. The scored JSON line is emitted
-EARLY — right after the headline + cycle measurements — so a driver-side
-timeout can never lose it (a SIGTERM/SIGINT handler additionally flushes a
-partial line if even the headline is interrupted). Every remaining phase
-reports on stderr; the END of the run re-checks regressions over the complete
-set, prints the full dict to stderr, and writes it to BENCH_SELF.json. A
-persistent XLA compilation cache (.jax_cache/, via utils/jitcache) makes
-repeat runs compile-free: cold ~17 min, warm minutes.
+as soon as the headline + cycle + all five BASELINE configs are measured
+(secondary diagnostics follow on stderr only), and THREE safety nets make
+sure a driver-side timeout cannot lose it: a SIGTERM/SIGINT handler and a
+30-minute watchdog timer each flush a partial line, and a crash after the
+headline still emits whatever was measured. The END of the run re-checks
+regressions over the complete set, prints the full dict to stderr, and
+writes it to BENCH_SELF.json. A persistent XLA compilation cache
+(.jax_cache/, via utils/jitcache) makes repeat runs compile-free: cold
+~17 min, warm minutes.
 
 Measurement method: the TPU here sits behind a relay with ~3ms dispatch and
 ~30ms fetch latency, so per-call wall timing lies. Each measurement runs K
@@ -26,6 +28,7 @@ subtracted: t_sweep = (t(K) - t(1)) / (K - 1).
 import json
 import signal
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -39,13 +42,15 @@ _REPORT = {
     "vs_baseline": 0.0,
 }
 _EMITTED = False
+_EMIT_LOCK = threading.Lock()
 
 
 def _emit_report():
     global _EMITTED
-    if _EMITTED:
-        return
-    _EMITTED = True
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
     _REPORT["regressions"] = _check_regressions(_REPORT)
     for r in _REPORT["regressions"]:
         print(f"WARN regression: {r}", file=sys.stderr)
@@ -56,11 +61,13 @@ def _finalize_report():
     """End-of-run: re-check regressions over the COMPLETE report, surface
     WARNs on stderr, mirror the full dict to stderr + BENCH_SELF.json.
 
-    The scored stdout line is emitted EARLY (right after the headline+cycle
-    measurements) because a driver-side timeout must never lose it — that is
-    exactly how round 4's bench record was lost when emission moved to the
-    end. The per-config numbers still reach the record via the stderr tail
-    and this side file."""
+    The scored stdout line is emitted as soon as the headline + cycle + five
+    BASELINE configs are measured (driver timeouts must never lose it — that
+    is how round 4's record died when emission sat at the very end), with a
+    watchdog timer + signal handler flushing a partial line if any phase
+    hangs first. Only the post-emission stderr diagnostics are excluded from
+    the scored line; they reach the record via the stderr tail and this side
+    file."""
     _REPORT["regressions"] = _check_regressions(_REPORT)
     for r in _REPORT["regressions"]:
         print(f"WARN regression: {r}", file=sys.stderr)
@@ -228,12 +235,6 @@ def main():
     )
     _REPORT["cycle_hz_512"] = 1.0 / t_cycle
 
-    # emit the scored stdout line NOW (headline + cycle measured): every
-    # remaining phase only adds stderr diagnostics + the end-of-run side file
-    _emit_report()
-
-    # --- secondary workloads (stderr diagnostics, best-effort) -------------
-    from gpu_voxels_tpu import bitops
     from gpu_voxels_tpu.ops import edt
 
     # 256-bit map collide at 256^3 (sparse random planes, device-generated)
@@ -249,154 +250,6 @@ def main():
         lambda k: tuple(_rand_planes(kk) for kk in jax.random.split(k))
     )(jax.random.PRNGKey(1))
 
-    def build_bit(count_fn):
-        def build(k):
-            @jax.jit
-            def run(x, y):
-                def body(i, carry):
-                    # 4-byte in-place bumps defeat loop hoisting/CSE with no
-                    # buffer copy (loop-state aliasing keeps the update in
-                    # place). The earlier optimization_barrier form forced a
-                    # full 536 MB copy of the carried map every iteration
-                    # (~0.7 ms at stream speed) and inflated every sweep.
-                    acc, a, b = carry
-                    a = a.at[0, 0].add(1)
-                    b = b.at[0, 0].add(1)
-                    return (acc + count_fn(a, b), a, b)
-
-                acc, _, _ = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), x, y))
-                return acc
-
-            return run
-
-        return build
-
-    t_bit_xla = _timed_loop(build_bit(xla_collide.count_bit_bit), 41, pa, pb)
-    t_bit_pl = _timed_loop(build_bit(cp.count_bit_bit), 41, pa, pb)
-    t_bit = min(t_bit_xla, t_bit_pl)
-    print(
-        f"bitvector collide 256^3: xla {t_bit_xla*1e3:.3f} / pallas {t_bit_pl*1e3:.3f} "
-        f"ms/sweep = {nb/t_bit:.3e} checks/s (measured 2-map stream bound 1.46 ms)",
-        file=sys.stderr,
-    )
-    _REPORT["bit_fold_ms_256"] = t_bit * 1e3
-
-    # maintained occupancy-summary collide: BitVectorVoxelMap keeps a
-    # uint8[N] !noneButEmpty summary coherent through every mutation, so the
-    # plain collideWith count reads 2 bytes/voxel-pair instead of folding 64
-    # (the raw-plane fold above is the occ=None fallback / worst case)
-    occ_a, occ_b = jax.jit(
-        lambda k: tuple(
-            (jax.random.uniform(kk, (nb,)) < 0.3).astype(jnp.uint8)
-            for kk in jax.random.split(k)
-        )
-    )(jax.random.PRNGKey(2))
-
-    def build_occ(k):
-        @jax.jit
-        def run(x, y):
-            def body(i, carry):
-                acc, a, b = carry
-                a = a.at[0].add(1)
-                b = b.at[0].add(1)
-                return (acc + xla_collide.count_occ_occ(a, b), a, b)
-
-            acc, _, _ = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), x, y))
-            return acc
-
-        return run
-
-    # 2001 iterations: at ~0.03 ms/sweep the loop must dominate the ~30 ms
-    # relay fetch noise in the t(K) - t(1) subtraction
-    t_occ = _timed_loop(build_occ, 2001, occ_a, occ_b)
-    print(
-        f"bitvector collide 256^3 via maintained occupancy summary: "
-        f"{t_occ*1e3:.3f} ms/sweep = {nb/t_occ:.3e} checks/s "
-        f"({t_bit/t_occ:.0f}x the plane fold)",
-        file=sys.stderr,
-    )
-    _REPORT["occ_summary_ms_256"] = t_occ * 1e3
-
-    # EDT (jump flood) at 256^3 with 10k obstacles
-    dims_e = (256, 256, 256)
-    ne = 256 ** 3
-    packed = jax.jit(
-        lambda k: edt.init_from_obstacle_mask(
-            jnp.zeros((ne,), bool)
-            .at[jax.random.randint(k, (10000,), 0, ne)]
-            .set(True),
-            dims_e,
-        )
-    )(jax.random.PRNGKey(3))
-
-    def build_edt(k):
-        @jax.jit
-        def run(p):
-            def body(i, acc):
-                pp = p.at[0].set(p[0] ^ (acc & jnp.uint32(1)))
-                out = edt.jump_flood_multires(pp, dims_e)
-                return acc + out[ne // 2]
-
-            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-
-        return run
-
-    t_edt = _timed_loop(build_edt, 4, packed)
-    print(f"EDT multires jump-flood 256^3 (10k obstacles): {t_edt*1e3:.1f} ms", file=sys.stderr)
-    _REPORT["edt_jfa_ms_256"] = t_edt * 1e3
-
-    # the jumpFlood3D API route on TPU: driven through the PUBLIC
-    # DistanceVoxelMap.jump_flood() (inline-jit traces into the loop) so this
-    # guard covers the actual routing condition, not just the kernel it is
-    # expected to pick (on TPU at 256^3 that is the exact envelope sweeps)
-    from dataclasses import replace as _dc_replace
-
-    from gpu_voxels_tpu.maps.distance_map import DistanceVoxelMap as _DVM
-
-    # 1-element placeholder data: replace() swaps in the real grid inside the
-    # loop, and a full proto would close a 64 MB constant into the jit
-    _dvm_proto = _DVM(jnp.zeros((1,), jnp.uint32), dims_e, 1.0)
-
-    def build_edt_api(k):
-        @jax.jit
-        def run(p):
-            def body(i, acc):
-                pp = p.at[0].set(p[0] ^ (acc & jnp.uint32(1)))
-                out = _dc_replace(_dvm_proto, data=pp).jump_flood().data
-                return acc + out[ne // 2]
-
-            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-
-        return run
-
-    t_edt_api = _timed_loop(build_edt_api, 6, packed)
-    print(
-        f"EDT jump_flood() API route = exact envelope 256^3 (10k obstacles): "
-        f"{t_edt_api*1e3:.1f} ms",
-        file=sys.stderr,
-    )
-    _REPORT["edt_api_ms_256"] = t_edt_api * 1e3
-
-    # insert throughput: 307k points into 512^3
-    def build_insert(k):
-        @jax.jit
-        def run(pts):
-            def body(i, acc):
-                off = (acc % jnp.uint32(7)).astype(jnp.float32)
-                m = ProbVoxelMap.create(dims, side).insert_point_cloud(pts + off)
-                return acc + m.data[0].astype(jnp.uint32)
-
-            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-
-        return run
-
-    t_ins = _timed_loop(build_insert, 51, pts_env)
-    print(
-        f"insert 307k points into fresh 512^3: {t_ins*1e3:.3f} ms = "
-        f"{pts_env.shape[0]/t_ins:.3e} points/s",
-        file=sys.stderr,
-    )
-    _REPORT["insert_points_per_s_512"] = float(pts_env.shape[0]) / t_ins
 
     # --- the five BASELINE.md configs, one stderr line each ----------------
     # config #1: gvl_linkage_test — exact 8000-count contract + call latency
@@ -571,17 +424,180 @@ def main():
     )
     _REPORT["b5_validity_checks_per_s"] = len(states) / t_val
 
+    # emit the scored stdout line NOW (headline + cycle + all five BASELINE
+    # configs measured): every remaining phase only adds stderr diagnostics +
+    # the end-of-run side file. A watchdog timer (below, __main__) emits a
+    # partial line if anything above hangs past the deadline.
+    _emit_report()
+
+    # --- secondary workloads (stderr diagnostics, best-effort) -------------
+    from gpu_voxels_tpu import bitops
+    from gpu_voxels_tpu.ops import edt
+
+    def build_bit(count_fn):
+        def build(k):
+            @jax.jit
+            def run(x, y):
+                def body(i, carry):
+                    # 4-byte in-place bumps defeat loop hoisting/CSE with no
+                    # buffer copy (loop-state aliasing keeps the update in
+                    # place). The earlier optimization_barrier form forced a
+                    # full 536 MB copy of the carried map every iteration
+                    # (~0.7 ms at stream speed) and inflated every sweep.
+                    acc, a, b = carry
+                    a = a.at[0, 0].add(1)
+                    b = b.at[0, 0].add(1)
+                    return (acc + count_fn(a, b), a, b)
+
+                acc, _, _ = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), x, y))
+                return acc
+
+            return run
+
+        return build
+
+    t_bit_xla = _timed_loop(build_bit(xla_collide.count_bit_bit), 41, pa, pb)
+    t_bit_pl = _timed_loop(build_bit(cp.count_bit_bit), 41, pa, pb)
+    t_bit = min(t_bit_xla, t_bit_pl)
+    print(
+        f"bitvector collide 256^3: xla {t_bit_xla*1e3:.3f} / pallas {t_bit_pl*1e3:.3f} "
+        f"ms/sweep = {nb/t_bit:.3e} checks/s (measured 2-map stream bound 1.46 ms)",
+        file=sys.stderr,
+    )
+    _REPORT["bit_fold_ms_256"] = t_bit * 1e3
+
+    # maintained occupancy-summary collide: BitVectorVoxelMap keeps a
+    # uint8[N] !noneButEmpty summary coherent through every mutation, so the
+    # plain collideWith count reads 2 bytes/voxel-pair instead of folding 64
+    # (the raw-plane fold above is the occ=None fallback / worst case)
+    occ_a, occ_b = jax.jit(
+        lambda k: tuple(
+            (jax.random.uniform(kk, (nb,)) < 0.3).astype(jnp.uint8)
+            for kk in jax.random.split(k)
+        )
+    )(jax.random.PRNGKey(2))
+
+    def build_occ(k):
+        @jax.jit
+        def run(x, y):
+            def body(i, carry):
+                acc, a, b = carry
+                a = a.at[0].add(1)
+                b = b.at[0].add(1)
+                return (acc + xla_collide.count_occ_occ(a, b), a, b)
+
+            acc, _, _ = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), x, y))
+            return acc
+
+        return run
+
+    # 2001 iterations: at ~0.03 ms/sweep the loop must dominate the ~30 ms
+    # relay fetch noise in the t(K) - t(1) subtraction
+    t_occ = _timed_loop(build_occ, 2001, occ_a, occ_b)
+    print(
+        f"bitvector collide 256^3 via maintained occupancy summary: "
+        f"{t_occ*1e3:.3f} ms/sweep = {nb/t_occ:.3e} checks/s "
+        f"({t_bit/t_occ:.0f}x the plane fold)",
+        file=sys.stderr,
+    )
+    _REPORT["occ_summary_ms_256"] = t_occ * 1e3
+
+    # EDT (jump flood) at 256^3 with 10k obstacles
+    dims_e = (256, 256, 256)
+    ne = 256 ** 3
+    packed = jax.jit(
+        lambda k: edt.init_from_obstacle_mask(
+            jnp.zeros((ne,), bool)
+            .at[jax.random.randint(k, (10000,), 0, ne)]
+            .set(True),
+            dims_e,
+        )
+    )(jax.random.PRNGKey(3))
+
+    def build_edt(k):
+        @jax.jit
+        def run(p):
+            def body(i, acc):
+                pp = p.at[0].set(p[0] ^ (acc & jnp.uint32(1)))
+                out = edt.jump_flood_multires(pp, dims_e)
+                return acc + out[ne // 2]
+
+            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+        return run
+
+    t_edt = _timed_loop(build_edt, 4, packed)
+    print(f"EDT multires jump-flood 256^3 (10k obstacles): {t_edt*1e3:.1f} ms", file=sys.stderr)
+    _REPORT["edt_jfa_ms_256"] = t_edt * 1e3
+
+    # the jumpFlood3D API route on TPU: driven through the PUBLIC
+    # DistanceVoxelMap.jump_flood() (inline-jit traces into the loop) so this
+    # guard covers the actual routing condition, not just the kernel it is
+    # expected to pick (on TPU at 256^3 that is the exact envelope sweeps)
+    from dataclasses import replace as _dc_replace
+
+    from gpu_voxels_tpu.maps.distance_map import DistanceVoxelMap as _DVM
+
+    # 1-element placeholder data: replace() swaps in the real grid inside the
+    # loop, and a full proto would close a 64 MB constant into the jit
+    _dvm_proto = _DVM(jnp.zeros((1,), jnp.uint32), dims_e, 1.0)
+
+    def build_edt_api(k):
+        @jax.jit
+        def run(p):
+            def body(i, acc):
+                pp = p.at[0].set(p[0] ^ (acc & jnp.uint32(1)))
+                out = _dc_replace(_dvm_proto, data=pp).jump_flood().data
+                return acc + out[ne // 2]
+
+            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+        return run
+
+    t_edt_api = _timed_loop(build_edt_api, 6, packed)
+    print(
+        f"EDT jump_flood() API route = exact envelope 256^3 (10k obstacles): "
+        f"{t_edt_api*1e3:.1f} ms",
+        file=sys.stderr,
+    )
+    _REPORT["edt_api_ms_256"] = t_edt_api * 1e3
+
+    # insert throughput: 307k points into 512^3
+    def build_insert(k):
+        @jax.jit
+        def run(pts):
+            def body(i, acc):
+                off = (acc % jnp.uint32(7)).astype(jnp.float32)
+                m = ProbVoxelMap.create(dims, side).insert_point_cloud(pts + off)
+                return acc + m.data[0].astype(jnp.uint32)
+
+            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+        return run
+
+    t_ins = _timed_loop(build_insert, 51, pts_env)
+    print(
+        f"insert 307k points into fresh 512^3: {t_ins*1e3:.3f} ms = "
+        f"{pts_env.shape[0]/t_ins:.3e} points/s",
+        file=sys.stderr,
+    )
+    _REPORT["insert_points_per_s_512"] = float(pts_env.shape[0]) / t_ins
 
 _HEADLINE_DONE = False
 
 if __name__ == "__main__":
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
+    # watchdog: if any phase hangs (relay stall, pathological compile), the
+    # scored line still reaches stdout with whatever was measured by then
+    _watchdog = threading.Timer(1800.0, _emit_report)
+    _watchdog.daemon = True  # never holds the process open after completion
+    _watchdog.start()
     try:
         main()
     except Exception as exc:
         if not _HEADLINE_DONE:
             raise  # headline failed: a real benchmark failure
-        print(f"secondary diagnostics aborted: {exc!r}", file=sys.stderr)
+        print(f"post-headline phase aborted: {exc!r}", file=sys.stderr)
     _emit_report()  # no-op when the early emission already fired
     _finalize_report()

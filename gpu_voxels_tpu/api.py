@@ -94,22 +94,29 @@ class GpuVoxels:
             m = VoxelList.create(d, s, "prob", capacity, "morton")
         elif mt == MapType.MT_COUNTING_VOXELLIST:
             m = VoxelList.create(d, s, "count", capacity, "linear")
-        elif mt == MapType.MT_PROBAB_OCTREE:
-            if max(d) > 1024 and all(v % 64 == 0 for v in d):
-                # past the dense wall the paged tier carries the log-odds
-                # octree (GvlNTreeProb, Octree.cu:71) at full NTree scale
-                from .maps.paged import PagedHierarchicalMap
-
-                m = PagedHierarchicalMap(d, s, probabilistic=True)
-            else:
-                m = HierarchicalProbMap.create(d, s)
-        elif mt == MapType.MT_BITVECTOR_OCTREE:
+        elif mt in (MapType.MT_PROBAB_OCTREE, MapType.MT_BITVECTOR_OCTREE):
+            prob = mt == MapType.MT_PROBAB_OCTREE
             if max(d) > 1024 and all(v % 64 == 0 for v in d):
                 # past the dense pyramid's memory wall the paged sparse tier
-                # provides the NTree's octree-scale addressability
-                from .maps.paged import PagedHierarchicalMap
+                # carries the octree (both NTree instantiations,
+                # Octree.cu:24-72) at full NTree scale. The host-stateful
+                # paged tier shards as one slab map (pool + allocator) per
+                # device instead of NamedSharding; it is self-pinning, so no
+                # mesh re-pin registration is needed — and it is built
+                # DIRECTLY in sharded form (no throwaway single-device map)
+                if mesh is not None:
+                    from .parallel import ShardedPagedWorld
 
-                m = PagedHierarchicalMap(d, s)
+                    m = ShardedPagedWorld(
+                        d, s, prob, devices=list(mesh.devices.reshape(-1))
+                    )
+                    mesh = None  # already sharded: skip the generic wrap
+                else:
+                    from .maps.paged import PagedHierarchicalMap
+
+                    m = PagedHierarchicalMap(d, s, probabilistic=prob)
+            elif prob:
+                m = HierarchicalProbMap.create(d, s)
             else:
                 from .maps.hierarchical import HierarchicalBitMap
 
@@ -117,19 +124,10 @@ class GpuVoxels:
         else:
             raise NotImplementedError(f"map type {mt}")
         if mesh is not None:
-            from .maps.paged import PagedHierarchicalMap
-            from .parallel import ShardedPagedWorld, shard_map_value
+            from .parallel import shard_map_value
 
-            if isinstance(m, PagedHierarchicalMap):
-                # the host-stateful paged tier shards as one slab map (pool
-                # + allocator) per device instead of NamedSharding; it is
-                # self-pinning, so no mesh re-pin registration is needed
-                m = ShardedPagedWorld(
-                    d, s, m.probabilistic, devices=list(mesh.devices.reshape(-1))
-                )
-            else:
-                m = shard_map_value(m, mesh)
-                self._meshes[map_name] = mesh
+            m = shard_map_value(m, mesh)
+            self._meshes[map_name] = mesh
         self._maps[map_name] = m
         self._locks[map_name] = threading.RLock()
         self._vis[map_name] = VisProvider(map_name)

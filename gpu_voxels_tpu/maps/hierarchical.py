@@ -59,6 +59,17 @@ STATUS_OCCUPANCY_MASK = NS_FREE | NS_UNKNOWN | NS_OCCUPIED
 U8 = jnp.uint8
 
 
+def decode_status_flags(status):
+    """Status byte -> (occupied, unknown, free) bool arrays — the ONE probe
+    decode rule (kernel_Octree.h:383-423 semantics), shared by every probe
+    surface (PagedSnapshot.probe, parallel.ShardedPagedWorld.probe). Works on
+    numpy and jnp arrays alike (pure elementwise bit math)."""
+    occupied = (status & NS_OCCUPIED) != 0
+    unknown = ((status & NS_UNKNOWN) != 0) & ~occupied
+    free = (status & STATUS_OCCUPANCY_MASK) == NS_FREE
+    return occupied, unknown, free
+
+
 def _pad_dims(dims: Dims, levels: int) -> Dims:
     q = 1 << levels
     return tuple(-(-d // q) * q for d in dims)

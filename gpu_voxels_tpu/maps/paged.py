@@ -65,6 +65,7 @@ from .hierarchical import (
     _num_levels,
     _pad_dims,
     _status_from_occupancy,
+    decode_status_flags,
 )
 
 Dims = Tuple[int, int, int]
@@ -113,8 +114,14 @@ class PagedSnapshot:
         dense page pyramid only; levels 3-5 refine through block summaries
         (OR over the 2^(l-3) block cube); levels 0-2 refine through the tile
         pool (0 = exact voxel, 1/2 = OR over the 2^l cube — the NTree
-        min_level semantics, kernel_Octree.h:383-423)."""
+        min_level semantics, kernel_Octree.h:383-423).
+
+        Out-of-range coords CLAMP to the border cell (defined behavior, and
+        what parallel.ShardedPagedWorld's owner routing reproduces); without
+        the clamp the page-directory searchsorted would alias a wrong page
+        and answer garbage."""
         coords = jnp.asarray(coords, jnp.int32)
+        coords = jnp.clip(coords, 0, jnp.asarray(self.dims, jnp.int32) - 1)
         pc = coords // PAGE_EDGE
         x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
         decided = jnp.zeros(x.shape, bool)
@@ -184,11 +191,7 @@ class PagedSnapshot:
         return jnp.where(needs & found, refined, status)
 
     def probe(self, coords: jnp.ndarray, min_level: int = 0):
-        status = self.probe_status(coords, min_level)
-        occupied = (status & U8(NS_OCCUPIED)) != 0
-        unknown = ((status & U8(NS_UNKNOWN)) != 0) & ~occupied
-        free = (status & U8(STATUS_OCCUPANCY_MASK)) == U8(NS_FREE)
-        return occupied, unknown, free
+        return decode_status_flags(self.probe_status(coords, min_level))
 
     def occupied_cells(self):
         """([NT*512, 3] fine coords, [NT*512] valid mask) of every occupied
@@ -236,8 +239,16 @@ def _pad_points_pow2(pts: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("side_length", "dims"))
-def _voxelize_points(pts, side_length: float, dims: Dims):
+def _voxelize_points(pts, side_length: float, dims: Dims, voff=None):
+    """Voxelize in the GLOBAL frame, then (optionally) shift by an integer
+    voxel offset. `voff` exists for slab decomposition
+    (parallel/paged_world.py): translating points by z0*side_length in float
+    meters before voxelizing disagrees with floor(p/side) - z0 whenever
+    side_length is not exactly representable in float32, so the shift must
+    happen AFTER the one global boundary decision, in integer space."""
     coords = map_to_voxels(pts, side_length)
+    if voff is not None:
+        coords = coords - jnp.asarray(voff, jnp.int32)
     dims_arr = jnp.asarray(dims, jnp.int32)
     inside = jnp.all((coords >= 0) & (coords < dims_arr), axis=-1)
     return jnp.clip(coords, 0, dims_arr - 1), inside
@@ -382,6 +393,30 @@ def _empty_pyramid(coarse_shape, levels: int):
     return tuple(_build_pyramid(jnp.full(coarse_shape, U8(NS_UNKNOWN)), levels))
 
 
+def meta_first_meaning(meanings):
+    """insertMetaPointCloud meaning degrade (GvlNTree.hpp:437-453): the
+    octree adapter honors only the FIRST per-subcloud meaning. Shared by the
+    single-device map and parallel.ShardedPagedWorld (one rule, one place)."""
+    if meanings is not None and len(meanings):
+        return meanings[0]
+    return BitVoxelMeaning.eBVM_OCCUPIED
+
+
+def robot_self_collision_clash(robot_links, side_length: float) -> bool:
+    """Host cell-set self-collision test for insertRobotConfiguration
+    (GpuVoxelsMap contract): links clash iff two link clouds share a voxel.
+    Shared by the single-device map and parallel.ShardedPagedWorld."""
+    seen: set = set()
+    clash = False
+    for i in range(robot_links.num_clouds):
+        pts = np.asarray(robot_links.get_cloud(i), np.float32)
+        cells = set(map(tuple, np.floor(pts / side_length).astype(np.int64)))
+        if seen & cells:
+            clash = True
+        seen |= cells
+    return clash
+
+
 def _free_box_cloud(points, side_length: float) -> np.ndarray:
     """NTree::build's free_bounding_box (NTree.h:127) as an explicit free
     cloud: voxel centers of the points' AABB. Raises (without touching any
@@ -402,9 +437,14 @@ def _free_box_cloud(points, side_length: float) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("side_length", "dims", "max_steps"))
-def _free_ray_cells(pts, origin, side_length: float, dims: Dims, max_steps: int):
+def _free_ray_cells(pts, origin, side_length: float, dims: Dims, max_steps: int, voff=None):
     """[S,N,3] visited voxel coords + [S,N] live mask for origin->point rays
-    (one dominant-axis voxel per step, endpoint excluded)."""
+    (one dominant-axis voxel per step, endpoint excluded).
+
+    `voff` (integer voxel offset, see _voxelize_points): the ray is walked in
+    the GLOBAL frame — identical step geometry to the single-device map — and
+    only the visited cells are shifted, so a slab world carves exactly the
+    slab-owned subset of the single-device cells at ANY side length."""
     # host-precomputed reciprocal, same rule as insert.map_to_voxels (see
     # its docstring: f32 division-by-constant is not shape-deterministic
     # under XLA CPU fast-math; the endpoint voxel must match the hit insert)
@@ -424,6 +464,8 @@ def _free_ray_cells(pts, origin, side_length: float, dims: Dims, max_steps: int)
     # clamp before the int cast: padded sentinel points otherwise produce
     # float->int32 overflow (undefined, could wrap into range)
     coords = jnp.floor(jnp.clip(pos, -1.0, 2.0**30)).astype(jnp.int32)
+    if voff is not None:
+        coords = coords - jnp.asarray(voff, jnp.int32)
     dims_arr = jnp.asarray(dims, jnp.int32)
     live = (ks[:, None] < n_steps[None, :]) & jnp.all(
         (coords >= 0) & (coords < dims_arr), axis=-1
@@ -724,6 +766,7 @@ class PagedHierarchicalMap(DiskIO):
         points,
         meaning=BitVoxelMeaning.eBVM_OCCUPIED,
         static_map: bool = True,
+        voxel_offset=None,
     ) -> "PagedHierarchicalMap":
         """Point insert (setOccupied/insertNode, kernel_common.h:186-245).
 
@@ -734,9 +777,14 @@ class PagedHierarchicalMap(DiskIO):
         from a depth sensor enters as explicit free points (see
         gpu_voxels_tpu.ops.raycast.depth_image_to_point_cloud + ray sampling),
         mirroring the octree Sensor's sparse free-voxel list (Sensor.cu).
+
+        `voxel_offset` (integer voxel units) shifts the voxelized coords
+        AFTER the global boundary decision — the slab-decomposition hook
+        (parallel/paged_world.py); see _voxelize_points.
         """
         pts = _pad_points_pow2(jnp.asarray(points, jnp.float32))
-        coords, inside = _voxelize_points(pts, self.side_length, self.dims)
+        voff = None if voxel_offset is None else np.asarray(voxel_offset, np.int32)
+        coords, inside = _voxelize_points(pts, self.side_length, self.dims, voff)
         self._allocate_for(coords, inside)
 
         # device: one compiled scatter + one compiled summary/pyramid rebuild
@@ -762,6 +810,7 @@ class PagedHierarchicalMap(DiskIO):
         sensor_origin=(0.0, 0.0, 0.0),
         max_steps: int = 128,
         static_map: bool = False,
+        voxel_offset=None,
     ) -> "PagedHierarchicalMap":
         """insertPointCloudWithFreespaceCalculation (GvlNTree.hpp:108-130) on
         the sparse tier.
@@ -782,10 +831,11 @@ class PagedHierarchicalMap(DiskIO):
         """
         pts = _pad_points_pow2(jnp.asarray(points, jnp.float32))
         origin = jnp.asarray(sensor_origin, jnp.float32)
+        voff = None if voxel_offset is None else np.asarray(voxel_offset, np.int32)
         ray_coords, live = _free_ray_cells(
-            pts, origin, self.side_length, self.dims, max_steps
+            pts, origin, self.side_length, self.dims, max_steps, voff
         )
-        hit_coords, hit_inside = _voxelize_points(pts, self.side_length, self.dims)
+        hit_coords, hit_inside = _voxelize_points(pts, self.side_length, self.dims, voff)
         dims_arr = jnp.asarray(self.dims, jnp.int32)
         rc = jnp.clip(ray_coords.reshape(-1, 3), 0, dims_arr - 1)
         if not self.probabilistic:
@@ -820,7 +870,9 @@ class PagedHierarchicalMap(DiskIO):
         self._rebuild_coarse()
         return self
 
-    def insert_depth_image(self, depth, sensor, max_steps: int = 128) -> "PagedHierarchicalMap":
+    def insert_depth_image(
+        self, depth, sensor, max_steps: int = 128, voxel_offset=None
+    ) -> "PagedHierarchicalMap":
         """Octree sensor pipeline (Sensor.cu processSensorData): back-project
         the depth image (kernel_preprocessObjectDepthImage), transform into
         the world frame, then run the ray-carved sensor insert. Invalid
@@ -837,7 +889,8 @@ class PagedHierarchicalMap(DiskIO):
         world = jnp.where(finite[:, None], world, -1e9)
         origin = np.asarray(sensor.pose())[:3, 3]
         return self.insert_point_cloud_with_free_space(
-            world, tuple(float(v) for v in origin), max_steps=max_steps
+            world, tuple(float(v) for v in origin), max_steps=max_steps,
+            voxel_offset=voxel_offset,
         )
 
     def _rebuild_coarse(self) -> None:
@@ -870,12 +923,15 @@ class PagedHierarchicalMap(DiskIO):
     def probe_occupancy(self, coords) -> jnp.ndarray:
         """int8 log-odds per fine voxel (probabilistic tier only). Unallocated
         space reads UNKNOWN_PROBABILITY — the virtual NTree's implicit
-        unknown nodes (EnvNodesProbabilistic.h)."""
+        unknown nodes (EnvNodesProbabilistic.h). Out-of-range coords clamp to
+        the border cell, like probe_status."""
         if not self.probabilistic:
             raise TypeError("probe_occupancy requires a probabilistic paged map")
+        c = jnp.clip(
+            jnp.asarray(coords, jnp.int32), 0, jnp.asarray(self.dims, jnp.int32) - 1
+        )
         return _probe_occupancy_jit(
-            self.occ_pool, self.pages, self.skeys, self.srows,
-            jnp.asarray(coords, jnp.int32), self.sdims,
+            self.occ_pool, self.pages, self.skeys, self.srows, c, self.sdims
         )
 
     def clear_map(self) -> "PagedHierarchicalMap":
@@ -900,27 +956,14 @@ class PagedHierarchicalMap(DiskIO):
     def insert_meta_point_cloud(self, meta, meanings=None) -> "PagedHierarchicalMap":
         """insertMetaPointCloud (GvlNTree.hpp:437-453): per-subcloud meanings
         degrade to the FIRST meaning, exactly like the reference adapter."""
-        meaning = BitVoxelMeaning.eBVM_OCCUPIED
-        if meanings is not None and len(meanings):
-            meaning = meanings[0]
-        return self.insert_point_cloud(meta.points, meaning)
+        return self.insert_point_cloud(meta.points, meta_first_meaning(meanings))
 
     def insert_robot_configuration(self, robot_links, with_self_collision_test: bool = False):
         """insertRobotConfiguration (GpuVoxelsMap contract). Self-collision
         uses the probe path on voxelized link clouds. Returns (map, ok)."""
         ok = True
         if with_self_collision_test:
-            seen = set()
-            clash = False
-            for i in range(robot_links.num_clouds):
-                pts = np.asarray(robot_links.get_cloud(i), np.float32)
-                cells = set(
-                    map(tuple, np.floor(pts / self.side_length).astype(np.int64))
-                )
-                if seen & cells:
-                    clash = True
-                seen |= cells
-            ok = not clash
+            ok = not robot_self_collision_clash(robot_links, self.side_length)
         return self.insert_meta_point_cloud(robot_links), ok
 
     def clear_voxel_meaning(self, meaning) -> "PagedHierarchicalMap":

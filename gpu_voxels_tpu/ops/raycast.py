@@ -83,8 +83,17 @@ def projective_free_space(
     dims: Dims,
     invalid_value: float = 0.0,
     eps_vox: float = 1.0,
+    z_index_offset=0,
 ) -> jnp.ndarray:
     """bool[N]: voxels observed free by a depth camera (visibility carving).
+
+    `z_index_offset` (int scalar, may be traced) shifts the voxel z indices
+    into a larger global grid: a z-slab shard passes its slab origin here and
+    keeps the ORIGINAL pose, so every float in the projection is computed
+    exactly as the single-device carve computes it (integer index adds are
+    exact in f32; translating the pose by z0*side_length in float meters is
+    NOT, and flips boundary decisions at unrepresentable side lengths —
+    see parallel/sharded.py).
 
     The per-ray DDA walk costs K sequential scatter rounds; for a single
     depth camera the union of all rays' free cells IS the camera's visibility
@@ -110,7 +119,8 @@ def projective_free_space(
     side = jnp.float32(side_length)
     wx = (xi + 0.5) * side - origin[0]
     wy = (yi + 0.5) * side - origin[1]
-    wz = (zi + 0.5) * side - origin[2]
+    zoff = jnp.asarray(z_index_offset, jnp.float32)
+    wz = (zi + zoff + 0.5) * side - origin[2]
     # sensor frame (camera looks along +z of its frame)
     sx = rot_t[0, 0] * wx + rot_t[0, 1] * wy + rot_t[0, 2] * wz
     sy = rot_t[1, 0] * wx + rot_t[1, 1] * wy + rot_t[1, 2] * wz

@@ -15,10 +15,15 @@ scaling); the per-shard semantics are the single-device NTree ones
 (`maps/paged.py`, GvlNTree.hpp:150-330). Design notes:
 
   * Points/depth frames are replicated to every shard (they are small
-    relative to the grid); each shard voxelizes in its slab frame and its
-    scatter drops out-of-slab cells — no host-side routing, no collectives.
-    Free-space rays crossing slab boundaries carve each slab's own cells
-    (the ray walk is replicated, the scatters are local).
+    relative to the grid); each shard voxelizes in the GLOBAL frame and
+    shifts the resulting coords by its integer slab offset
+    (`voxel_offset=(0,0,z0)`, maps/paged.py) — NEVER by translating the
+    float points first, which would move `floor(p/side)` decisions at cell
+    boundaries whenever side_length is not exactly representable in float32.
+    The scatter drops out-of-slab cells — no host-side routing, no
+    collectives. Free-space rays crossing slab boundaries walk the global
+    ray geometry and carve each slab's own cells (the ray walk is
+    replicated, the scatters are local).
   * All per-shard inputs are `jax.device_put` onto the shard's device first:
     jit outputs are committed, and a committed-elsewhere operand would make
     the shard's programs fail device placement.
@@ -32,6 +37,7 @@ scaling); the per-shard semantics are the single-device NTree ones
 """
 from __future__ import annotations
 
+import weakref
 from typing import Sequence, Tuple
 
 import jax
@@ -39,7 +45,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import BitVoxelMeaning
-from ..maps.paged import B, PAGE_EDGE, PagedHierarchicalMap
+from ..maps.paged import (
+    B,
+    PAGE_EDGE,
+    PagedHierarchicalMap,
+    meta_first_meaning,
+    robot_self_collision_clash,
+)
 
 Dims = Tuple[int, int, int]
 
@@ -47,11 +59,6 @@ _PINNED_FIELDS = (
     "pyramid", "skeys", "srows", "pages", "block_summaries", "page_coord",
     "pool", "occ_pool", "slot_block", "slot_page", "slot_within",
 )
-
-
-@jax.jit
-def _translate(pts, off):
-    return pts - off
 
 
 @jax.jit
@@ -103,6 +110,7 @@ class ShardedPagedWorld:
         self.probabilistic = bool(probabilistic)
         self.devices = devices
         self.z0s = [k * self.slab_dz for k in range(nz)]
+        self._replica_cache: dict = {}
         self.shards = []
         for dev in devices:
             m = PagedHierarchicalMap((dx, dy, self.slab_dz), side_length, probabilistic)
@@ -111,12 +119,12 @@ class ShardedPagedWorld:
 
     # -- helpers ---------------------------------------------------------------
     def _put_points(self, points, k: int) -> jnp.ndarray:
-        """Replicate `points` onto shard k, translated into its slab frame."""
-        pts = jax.device_put(jnp.asarray(points, jnp.float32), self.devices[k])
-        off = np.asarray(
-            [0.0, 0.0, self.z0s[k] * self.side_length], np.float32
-        )
-        return _translate(pts, off)
+        """Replicate `points` onto shard k — UNtranslated: the slab shift
+        happens in integer voxel space via `voxel_offset` (module docstring)."""
+        return jax.device_put(jnp.asarray(points, jnp.float32), self.devices[k])
+
+    def _voff(self, k: int) -> tuple:
+        return (0, 0, self.z0s[k])
 
     def _put_coords(self, coords, k: int) -> jnp.ndarray:
         return jax.device_put(jnp.asarray(coords, jnp.int32), self.devices[k])
@@ -138,7 +146,10 @@ class ShardedPagedWorld:
         self, points, meaning=BitVoxelMeaning.eBVM_OCCUPIED, static_map: bool = True
     ) -> "ShardedPagedWorld":
         for k, m in enumerate(self.shards):
-            m.insert_point_cloud(self._put_points(points, k), meaning, static_map)
+            m.insert_point_cloud(
+                self._put_points(points, k), meaning, static_map,
+                voxel_offset=self._voff(k),
+            )
             _pin(m, self.devices[k])
         return self
 
@@ -149,48 +160,32 @@ class ShardedPagedWorld:
         max_steps: int = 128,
         static_map: bool = False,
     ) -> "ShardedPagedWorld":
-        ox, oy, oz = (float(v) for v in sensor_origin)
         for k, m in enumerate(self.shards):
-            origin_k = (ox, oy, oz - self.z0s[k] * self.side_length)
             m.insert_point_cloud_with_free_space(
-                self._put_points(points, k), origin_k, max_steps, static_map
+                self._put_points(points, k), sensor_origin, max_steps,
+                static_map, voxel_offset=self._voff(k),
             )
             _pin(m, self.devices[k])
         return self
 
     def insert_depth_image(self, depth, sensor, max_steps: int = 128) -> "ShardedPagedWorld":
-        """Octree sensor pipeline on the sharded world: back-project on each
-        shard's device (replicated compute) with the pose shifted into the
-        slab frame, then the ray-carved sensor insert (Sensor.cu semantics
-        via the slab maps)."""
-        from ..geometry import transforms
-        from ..ops import raycast as raycast_ops
-
+        """Octree sensor pipeline on the sharded world: each shard
+        back-projects + ray-carves on its own device in the GLOBAL frame
+        (replicated compute, Sensor.cu semantics via the slab maps), with
+        only the visited cells shifted into the slab."""
         depth = jnp.asarray(depth, jnp.float32)
-        pose = np.asarray(sensor.pose(), np.float32)
         for k, m in enumerate(self.shards):
-            pose_k = pose.copy()
-            pose_k[2, 3] -= self.z0s[k] * self.side_length
-            d_k = jax.device_put(depth, self.devices[k])
-            pts = raycast_ops.depth_image_to_point_cloud(
-                d_k, sensor.fx, sensor.fy, sensor.cx, sensor.cy, sensor.invalid_value
-            )
-            world = transforms.transform_points(jnp.asarray(pose_k), pts)
-            finite = jnp.all(jnp.isfinite(world), axis=-1)
-            world = jnp.where(finite[:, None], world, -1e9)
-            m.insert_point_cloud_with_free_space(
-                world, tuple(float(v) for v in pose_k[:3, 3]), max_steps=max_steps
+            m.insert_depth_image(
+                jax.device_put(depth, self.devices[k]), sensor, max_steps,
+                voxel_offset=self._voff(k),
             )
             _pin(m, self.devices[k])
         return self
 
     def insert_meta_point_cloud(self, meta, meanings=None) -> "ShardedPagedWorld":
         """insertMetaPointCloud (GvlNTree.hpp:437-453): per-subcloud meanings
-        degrade to the FIRST meaning, exactly like the reference adapter."""
-        meaning = BitVoxelMeaning.eBVM_OCCUPIED
-        if meanings is not None and len(meanings):
-            meaning = meanings[0]
-        return self.insert_point_cloud(meta.points, meaning)
+        degrade to the FIRST meaning (shared rule: maps/paged.py)."""
+        return self.insert_point_cloud(meta.points, meta_first_meaning(meanings))
 
     def insert_robot_configuration(self, robot_links, with_self_collision_test: bool = False):
         """insertRobotConfiguration (GpuVoxelsMap contract); the
@@ -198,17 +193,7 @@ class ShardedPagedWorld:
         single-device map (maps/paged.py). Returns (world, ok)."""
         ok = True
         if with_self_collision_test:
-            seen: set = set()
-            clash = False
-            for i in range(robot_links.num_clouds):
-                pts = np.asarray(robot_links.get_cloud(i), np.float32)
-                cells = set(
-                    map(tuple, np.floor(pts / self.side_length).astype(np.int64))
-                )
-                if seen & cells:
-                    clash = True
-                seen |= cells
-            ok = not clash
+            ok = not robot_self_collision_clash(robot_links, self.side_length)
         return self.insert_meta_point_cloud(robot_links), ok
 
     def build(self, points, free_bounding_box: bool = False) -> "ShardedPagedWorld":
@@ -238,12 +223,19 @@ class ShardedPagedWorld:
         return self
 
     # -- probing -------------------------------------------------------------------
-    def probe_status(self, coords, min_level: int = 0) -> np.ndarray:
-        """Status byte per fine voxel (kernel_Octree.h:383-423 semantics),
-        combined from the owning slabs."""
-        self._check_min_level(min_level)
+    def _owner_mask(self, coords_np: np.ndarray, k: int) -> np.ndarray:
+        """Which query coords slab k answers. Out-of-range z CLAMPS to the
+        first/last slab, matching the single-device map's clamped gathers
+        (PagedSnapshot.probe_status never rejects coords — border cells
+        answer), so sharded probes equal single-device probes on ANY input."""
+        zc = np.clip(coords_np[..., 2], 0, self.dims[2] - 1)
+        return (zc >= self.z0s[k]) & (zc < self.z0s[k] + self.slab_dz)
+
+    def _gather_shard_probe(self, coords, min_level, fn, init):
+        """Combine a per-slab probe over the owning slabs (z clamped into the
+        slab exactly like the single-device map clamps into the grid)."""
         coords_np = np.asarray(coords, np.int64)
-        out = np.zeros(coords_np.shape[:-1], np.uint8)
+        out = init(coords_np.shape[:-1])
         parts = []
         for k, m in enumerate(self.shards):
             ck = self._put_coords(coords_np, k)
@@ -251,22 +243,25 @@ class ShardedPagedWorld:
             hi = np.asarray(
                 [self.dims[0] - 1, self.dims[1] - 1, self.slab_dz - 1], np.int32
             )
-            parts.append(m.probe_status(_translate_clip(ck, off, hi), min_level))
+            parts.append(fn(m, _translate_clip(ck, off, hi), min_level))
         for k, st in enumerate(parts):
-            own = (coords_np[..., 2] >= self.z0s[k]) & (
-                coords_np[..., 2] < self.z0s[k] + self.slab_dz
-            )
-            out = np.where(own, np.asarray(st), out)
+            out = np.where(self._owner_mask(coords_np, k), np.asarray(st), out)
         return out
 
-    def probe(self, coords, min_level: int = 0):
-        from ..maps.hierarchical import NS_FREE, NS_OCCUPIED, NS_UNKNOWN, STATUS_OCCUPANCY_MASK
+    def probe_status(self, coords, min_level: int = 0) -> np.ndarray:
+        """Status byte per fine voxel (kernel_Octree.h:383-423 semantics),
+        combined from the owning slabs."""
+        self._check_min_level(min_level)
+        return self._gather_shard_probe(
+            coords, min_level,
+            lambda m, c, lv: m.probe_status(c, lv),
+            lambda shape: np.zeros(shape, np.uint8),
+        )
 
-        status = self.probe_status(coords, min_level)
-        occupied = (status & NS_OCCUPIED) != 0
-        unknown = ((status & NS_UNKNOWN) != 0) & ~occupied
-        free = (status & STATUS_OCCUPANCY_MASK) == NS_FREE
-        return occupied, unknown, free
+    def probe(self, coords, min_level: int = 0):
+        from ..maps.hierarchical import decode_status_flags
+
+        return decode_status_flags(self.probe_status(coords, min_level))
 
     def probe_occupancy(self, coords) -> np.ndarray:
         """int8 log-odds per fine voxel (probabilistic tier)."""
@@ -274,22 +269,11 @@ class ShardedPagedWorld:
             raise TypeError("probe_occupancy requires a probabilistic paged world")
         from ..constants import UNKNOWN_PROBABILITY
 
-        coords_np = np.asarray(coords, np.int64)
-        out = np.full(coords_np.shape[:-1], UNKNOWN_PROBABILITY, np.int8)
-        parts = []
-        for k, m in enumerate(self.shards):
-            ck = self._put_coords(coords_np, k)
-            off = np.asarray([0, 0, self.z0s[k]], np.int32)
-            hi = np.asarray(
-                [self.dims[0] - 1, self.dims[1] - 1, self.slab_dz - 1], np.int32
-            )
-            parts.append(m.probe_occupancy(_translate_clip(ck, off, hi)))
-        for k, occ in enumerate(parts):
-            own = (coords_np[..., 2] >= self.z0s[k]) & (
-                coords_np[..., 2] < self.z0s[k] + self.slab_dz
-            )
-            out = np.where(own, np.asarray(occ), out)
-        return out
+        return self._gather_shard_probe(
+            coords, 0,
+            lambda m, c, lv: m.probe_occupancy(c),
+            lambda shape: np.full(shape, UNKNOWN_PROBABILITY, np.int8),
+        )
 
     # -- collision ---------------------------------------------------------------
     def _sum_shard_counts(self, fn) -> int:
@@ -319,6 +303,25 @@ class ShardedPagedWorld:
             sum(int(u) for _, u in pairs),
         )
 
+    def _replicas(self, other):
+        """One committed copy of `other` per device, cached by object
+        identity (maps are immutable pytrees, so identity pins content; a
+        weakref guard rejects stale id-reuse after collection). Without the
+        cache every collide in a sense loop re-ships the full map to every
+        device."""
+        key = id(other)
+        hit = self._replica_cache.get(key)
+        if hit is not None and hit[0]() is other:
+            return hit[1]
+        reps = [jax.device_put(other, d) for d in self.devices]
+        try:
+            self._replica_cache[key] = (weakref.ref(other), reps)
+            while len(self._replica_cache) > 8:  # bound: drop oldest entries
+                self._replica_cache.pop(next(iter(self._replica_cache)))
+        except TypeError:
+            pass  # not weakref-able: just don't cache
+        return reps
+
     def collide_with(self, other, min_level: int = 0, offset=(0, 0, 0)) -> int:
         """collideWith dispatch (GvlNTree.hpp:150-330) over the slabs: lists,
         dense maps, paged maps and sharded worlds. Each direction is the
@@ -328,20 +331,11 @@ class ShardedPagedWorld:
         from ..maps.voxelmap import BitVectorVoxelMap, ProbVoxelMap
 
         self._check_min_level(min_level)
-        if isinstance(other, VoxelList):
+        if isinstance(other, (VoxelList, ProbVoxelMap, BitVectorVoxelMap)):
+            reps = self._replicas(other)
             return self._sum_shard_counts(
                 lambda k, m: m.collide_with(
-                    jax.device_put(other, self.devices[k]),
-                    min_level,
-                    self._shard_offset(offset, k),
-                )
-            )
-        if isinstance(other, (ProbVoxelMap, BitVectorVoxelMap)):
-            return self._sum_shard_counts(
-                lambda k, m: m.collide_with(
-                    jax.device_put(other, self.devices[k]),
-                    min_level,
-                    self._shard_offset(offset, k),
+                    reps[k], min_level, self._shard_offset(offset, k)
                 )
             )
         if isinstance(other, (PagedHierarchicalMap, ShardedPagedWorld)):
@@ -359,11 +353,10 @@ class ShardedPagedWorld:
         """collideWithTypesConsideringUnknownCells (GvlNTree.h:115-129):
         (collisions, unknown-cell hits) summed over slabs."""
         self._check_min_level(min_level)
+        reps = self._replicas(other)
         pairs = [
             m.collide_with_counting_unknown(
-                jax.device_put(other, self.devices[k]),
-                min_level,
-                self._shard_offset(offset, k),
+                reps[k], min_level, self._shard_offset(offset, k)
             )
             for k, m in enumerate(self.shards)
         ]

@@ -148,11 +148,13 @@ def build_sharded_sensor_cycle(
         lidx = jnp.where(inside, lidx, zl * dx * dy)
         hits = jnp.zeros((zl * dy * dx,), jnp.int32).at[lidx].add(1, mode="drop")
 
-        # per-slab projective carve: shift the pose into slab coordinates by
-        # moving the sensor origin (grid z starts at z0 * side)
-        slab_pose = pose.at[2, 3].add(-z0 * jnp.float32(side_length))
+        # per-slab projective carve in the GLOBAL frame: the slab shifts its
+        # voxel z INDICES (exact integer adds) and keeps the original pose —
+        # translating the pose by z0*side in float meters flips projection
+        # boundary decisions whenever side_length is unrepresentable in f32
         free = projective_free_space(
-            depth, slab_pose, fx, fy, cx, cy, side_length, local_dims
+            depth, pose, fx, fy, cx, cy, side_length, local_dims,
+            z_index_offset=z0,
         )
         delta = hits * SENSOR_MODEL_OCCUPIED + jnp.where(
             free & (hits == 0), SENSOR_MODEL_FREE, 0

@@ -16,6 +16,10 @@ import numpy as np
 from .sensors import DepthSource, Sensor
 from .vis.provider import VisProvider
 
+# map class -> whether its collide_with accepts coll_threshold (see
+# Provider._collide_kwargs)
+_CLASS_TAKES_THRESHOLD: dict = {}
+
 
 class Provider:
     """init/visualize/collide/waitForNewData/newSensorData contract."""
@@ -54,14 +58,21 @@ class Provider:
         """Pass coll_threshold only to maps whose collide_with takes it: the
         dense-map signature is (other, coll_threshold, offset) but octree
         tiers take (other, min_level, offset) and lists (other, offset) —
-        a positional threshold would silently bind to the wrong parameter."""
-        import inspect
+        a positional threshold would silently bind to the wrong parameter.
+        The signature inspection is cached per map class (collide_async runs
+        per frame in live loops; reflection there is waste)."""
+        cls = type(self.map)
+        takes = _CLASS_TAKES_THRESHOLD.get(cls)
+        if takes is None:
+            import inspect
 
-        try:
-            params = inspect.signature(type(self.map).collide_with).parameters
-        except (TypeError, ValueError):
-            return {}
-        return {"coll_threshold": self.coll_threshold} if "coll_threshold" in params else {}
+            try:
+                params = inspect.signature(cls.collide_with).parameters
+                takes = "coll_threshold" in params
+            except (TypeError, ValueError):
+                takes = False
+            _CLASS_TAKES_THRESHOLD[cls] = takes
+        return {"coll_threshold": self.coll_threshold} if takes else {}
 
     def collide(self) -> int:
         if self.collide_with_provider is None or self.collide_with_provider.map is None:

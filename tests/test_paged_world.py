@@ -423,3 +423,66 @@ def test_world_stateful_fuzz_vs_single_device(seed, probabilistic):
     cw, uw = world.collide_with_counting_unknown_coords(q)
     cs, us = single.collide_with_counting_unknown_coords(q)
     assert (cw, uw) == (int(cs), int(us))
+
+
+def test_fractional_side_length_matches_single_device():
+    """Round-5 review regression: the world used to translate points by
+    z0*side_length in float32 METERS before voxelizing, which moves
+    floor(p/side) boundary decisions whenever side_length is not exactly
+    representable (0.05 here — the shipped demo's own resolution; ~30% of
+    boundary-adjacent samples used to land in a different cell, some vanishing
+    from every slab). The fix voxelizes in the GLOBAL frame and shifts in
+    integer voxel units (maps/paged.py voxel_offset), so inserts AND carve
+    rays must now partition exactly at any resolution."""
+    devs = _devices()
+    side = 0.05
+    rng = np.random.default_rng(3)
+    cells = rng.integers([0, 0, 0], [64, 64, 512], size=(600, 3))
+    # sample ON voxel boundaries and just around them — the hostile inputs
+    jitter = rng.choice([0.0, 1e-4, -1e-4, 0.5], size=(600, 3))
+    pts = ((cells + jitter) * side).astype(np.float32)
+
+    single = PagedHierarchicalMap(DIMS, side)
+    single.insert_point_cloud(pts)
+    world = ShardedPagedWorld(DIMS, side, devices=devs)
+    world.insert_point_cloud(pts)
+
+    q = _queries(seed=11)
+    assert world.n_tiles() == single.n_tiles()
+    assert (world.probe_status(q) == np.asarray(single.probe_status(q))).all()
+
+    # cross-slab sensor carve at the fractional resolution: the global ray
+    # geometry must be walked identically, only cell ownership shifted
+    hits = ((rng.integers([0, 0, 0], [64, 64, 512], size=(80, 3)) + 0.5) * side).astype(
+        np.float32
+    )
+    origin = (1.6, 1.6, 12.8)
+    single2 = PagedHierarchicalMap(DIMS, side)
+    single2.insert_point_cloud_with_free_space(hits, origin, max_steps=600)
+    world2 = ShardedPagedWorld(DIMS, side, devices=devs)
+    world2.insert_point_cloud_with_free_space(hits, origin, max_steps=600)
+    assert world2.n_tiles() == single2.n_tiles()
+    assert (world2.probe_status(q) == np.asarray(single2.probe_status(q))).all()
+
+
+def test_out_of_range_probe_clamps_like_single_device():
+    """probe/probe_occupancy on coords past the world bounds answer with the
+    clamped border cell, exactly like the single-device map's clamped gathers
+    (a zeros-initialized no-owner fallback used to return an invalid status
+    where occupied=unknown=free=False)."""
+    devs = _devices()
+    pts = _scene()
+    single = PagedHierarchicalMap(DIMS, 1.0, probabilistic=True)
+    single.insert_point_cloud(pts)
+    world = ShardedPagedWorld(DIMS, 1.0, probabilistic=True, devices=devs)
+    world.insert_point_cloud(pts)
+
+    q = np.array(
+        [[32, 32, 511], [32, 32, 512], [32, 32, 600], [32, 32, 0], [5, 5, 1000]],
+        np.int32,
+    )
+    assert (world.probe_status(q) == np.asarray(single.probe_status(q))).all()
+    assert (world.probe_occupancy(q) == np.asarray(single.probe_occupancy(q))).all()
+    occ, unk, free = world.probe(q)
+    # every answer decodes to a REAL tri-state (no all-False rows)
+    assert (occ | unk | free).all()

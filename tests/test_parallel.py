@@ -231,3 +231,44 @@ def test_sharded_exact_edt_bit_identical():
     from gpu_voxels_tpu.constants import PBA_UNINITIALISED_PACKED
 
     assert (out == PBA_UNINITIALISED_PACKED).all()
+
+
+def test_sharded_sensor_cycle_fractional_side_length():
+    """Round-5 review regression: the sharded carve used to translate the
+    POSE by z0*side_length in float32 meters, which flips projection boundary
+    decisions when side_length is not representable (0.05 here). The fix
+    shifts the voxel z INDICES into the global frame (exact integer adds,
+    ops/raycast.projective_free_space z_index_offset), so the sharded count
+    must equal the single-device one at any resolution."""
+    import jax.numpy as jnp
+    from gpu_voxels_tpu.constants import float_to_probability
+    from gpu_voxels_tpu.maps.voxelmap import ProbVoxelMap
+    from gpu_voxels_tpu.ops import raycast
+    from gpu_voxels_tpu.parallel.sharded import build_sharded_sensor_cycle
+
+    dims = (32, 32, 32)
+    side = 0.05
+    rng = np.random.default_rng(11)
+    depth = (rng.uniform(5.0, 25.0, (12, 16)) * side).astype(np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], np.float32)
+    pose[:3, 3] = np.asarray([0.5, 16.0, 16.0], np.float32) * side
+    env = ProbVoxelMap.create(dims, side).insert_point_cloud(
+        (rng.uniform(0, 32, (500, 3)) * side).astype(np.float32)
+    )
+
+    sensor_map = ProbVoxelMap.create(dims, side)
+    new = raycast.insert_depth_image(
+        sensor_map.data, jnp.asarray(depth), jnp.asarray(pose),
+        8.0, 8.0, 8.0, 6.0, side, dims,
+    )
+    t = float_to_probability(0.25)
+    expect = int(
+        ((np.asarray(new).astype(int) >= t) & (np.asarray(env.data).astype(int) >= t)).sum()
+    )
+
+    mesh = make_grid_mesh(8, world=1)
+    fn = build_sharded_sensor_cycle(mesh, dims, side, 8.0, 8.0, 8.0, 6.0, 0.25)
+    got = int(fn(jnp.asarray(depth), jnp.asarray(pose), env.data))
+    assert got == expect
+    assert got > 0
